@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine determinism helpers (SURVEY §2.4 canonicalization contract).
+  *
+  * Money/double aggregation is exact-by-construction so that partial-agg
+  * order (Spark's map-side combine, DuckDB's parallel hash agg) cannot
+  * perturb results:
+  *   - monetary inputs (≤4 decimal digits at rest) are cast to
+  *     DECIMAL(18,4) *before* SUM — decimal addition is associative;
+  *   - the final value is cast to DOUBLE once, from an exact decimal, so
+  *     both engines emit bit-identical doubles;
+  *   - AVG is *defined* as ROUND(CAST(SUM(dec) AS DOUBLE) / COUNT(x), 4)
+  *     — never an engine's native AVG (DuckDB's AVG(DECIMAL) returns
+  *     DOUBLE with order-dependent summation).
+  */
+object Canonical {
+
+  /** Money-typed view of a ≤4-dp column: exact, associative addition. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact SUM of a money column, emitted as a deterministic DOUBLE. */
+  def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Deterministic 4-dp AVG per the contract (§2.4 rule 3). */
+  def avg4(c: Column): Column = round(sum(dec(c)).cast("double") / count(c), 4)
+
+  /** Oracle-side (DuckDB SQL) spellings of the same three helpers; kept
+    * here so engine and oracle formulations evolve together.
+    */
+  def decSql(x: String): String = s"CAST($x AS DECIMAL(18,4))"
+  def moneySumSql(x: String): String = s"CAST(SUM(${decSql(x)}) AS DOUBLE)"
+  def avg4Sql(x: String): String =
+    s"ROUND(CAST(SUM(${decSql(x)}) AS DOUBLE) / COUNT($x), 4)"
+}

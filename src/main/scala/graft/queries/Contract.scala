@@ -1,0 +1,468 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Canonical, Tables}
+import graft.Canonical.{avg4, avg4Sql, dec, decSql, moneySum, moneySumSql}
+
+/** The declared query inventory Q01–Q26 (SURVEY §2.4) — the t2 correctness
+  * contract. Each query has (a) a Spark DataFrame formulation and (b) an
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Determinism rules applied throughout (SURVEY §2.4):
+  *   - every query ends in a total ORDER BY (unique key set, NULLS FIRST
+  *     made explicit on the oracle side — DuckDB defaults to NULLS LAST);
+  *   - money sums go through DECIMAL(18,4) ([[graft.Canonical]]);
+  *   - no raw TIMESTAMP columns in outputs — time is emitted as epoch
+  *     micros (BIGINT) or extracted integer fields, sidestepping tz /
+  *     precision / schema drift between the two engines;
+  *   - computed integers are cast to the same width on both sides
+  *     (DuckDB SUM(int)→HUGEINT and LENGTH→BIGINT vs Spark INT/LONG).
+  *
+  * Query semantics transplant the reference's single analytics question —
+  * filter → group → avg (`taxi_pipeline_native.py:92-97,127-129,166-171`)
+  * — onto the judged star schema (Q02) and then widen across the L2
+  * capability checklist (SURVEY §2.2).
+  */
+object Contract {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** name -> (spark query, duckdb oracle sql) */
+  val entries: Seq[(String, Q, String)] = Seq(
+
+    // Q01 — multi-source scan, count, union-all, literal projection.
+    ("q01_counts",
+      (s: SparkSession, dir: String) =>
+        Tables.core
+          .map(n => t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+          .reduce(_.unionAll(_))
+          .orderBy("tbl"),
+      Tables.core
+        .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")),
+
+    // Q02 — the reference query transplanted: filter → group → avg.
+    ("q02_ref_query",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .filter(col("o_totalprice") > 100000)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), avg4(col("o_totalprice")).as("avg_price"))
+          .orderBy("o_orderpriority"),
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${avg4Sql("o_totalprice")} AS avg_price
+          FROM orders WHERE o_totalprice > 100000
+          GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // Q03 — projection, conjunctive filter, sort desc, top-k.
+    ("q03_topk",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F" &&
+            col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+
+    // Q04 — TPC-H Q1 shape: multi-aggregate hash agg with computed exprs.
+    ("q04_pricing_summary",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            moneySum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_base"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            avg4(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+            ${moneySumSql("l_quantity")} AS sum_qty,
+            ${moneySumSql("l_extendedprice")} AS sum_base,
+            CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE) AS sum_disc_price,
+            ${avg4Sql("l_quantity")} AS avg_qty,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus"""),
+
+    // Q05 — fact ⋈ dim inner equi-join + post-join agg.
+    ("q05_join_agg",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment"),
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
+    // Q06 — 3-way join + filter + agg + top-k (TPC-H Q3 shape).
+    ("q06_revenue_topk",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10),
+      s"""SELECT o_orderkey,
+            CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE) AS revenue
+          FROM customer JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+
+    // Q07 — left outer join with a null-producing side.
+    ("q07_left_join",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey"),
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey"""),
+
+    // Q08 — left-semi join (EXISTS).
+    ("q08_semi_join",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter(col("o_totalprice") > 150000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey")
+          .orderBy("c_custkey"),
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         ORDER BY c_custkey"""),
+
+    // Q09 — left-anti join (NOT EXISTS).
+    ("q09_anti_join",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey")
+          .orderBy("c_custkey"),
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey"""),
+
+    // Q10 — broadcast-size dim chain join (region ⋈ nation ⋈ customer).
+    ("q10_dim_chain",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "region")
+          .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+          .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("r_name", "n_name"),
+      """SELECT r_name, n_name, COUNT(*) AS n
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+                     JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+
+    // Q11 — distinct / count-distinct.
+    ("q11_count_distinct",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .agg(countDistinct(col("o_custkey")).as("d1"),
+            countDistinct(col("o_orderpriority")).as("d2")),
+      """SELECT COUNT(DISTINCT o_custkey) AS d1, COUNT(DISTINCT o_orderpriority) AS d2
+         FROM orders"""),
+
+    // Q12 — rollup / grouping sets over the dim chain, via the SQL
+    // frontend (reference O17): the DataFrame rollup API in Spark 4.1
+    // false-positives the ambiguous-self-join check when grouping columns
+    // are re-referenced after agg; the parser path carries no dataset-id
+    // metadata and plans the identical Expand + Aggregate.
+    ("q12_rollup",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "region").createOrReplaceTempView("region")
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT COALESCE(r_name, '(all)') AS rname,
+                        COALESCE(n_name, '(all)') AS nname, COUNT(*) AS n
+                 FROM region JOIN nation ON r_regionkey = n_regionkey
+                             JOIN customer ON n_nationkey = c_nationkey
+                 GROUP BY ROLLUP(r_name, n_name) ORDER BY rname, nname""")
+      },
+      """SELECT COALESCE(r_name, '(all)') AS rname, COALESCE(n_name, '(all)') AS nname,
+            COUNT(*) AS n
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+                     JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY ROLLUP(r_name, n_name) ORDER BY rname, nname"""),
+
+    // Q13 — window ranking: top-3 per group.
+    ("q13_window_rank",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "c_custkey")
+          .orderBy("c_mktsegment", "rn")
+      },
+      """SELECT c_mktsegment, rn, c_custkey FROM (
+           SELECT c_mktsegment, c_custkey,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) q
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn"""),
+
+    // Q14 — window analytic lag: order-to-order price delta per customer.
+    ("q14_window_lag",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .withColumn("delta",
+            (dec(col("o_totalprice")) - lag(dec(col("o_totalprice")), 1).over(w))
+              .cast("double"))
+          .select("o_custkey", "o_orderkey", "delta")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      s"""SELECT o_custkey, o_orderkey,
+            CAST(${decSql("o_totalprice")} - LAG(${decSql("o_totalprice")}) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta
+          FROM orders WHERE o_custkey < 50
+          ORDER BY o_custkey, o_orderkey"""),
+
+    // Q15 — window frame running aggregate over event time.
+    ("q15_running_sum",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("running", sum(dec(col("value"))).over(w).cast("double"))
+          .select("user_id", "event_id", "running")
+          .orderBy("user_id", "event_id")
+      },
+      s"""SELECT user_id, event_id,
+            CAST(SUM(${decSql("value")}) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+          FROM events WHERE user_id < 20
+          ORDER BY user_id, event_id"""),
+
+    // Q16 — top-1-per-group via window (the dedup pattern): latest event.
+    ("q16_latest_per_user",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+          .orderBy("user_id")
+      },
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) q
+         WHERE rn = 1 ORDER BY user_id"""),
+
+    // Q17 — intersect / except / union-distinct, tagged and concatenated.
+    ("q17_set_ops",
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        c.intersect(sup).select(lit("intersect").as("tag"), col("k"))
+          .unionAll(c.except(sup).select(lit("except").as("tag"), col("k")))
+          .unionAll(c.union(sup).distinct().select(lit("union").as("tag"), col("k")))
+          .orderBy("tag", "k")
+      },
+      """SELECT 'intersect' AS tag, k FROM
+           (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+         UNION ALL
+         SELECT 'except' AS tag, k FROM
+           (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+         UNION ALL
+         SELECT 'union' AS tag, k FROM
+           (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) c
+         ORDER BY tag, k"""),
+
+    // Q18 — string function battery.
+    ("q18_strings",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("up"),
+            substring(col("p_type"), 1, 6).as("sub"),
+            length(col("p_name")).as("ln"),
+            col("p_name").like("%a%").cast("int").as("lk"),
+            split_part(col("p_type"), lit(" "), lit(1)).as("sp"))
+          .orderBy("p_partkey")
+          .limit(200),
+      """SELECT p_partkey, UPPER(p_brand) AS up, SUBSTR(p_type, 1, 6) AS sub,
+            CAST(LENGTH(p_name) AS INT) AS ln,
+            CAST(p_name LIKE '%a%' AS INT) AS lk,
+            SPLIT_PART(p_type, ' ', 1) AS sp
+         FROM part ORDER BY p_partkey LIMIT 200"""),
+
+    // Q19 — date/time extraction + agg.
+    ("q19_dates",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("yr", "mo"),
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+            COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS sum_price
+          FROM orders GROUP BY yr, mo ORDER BY yr, mo"""),
+
+    // Q20 — CASE bucketing, math fns, forced NULL group key.
+    ("q20_case_math_nullkey",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy(
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 25, "mid")
+              .otherwise("high").as("bucket"),
+            expr("nullif(l_linestatus, 'F')").as("nkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(col("l_quantity"))).as("fl"),
+            sum(ceil(col("l_quantity"))).as("ce"),
+            sum(dec(abs(col("l_discount") - 0.05))).cast("double").as("ab"),
+            sum(round(col("l_extendedprice")).cast("long")).as("rd"))
+          .orderBy(asc_nulls_first("bucket"), asc_nulls_first("nkey")),
+      s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                      WHEN l_quantity < 25 THEN 'mid'
+                      ELSE 'high' END AS bucket,
+            NULLIF(l_linestatus, 'F') AS nkey,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS fl,
+            CAST(SUM(CAST(CEIL(l_quantity) AS BIGINT)) AS BIGINT) AS ce,
+            CAST(SUM(${decSql("ABS(l_discount - 0.05)")}) AS DOUBLE) AS ab,
+            CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS rd
+          FROM lineitem GROUP BY bucket, nkey
+          ORDER BY bucket NULLS FIRST, nkey NULLS FIRST"""),
+
+    // Q21 — JSON extraction from events.props.
+    ("q21_json",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sumk"),
+            min(col("k")).as("mink"), max(col("k")).as("maxk"))
+          .orderBy("event_type"),
+      """SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(k) AS BIGINT) AS sumk, MIN(k) AS mink, MAX(k) AS maxk
+         FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events) q
+         GROUP BY event_type ORDER BY event_type"""),
+
+    // Q22 — tumbling 1-hour event-time window (batch semantics).
+    ("q22_tumbling_window",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .withColumn("bucket", expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+          .groupBy("bucket", "event_type")
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sumv"))
+          .orderBy("bucket", "event_type"),
+      s"""SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+            COUNT(*) AS n, ${moneySumSql("value")} AS sumv
+          FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"""),
+
+    // Q23 — sessionization (gaps-and-islands: lag + cumulative sum).
+    ("q23_sessionize",
+      (s: SparkSession, dir: String) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("eus", "event_id")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("eus", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("prev", lag(col("eus"), 1).over(wOrd))
+          .withColumn("newsess",
+            when(col("prev").isNull || col("eus") - col("prev") > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("newsess")).over(wRun))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("user_id")
+          .agg(max(col("sid")).as("n_sessions"), max(col("cnt")).as("max_len"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS eus FROM events),
+         s AS (
+           SELECT user_id, event_id, eus,
+                  CASE WHEN LAG(eus) OVER w IS NULL
+                            OR eus - LAG(eus) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS newsess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
+         t AS (
+           SELECT user_id,
+                  CAST(SUM(newsess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM s),
+         g AS (
+           SELECT user_id, sid, COUNT(*) AS cnt FROM t GROUP BY user_id, sid)
+         SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+                CAST(MAX(cnt) AS BIGINT) AS max_len
+         FROM g GROUP BY user_id ORDER BY user_id"""),
+
+    // Q24 — exact dedup stats over documents (L3).
+    ("q24_dedup_stats",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents")
+        val base = d.agg(count(lit(1)).as("total"), countDistinct(col("text")).as("uniq"))
+        val dups = d.groupBy("text").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("ndup"))
+        base.crossJoin(dups)
+      },
+      """SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS uniq,
+            (SELECT COUNT(*) FROM (SELECT text FROM documents
+                                   GROUP BY text HAVING COUNT(*) > 1) d) AS ndup
+         FROM documents"""),
+
+    // Q25 — array ops over embeddings (L3).
+    ("q25_array_ops",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("minv"),
+            max(col("vec_id")).as("maxv"), max(size(col("embedding"))).as("dim"))
+          .orderBy("label"),
+      """SELECT label, COUNT(*) AS n, MIN(vec_id) AS minv, MAX(vec_id) AS maxv,
+            CAST(MAX(len(embedding)) AS INT) AS dim
+         FROM embeddings GROUP BY label ORDER BY label"""),
+
+    // Q26 — tokenize / explode / count: top-20 tokens (L3 text analysis).
+    ("q26_token_topk",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20),
+      """SELECT tok, COUNT(*) AS n FROM (
+           SELECT unnest(string_split(LOWER(text), ' ')) AS tok FROM documents) q
+         WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""),
+  )
+
+  def queries: Map[String, Q] =
+    entries.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.map { case (n, _, o) => n -> o.stripMargin }.toMap
+}

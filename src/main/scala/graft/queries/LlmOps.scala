@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Contract.Q
+
+/** L3 north-star operator queries (SURVEY §2.2 L3): the LLM-training-data
+  * pipeline surface — dedup, text analysis, fingerprinting, similarity,
+  * multimodal — over the `documents` / `embeddings` tables.
+  *
+  * Ops whose results are deterministic and SQL-expressible carry a DuckDB
+  * oracle; FP-fragile ops (cosine ranking) and engine-hash-dependent ops
+  * (minhash/simhash use Spark's xxhash64) are deliberately NOT declared
+  * with oracles (SURVEY §2.4 rationale) — they get rows-only checks here
+  * plus tolerance/recall ScalaTests.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Word 3-gram shingles, distinct per doc: the shared substrate for
+    * n-gram Jaccard, minhash, and winnowing fingerprints. Relational
+    * (explode → distinct), so it scales as a shuffle, not a UDF loop.
+    */
+  def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  /** Oracle-side spelling of [[shingles]] (DuckDB list ops). */
+  val shinglesSql: String =
+    """SELECT DISTINCT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shl
+       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       WHERE len(toks) >= 3"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Exact dedup: duplicate-text groups, canonical keeper = min doc_id.
+    ("dedup_exact",
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .groupBy("text")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .select("keep_id", "n")
+          .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents
+              GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id""")),
+
+    // n-gram Jaccard near-dup pairs, fully relational (shingle self-join;
+    // the 100 TB path — no O(n²) cross join, pairs only materialize for
+    // docs sharing ≥1 shingle).
+    ("dedup_ngram_jaccard",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(docs(s, dir))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        val a = sh.toDF("a_id", "sh")
+        val b = sh.toDF("b_id", "sh")
+        a.join(b, "sh").filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+          .join(sizes.toDF("a_id", "ca"), "a_id")
+          .join(sizes.toDF("b_id", "cb"), "b_id")
+          .withColumn("jac", round(col("shared").cast("double") /
+            (col("ca") + col("cb") - col("shared")), 4))
+          .filter(col("jac") >= 0.2)
+          .select("a_id", "b_id", "jac")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
+               shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+               sizes AS (SELECT doc_id, COUNT(*) AS c FROM shd GROUP BY doc_id),
+               pairs AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+                 FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+               SELECT a_id, b_id,
+                      ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jac
+               FROM pairs
+               JOIN sizes ca ON ca.doc_id = a_id
+               JOIN sizes cb ON cb.doc_id = b_id
+               WHERE ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) >= 0.2
+               ORDER BY a_id, b_id""")),
+
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
+    ("text_tokens",
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("nt"),
+            size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("nt_re"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS nt,
+                CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS nt_re
+              FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: length / avg token length / stopword ratio.
+    ("text_quality",
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("n_chars"), size(col("toks")).as("nt"),
+            explode(col("toks")).as("tok"))
+        d.groupBy("doc_id", "n_chars", "nt")
+          .agg(sum(when(col("tok").isin(graft.functions.TextFns.stopwords: _*), 1)
+            .otherwise(0)).cast("long").as("nstop"))
+          .select(
+            col("doc_id"),
+            col("nt"),
+            round((col("n_chars") - (col("nt") - 1)).cast("double") / col("nt"), 4)
+              .as("avg_tok_len"),
+            round(col("nstop").cast("double") / col("nt"), 4).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, n_chars,
+                        CAST(len(string_split(text, ' ')) AS INT) AS nt,
+                        unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+               SELECT doc_id, nt,
+                      ROUND(CAST(n_chars - (nt - 1) AS DOUBLE) / nt, 4) AS avg_tok_len,
+                      ROUND(CAST(SUM(CASE WHEN tok IN (${graft.functions.TextFns.stopwordsSqlList}) THEN 1 ELSE 0 END) AS DOUBLE) / nt, 4) AS stop_ratio
+               FROM toks GROUP BY doc_id, n_chars, nt ORDER BY doc_id""")),
+
+    // Language ID: stopword-lexicon n-gram heuristic, argmax hits.
+    ("text_langid",
+      (s: SparkSession, dir: String) =>
+        graft.functions.TextFns.langId(s, docs(s, dir)).orderBy("doc_id"),
+      Some(graft.functions.TextFns.langIdOracleSql)),
+
+    // Document fingerprinting: whole-doc md5 + winnowing-style min
+    // shingle fingerprint (smallest md5 over word 3-grams).
+    ("text_fingerprint",
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val wfp = shingles(d).groupBy("doc_id").agg(min(md5(col("sh"))).as("wfp"))
+        d.select(col("doc_id"), md5(col("text")).as("fp"))
+          .join(wfp, Seq("doc_id"), "left")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
+               w AS (SELECT doc_id, MIN(md5(sh)) AS wfp FROM (SELECT DISTINCT doc_id, sh FROM sh) d
+                     GROUP BY doc_id)
+               SELECT d.doc_id, md5(d.text) AS fp, w.wfp
+               FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+               ORDER BY d.doc_id""")),
+  )
+
+  def queries: Map[String, Q] =
+    entries.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(o)) => n -> o.stripMargin }.toMap
+}
