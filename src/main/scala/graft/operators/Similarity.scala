@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns.cosine
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.2 L3): brute-force cosine top-k as the exact baseline, and
+  * an IVF (inverted-file) variant as the scale path — centroids built
+  * with a relational per-dimension average, probes pruned to the nearest
+  * `nprobe` cells so the scored candidate set is a fraction of the
+  * corpus. Queries are broadcast (they're the small side by
+  * construction), so corpus scoring is shuffle-free; only the per-query
+  * top-k window shuffles, and it shuffles candidates, not the corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every (query, corpus) pair scored via a
+    * broadcast join, ranked per query. O(|Q|·|C|) scoring — the
+    * correctness baseline the ANN variants are measured against.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("q_id"), col("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(q, col("q_id") =!= col("vec_id")) // a query is not its own neighbor
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Per-cell centroids as a relational plan: posexplode → per-(cell,
+    * dim) average → re-assemble ordered arrays. No driver-side math.
+    */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
+
+  /** IVF top-k: assign each query to its `nprobe` nearest cells by
+    * centroid cosine, score only corpus vectors in those cells. Recall
+    * < 1 by construction; the candidate set shrinks by ~|cells|/nprobe.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val cents = centroids(corpus, cellCol)
+    val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val cand = corpus.select(col(cellCol).as("cell"), col("vec_id"), col("embedding"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

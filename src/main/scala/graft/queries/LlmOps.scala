@@ -156,6 +156,79 @@ object LlmOps {
                SELECT d.doc_id, md5(d.text) AS fp, w.wfp
                FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
                ORDER BY d.doc_id""")),
+
+    // MinHash + banded LSH near-dup pairs (Broder). No DuckDB oracle —
+    // the permutation family hashes with Spark's xxhash64 — so this gets
+    // the rows-only check + a recall ScalaTest against dedup_ngram_jaccard.
+    ("dedup_minhash_lsh",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup
+          .minhashPairs(shingles(docs(s, dir)), "doc_id", "sh",
+            numHashes = 32, bands = 8, minEst = 0.2)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    // SimHash signatures per doc (custom typed Aggregator; pairs via
+    // graft.operators.Dedup.simhashPairs are ScalaTest-covered).
+    ("dedup_simhash",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup.simhashes(s, docs(s, dir))
+          .select(col("doc_id"), hex(col("simhash")).as("simhash_hex"))
+          .orderBy("doc_id"),
+      None),
+
+    // Embedding-cosine near-dup: LSH-bucketed candidates, top-20 pairs
+    // by cosine. FP-ranked → no hash oracle (SURVEY §2.4 rationale).
+    ("dedup_embedding",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup
+          .embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            minCos = -1.0)
+          .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+          .limit(20)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos")),
+      None),
+
+    // Brute-force cosine top-k ANN baseline (queries = vec_id < 10).
+    ("ann_brute_topk",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Similarity.bruteTopK(qs, emb, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // IVF ANN: label-cell centroids, nprobe=3 — the pruned scale path.
+    ("ann_ivf_topk",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Similarity.ivfTopK(qs, emb, "label", k = 5, nprobe = 3)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // Multimodal: binary media column + per-partition (stubbed) decode.
+    // The stub's metadata is a deterministic function of payload bytes,
+    // so this one IS oracle-able despite the mapPartitions plumbing.
+    ("multimodal_meta",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Multimodal
+          .decodeMeta(s, graft.operators.Multimodal.fromDocuments(docs(s, dir)))
+          .toDF()
+          .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                1 + CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+                1 + CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+                1 + CAST(octet_length(encode(text)) % 10 AS INT) AS n_frames
+              FROM documents ORDER BY doc_id""")),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+
+import graft.pipeline.{Pipeline, Asset, Sinks, TaxiPipeline}
+
+/** End-to-end pipeline spec over the taxi-shape fixture (FIXTURES.md §B):
+  * glob-union ingest of ≥2 parquet files, single-file export, and the
+  * reference analytics question answered identically via the DataFrame
+  * API and SQL text — the reference's own de-facto correctness mechanism
+  * (multi-frontend redundancy, SURVEY §5.1).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("taxi_fixture").toString
+    // fare_amount spans <50, =50, >50, NULL; passenger_count has NULLs
+    // (the NULL-group semantic the TLC data exercises, SURVEY §2.3)
+    val rows = (1 to 300).map { i =>
+      val fare: java.lang.Double =
+        if (i % 31 == 0) null
+        else if (i % 3 == 0) 50.0
+        else if (i % 2 == 0) 50.0 + i % 97
+        else 10.0 + i % 40
+      val pc: java.lang.Long = if (i % 17 == 0) null else (i % 5).toLong
+      (i, fare, pc, 1.5 * (i % 7))
+    }
+    val df = rows.toDF("vendor_id", "fare_amount", "passenger_count", "trip_distance")
+    df.filter($"vendor_id" % 2 === 0).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/part_a.parquet")
+    df.filter($"vendor_id" % 2 =!= 0).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/part_b.parquet")
+    dir
+  }
+
+  test("taxi pipeline materializes in dependency order; counts conserved") {
+    val out = Files.createTempDirectory("taxi_out").resolve("clean.parquet").toString
+    val p = new TaxiPipeline(s"$fixtureDir/*", out)
+    val results = p.materialize(spark)
+    assert(results.map(_.name) ==
+      Seq("ingest_taxi_data", "export_taxi_parquet", "spark_analysis", "spark_sql_analysis"))
+    assert(results.forall(_.error.isEmpty))
+    assert(p.ingestedRows == 300)
+    // single-file export exists and re-reads to the same count
+    assert(Files.isRegularFile(Paths.get(out)))
+    assert(p.exportedBytes > 0 && Files.size(Paths.get(out)) == p.exportedBytes)
+    assert(Tables.read(spark, out).count() == 300)
+  }
+
+  test("DataFrame and SQL frontends agree on the analytics question") {
+    val out = Files.createTempDirectory("taxi_out2").resolve("clean.parquet").toString
+    val p = new TaxiPipeline(s"$fixtureDir/*", out)
+    p.materialize(spark)
+    assert(p.dfResult.nonEmpty)
+    val df = p.dfResult.map(r => (Option(r.get(0)), r.getDouble(1))).toSeq
+    val sql = p.sqlResult.map(r => (Option(r.get(0)), r.getDouble(1))).toSeq
+    assert(df == sql)
+    // fares ≤ 50 and NULL are excluded before grouping; NULL passenger
+    // counts form their own group
+    assert(df.exists(_._1.isEmpty), "expected a NULL passenger_count group")
+  }
+
+  test("pipeline runner: cycle and unknown-dep detection, failure rethrow") {
+    intercept[IllegalArgumentException] {
+      new Pipeline(Seq(Asset("a", Seq("b"))(_ => ()), Asset("b", Seq("a"))(_ => ())))
+        .topoOrder
+    }
+    intercept[IllegalArgumentException] {
+      new Pipeline(Seq(Asset("a", Seq("ghost"))(_ => ())))
+    }
+    val boom = new Pipeline(Seq(Asset("ok")(_ => ()),
+      Asset("boom", Seq("ok"))(_ => throw new RuntimeException("x"))))
+    intercept[RuntimeException] { boom.materialize(spark) }
+  }
+
+  test("partitioned export writes hive-style dirs (the 100 TB path)") {
+    val dir = Files.createTempDirectory("part_out").toString + "/events"
+    Sinks.exportPartitioned(
+      Tables(spark, sf, "events").withColumn("etype", org.apache.spark.sql.functions.col("event_type")),
+      dir, Seq("etype"))
+    val sub = Files.list(Paths.get(dir)).toArray.map(_.toString)
+    assert(sub.exists(_.contains("etype=")))
+    assert(Tables.read(spark, dir).count() == 1000)
+  }
+}
