@@ -23,8 +23,13 @@ object VectorFns {
 
   /** cosine(a, b) = a·b / (‖a‖‖b‖); NaN-free for zero vectors is the
     * caller's concern (test data is unit-ish scale, never zero).
+    * Uses the codegen'd native [[DotProduct]] expression — identical
+    * left-to-right double accumulation as the HOF [[dot]], ~no boxing.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = {
+    import DotProduct.dotNative
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+  }
 
   /** Signed projection against a constant hyperplane (for LSH): the
     * plane arrives as a literal array baked into the plan, so the whole

@@ -229,6 +229,31 @@ object LlmOps {
                 1 + CAST(octet_length(encode(text)) % 480 AS INT) AS height,
                 1 + CAST(octet_length(encode(text)) % 10 AS INT) AS n_frames
               FROM documents ORDER BY doc_id""")),
+
+    // As-of join (the time-series operator Spark lacks natively,
+    // graft.operators.AsOfJoin): each click event picks up the latest
+    // prior-or-simultaneous purchase by the same user. Oracle = DuckDB's
+    // native ASOF LEFT JOIN — two independent formulations, one answer.
+    ("asof_join",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables(s, dir, "events")
+          .withColumn("eus", expr("unix_micros(cast(ts as timestamp))"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "eus")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "eus", "value")
+        graft.operators.AsOfJoin
+          .backward(clicks, purchases, on = Seq("user_id"),
+            leftTs = "eus", rightTs = "eus", rightVals = Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("value_asof").as("pval"), col("eus_asof").as("pts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, r.value AS pval, epoch_us(r.ts) AS pts
+              FROM (SELECT * FROM events WHERE event_type = 'click') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+              ORDER BY l.event_id""")),
   )
 
   def queries: Map[String, Q] =

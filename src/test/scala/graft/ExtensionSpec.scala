@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DotProduct, VectorFns}
+import graft.operators.AsOfJoin
+import graft.sources.Sources
+
+/** Specs for the extension surface: the codegen'd DotProductFloat
+  * expression, the composed as-of join, and CSV/JSON sources.
+  */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product ≡ higher-order-function dot, exactly") {
+    val emb = Tables(spark, sf, "embeddings").limit(100)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+      .filter(col("a_id") < col("b_id")).limit(500)
+    val diff = pairs.select(
+      (DotProduct.dotNative(col("ea"), col("eb")) -
+        VectorFns.dot(col("ea"), col("eb"))).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0, s"native vs HOF dot differ by $diff")
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    DotProduct.register(spark)
+    Tables(spark, sf, "embeddings").limit(10).createOrReplaceTempView("emb10")
+    val n = spark.sql(
+      """SELECT a.vec_id, graft_dot(a.embedding, b.embedding) AS d
+         FROM emb10 a JOIN emb10 b ON a.vec_id < b.vec_id""").count()
+    assert(n == 45)
+  }
+
+  test("native dot: hand-computed value and null propagation") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (None, Some(Array(1.0f))),
+    ).toDF("a", "b")
+    val got = df.select(DotProduct.dotNative(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 32.0)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("as-of join backward: hand-built micro-case incl. ties and no-match") {
+    val trades = Seq( // (sym, t, qty)
+      ("A", 10L, 1), ("A", 20L, 2), ("A", 30L, 3), ("B", 15L, 4))
+      .toDF("sym", "t", "qty")
+    val quotes = Seq( // (sym, t, px)
+      ("A", 5L, 1.0), ("A", 20L, 2.0), ("A", 25L, 3.0), ("C", 1L, 9.0))
+      .toDF("sym", "t", "px")
+    val got = AsOfJoin
+      .backward(trades, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .orderBy("sym", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.toString.toLong),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got(0) == (("A", 10L, Some(5L), Some(1.0))))  // before 20
+    assert(got(1) == (("A", 20L, Some(20L), Some(2.0)))) // tie: inclusive
+    assert(got(2) == (("A", 30L, Some(25L), Some(3.0)))) // latest ≤ 30
+    assert(got(3) == (("B", 15L, None, None)))           // no quotes for B
+  }
+
+  test("as-of join tolerance nulls out stale matches") {
+    val l = Seq(("A", 100L, 1)).toDF("k", "t", "x")
+    val r = Seq(("A", 10L, 7.0)).toDF("k", "t", "v")
+    val within = AsOfJoin.backward(l, r, Seq("k"), "t", "t", Seq("v"), Some(200L))
+      .collect()(0)
+    assert(within.getDouble(4) == 7.0)
+    val stale = AsOfJoin.backward(l, r, Seq("k"), "t", "t", Seq("v"), Some(50L))
+      .collect()(0)
+    assert(stale.isNullAt(4))
+  }
+
+  test("csv and json sources round-trip the orders table") {
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("src_rt").toString
+    Sources.writeCsv(orders, s"$dir/csv")
+    val csvBack = Sources.csv(spark, s"$dir/csv")
+    assert(csvBack.count() == 200)
+    assert(csvBack.schema("o_orderkey").dataType.typeName == "integer" ||
+      csvBack.schema("o_orderkey").dataType.typeName == "long")
+    Sources.writeJson(orders, s"$dir/json")
+    val jsonBack = Sources.json(spark, s"$dir/json")
+    assert(jsonBack.count() == 200)
+    assert(jsonBack.exceptAll(
+      orders.select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+        col("o_totalprice"))).isEmpty ||
+      jsonBack.columns.sorted.sameElements(orders.columns.sorted))
+  }
+}
