@@ -458,6 +458,108 @@ object Contract {
       """SELECT tok, COUNT(*) AS n FROM (
            SELECT unnest(string_split(LOWER(text), ' ')) AS tok FROM documents) q
          WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""),
+
+    // Q27 — advanced aggregates: variance/stddev derived from EXACT
+    // integer-cent decimal sums (engine-native stddev is FP-order-
+    // dependent and can never be hash-judged). Magnitude discipline:
+    // DuckDB's int128→double cast is not correctly rounded, so every
+    // decimal that reaches a DOUBLE cast must keep its scaled integer
+    // under 2^63 — hence cents (scale 0), not dollars (scale 8).
+    ("q27_advanced_aggs",
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("decimal(18,0)"))
+        val sumsq = sum(col("cents") * col("cents")).cast("double")
+        val sumc = sum(col("cents")).cast("double")
+        val n = count(col("cents"))
+        val varCents = (sumsq - sumc * sumc / n) / (n - lit(1))
+        o.groupBy("o_orderpriority")
+          .agg(
+            n.as("n"),
+            (varCents / 10000.0).as("variance"),
+            (sqrt(varCents) / 100.0).as("stddev"),
+            slice(sort_array(collect_list(col("o_orderkey"))), 1, 3).as("first_keys"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH c AS (SELECT o_orderpriority, o_orderkey,
+                CAST(ROUND(o_totalprice * 100) AS DECIMAL(18,0)) AS cents
+              FROM orders)
+          SELECT o_orderpriority, COUNT(cents) AS n,
+            ((CAST(SUM(cents * cents) AS DOUBLE)
+              - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / COUNT(cents))
+             / (COUNT(cents) - 1)) / 10000.0 AS variance,
+            SQRT((CAST(SUM(cents * cents) AS DOUBLE)
+              - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / COUNT(cents))
+             / (COUNT(cents) - 1)) / 100.0 AS stddev,
+            (list_sort(list(o_orderkey)))[1:3] AS first_keys
+          FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // Q28 — CUBE over the dim chain (all four grouping sets), via the
+    // SQL frontend like Q12.
+    ("q28_cube",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT COALESCE(n_name, '(all)') AS nname,
+                        COALESCE(c_mktsegment, '(all)') AS seg, COUNT(*) AS n
+                 FROM nation JOIN customer ON n_nationkey = c_nationkey
+                 GROUP BY CUBE(n_name, c_mktsegment) ORDER BY nname, seg""")
+      },
+      """SELECT COALESCE(n_name, '(all)') AS nname,
+            COALESCE(c_mktsegment, '(all)') AS seg, COUNT(*) AS n
+         FROM nation JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY CUBE(n_name, c_mktsegment) ORDER BY nname, seg"""),
+
+    // Q29 — remaining ranking/distribution window functions: ntile,
+    // percent_rank, dense_rank, cume_dist (rank-derived ⇒ exact doubles).
+    ("q29_window_distribution",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_custkey"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(
+            col("c_mktsegment"), col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"),
+            dense_rank().over(w).cast("long").as("dr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      """SELECT c_mktsegment, c_custkey,
+            NTILE(4) OVER w AS quartile,
+            ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+            CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
+            ROUND(CUME_DIST() OVER w, 4) AS cd
+         FROM customer WHERE c_custkey <= 200
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+         ORDER BY c_mktsegment, c_custkey"""),
+
+    // Q30 — scalar-function battery: date arithmetic (datediff arg order
+    // differs between engines — SURVEY §7.6), trunc, concat/replace/trim,
+    // regexp_extract, and a map built from the events JSON.
+    ("q30_scalar_battery",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .withColumn("d0", to_date(expr("TIMESTAMP '2024-01-01 00:00:00'")))
+          .select(
+            col("event_id"),
+            datediff(to_date(expr("cast(ts as timestamp)")), col("d0"))
+              .cast("long").as("days_since"),
+            unix_micros(date_trunc("hour", expr("cast(ts as timestamp)")))
+              .as("hour_us"),
+            concat(upper(trim(col("event_type"))), lit(":"),
+              regexp_replace(col("event_type"), "e", "3")).as("tag"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"),
+            map_keys(from_json(col("props"), lit("map<string,int>"))).getItem(0).as("k0"))
+          .filter(col("event_id") < 500)
+          .orderBy("event_id"),
+      """SELECT event_id,
+            CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+            epoch_us(date_trunc('hour', ts)) AS hour_us,
+            UPPER(TRIM(event_type)) || ':' || regexp_replace(event_type, 'e', '3', 'g') AS tag,
+            CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+            json_keys(props)[1] AS k0
+         FROM events WHERE event_id < 500 ORDER BY event_id"""),
   )
 
   def queries: Map[String, Q] =
