@@ -32,6 +32,20 @@ class StreamingSpec extends SparkSpec {
     assert(a.exceptAll(q23).isEmpty && q23.exceptAll(a).isEmpty)
   }
 
+  test("flatMapGroupsWithState sessionizer agrees with Q23") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    val evs = events
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) as eus")
+      .as[StatefulSessions.Event]
+    val sessions = StatefulSessions.sessionize(spark, evs)
+    val agg = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_len"))
+      .select("user_id", "n_sessions", "max_len")
+    val q23 = SparkEntry.queries("q23_sessionize")(spark, sf)
+    assert(agg.exceptAll(q23).isEmpty && q23.exceptAll(agg).isEmpty)
+  }
+
   test("true streaming run: readStream → tumbling agg → memory sink") {
     // ns-timestamp parquet arrives as long under nanosAsLong; declare the
     // file schema explicitly (required for readStream) and convert.
