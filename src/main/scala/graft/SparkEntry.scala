@@ -21,12 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Contract.queries ++ graft.queries.LlmOps.queries
+    graft.queries.Contract.queries ++ graft.queries.LlmOps.queries ++
+      graft.queries.PortableQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (those
     * get the driver's weaker rows-only check + ScalaTest oracles).
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Contract.oracleSql ++ graft.queries.LlmOps.oracleSql
+    graft.queries.Contract.oracleSql ++ graft.queries.LlmOps.oracleSql ++
+      graft.queries.PortableQueries.oracleSql
 }
