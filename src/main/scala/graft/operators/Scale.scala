@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join techniques (SURVEY §2.2 / the 100 TB brief): salting
+  * for skewed keys and bucketing for shuffle-free co-located joins.
+  * AQE's skew-join handling covers most runtime skew; explicit salting
+  * remains the tool when one logical key is so hot that even split
+  * partitions overwhelm a task, and bucketing is the *planned* answer
+  * when the same large join repeats across a workload.
+  */
+object Scale {
+
+  /** Salted inner equi-join: replicate the (small) right side `salt`
+    * ways and scatter the left side's hot keys across salt buckets, so
+    * one hot key fans out over `salt` tasks instead of one straggler.
+    *
+    * Left grows by a salt column (cheap); right is exploded ×salt —
+    * use only when |right| ≪ |left| (the usual skew shape: huge skewed
+    * fact, modest dimension).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    require(salt > 1, "salt must exceed 1")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write both sides bucketed by the join key into the session catalog;
+    * subsequent joins of the two tables on that key need NO exchange —
+    * each bucket pair joins locally. The planned-co-location answer to
+    * a join that repeats at 100 TB.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet") // managed table in spark.sql.warehouse.dir
+      .saveAsTable(tableName)
+
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
