@@ -36,12 +36,26 @@ object Scale {
     * a join that repeats at 100 TB.
     */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent re-ingest (reference O3): drop catalog entry AND any
+    // stale managed location a previous session left behind (a fresh
+    // in-memory metastore doesn't know about it, so Overwrite can't)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, tableName.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet") // managed table in spark.sql.warehouse.dir
       .saveAsTable(tableName)
+  }
 
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =

@@ -560,6 +560,32 @@ object Contract {
             CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
             json_keys(props)[1] AS k0
          FROM events WHERE event_id < 500 ORDER BY event_id"""),
+
+    // Q31 — theta / non-equi range join: orders banded into price tiers
+    // via a broadcast nested-loop join against a tiny tier table (the
+    // physical shape Spark picks for non-equi conditions; the tier side
+    // is 4 rows, so BNLJ is the *right* plan at any scale).
+    ("q31_range_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("T1_low", 0.0, 75000.0), ("T2_mid", 75000.0, 150000.0),
+          ("T3_high", 150000.0, 300000.0), ("T4_top", 300000.0, 1e9))
+          .toDF("tier", "lo", "hi")
+        t(s, dir, "orders")
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("tier")
+      },
+      s"""SELECT tier, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS sum_price
+          FROM orders
+          JOIN (VALUES ('T1_low', 0.0, 75000.0), ('T2_mid', 75000.0, 150000.0),
+                       ('T3_high', 150000.0, 300000.0), ('T4_top', 300000.0, 1e9))
+               tiers(tier, lo, hi)
+            ON o_totalprice >= lo AND o_totalprice < hi
+          GROUP BY tier ORDER BY tier"""),
   )
 
   def queries: Map[String, Q] =
