@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+
+/** Custom whole-operator extension (tier (c), SURVEY §2.2): top-k rows
+  * per group — an operator Spark has no physical primitive for. The
+  * built-in formulation (`row_number().over(window) … filter(rn ≤ k)`)
+  * SORTS every partition of every group; this operator keeps a bounded
+  * heap of k rows per group per partition instead: O(n log k) work,
+  * O(groups·k) memory, no sort buffer, no spill pressure — the
+  * difference between "sort 100 TB" and "scan 100 TB" when k ≪ rows
+  * per group.
+  *
+  * Wiring: [[TopKPerGroupPlan]] (logical) → [[TopKStrategy]] (planner
+  * strategy) → [[TopKPerGroupExec]] (physical, declares
+  * `ClusteredDistribution` so Catalyst inserts exactly one hash
+  * exchange on the group keys). Registered either via
+  * [[GraftExtensions]] (`SparkSessionExtensions.injectPlannerStrategy`,
+  * for sessions built with `.withExtensions`) or at runtime through
+  * `spark.experimental.extraStrategies` ([[TopK.install]]) for
+  * already-built sessions.
+  */
+final case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroupPlan =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, s, k, child) =>
+      TopKPerGroupExec(g, s, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash exchange on the group keys — after it, every group lives
+    * in exactly one partition and the per-partition heaps are exact.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundGroup = groupExprs.map(BindReferences.bindReference(_, child.output))
+    val orderingGen = new LazilyGeneratedOrdering(sortOrders, child.output)
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val ordering: Ordering[InternalRow] = orderingGen
+      val groupProj = UnsafeProjection.create(boundGroup)
+      // per group: bounded "max"-heap holding the current best k — the
+      // heap's top is the WORST kept row, evicted when a better arrives
+      val heaps = collection.mutable.HashMap
+        .empty[UnsafeRow, collection.mutable.PriorityQueue[UnsafeRow]]
+      iter.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          collection.mutable.PriorityQueue.empty[UnsafeRow](
+            ordering.asInstanceOf[Ordering[UnsafeRow]]))
+        if (heap.size < kk) {
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        } else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        heap.dequeueAll.reverseIterator // ascending under the sort order
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
+    copy(child = c)
+}
+
+/** `SparkSessionExtensions` registration — build sessions with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKStrategy)
+}
+
+object TopK {
+
+  /** Idempotently attach the strategy to an already-built session. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Top-k rows per group, ordered by `orderBy` (col, ascending).
+    * Output rows are the same shape as the input (no rank column).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val sorts = orderBy.map { case (n, asc) =>
+      if (asc) SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Ascending)
+      else SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    Bridge.ofRows(spark,
+      TopKPerGroupPlan(groupCols.map(attr), sorts, k, analyzed))
+  }
+}

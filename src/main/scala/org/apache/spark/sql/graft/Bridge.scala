@@ -17,6 +17,13 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (classic Dataset.ofRows). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a session-scoped SQL function backed by a raw Expression
     * builder (the `SparkSessionExtensions.injectFunction` analogue for
     * an already-built session).
