@@ -34,6 +34,39 @@ object Dedup {
       .filter(col("n") > 1)
       .select("keep_id", "n")
 
+  /** n-gram Jaccard near-dup pairs, fully relational: one distinct
+    * shingle frame with per-doc sizes attached via a window (no separate
+    * sizes aggregate + joins), self-joined on the shingle. Pairs only
+    * materialize for docs sharing ≥1 shingle — the shuffle is bounded by
+    * shingle co-occurrence, never O(n²).
+    *
+    * @param maxDocFreq drop shingles appearing in more than this many
+    *   docs ("stop-shingles") — at corpus scale a handful of ubiquitous
+    *   shingles would otherwise dominate the self-join; near-dup pairs
+    *   share *rare* shingles, so the cap trades no meaningful recall.
+    *   None = exact (the judged-query setting).
+    */
+  def ngramJaccardPairs(shingled: DataFrame, docCol: String, shCol: String,
+      minJac: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sized = shingled.withColumn("__c",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(docCol)))
+    val pruned = maxDocFreq match {
+      case Some(cap) => sized.withColumn("__df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(shCol)))
+        .filter(col("__df") <= cap).drop("__df")
+      case None => sized
+    }
+    val a = pruned.select(col(docCol).as("a_id"), col(shCol).as("sh"), col("__c").as("ca"))
+    val b = pruned.select(col(docCol).as("b_id"), col(shCol).as("sh"), col("__c").as("cb"))
+    a.join(b, "sh").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "ca", "cb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac", round(col("shared").cast("double") /
+        (col("ca") + col("cb") - col("shared")), 4))
+      .filter(col("jac") >= minJac)
+      .select("a_id", "b_id", "jac")
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** Mersenne prime modulus for the permutation family; products of two

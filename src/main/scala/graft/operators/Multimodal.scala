@@ -49,6 +49,24 @@ object Multimodal {
       width = 1 + n % 640, height = 1 + n % 480, n_frames = 1 + n % 10)
   }
 
+  /** STUB resize for `image` rows: a real deployment decodes, scales,
+    * re-encodes; the stub deterministically truncates/pads the payload
+    * to the target "pixel" budget so schema and partition shape are
+    * production-real.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    val budget = targetW * targetH
+    media.as[MediaRow].map { r =>
+      // ??? real codec resize — stub keeps a deterministic byte budget
+      val out =
+        if (r.media.length >= budget) r.media.take(budget)
+        else r.media ++ Array.fill[Byte](budget - r.media.length)(0)
+      r.copy(media = out)
+    }
+  }
+
   /** STUB frame sampling for `video` rows: n evenly-spaced byte-slice
     * "frames" per payload — the real op would decode container frames;
     * the partitioning/explode shape is the same.

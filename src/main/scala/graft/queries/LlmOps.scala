@@ -59,21 +59,10 @@ object LlmOps {
     // the 100 TB path — no O(n²) cross join, pairs only materialize for
     // docs sharing ≥1 shingle).
     ("dedup_ngram_jaccard",
-      (s: SparkSession, dir: String) => {
-        val sh = shingles(docs(s, dir))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        val a = sh.toDF("a_id", "sh")
-        val b = sh.toDF("b_id", "sh")
-        a.join(b, "sh").filter(col("a_id") < col("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-          .join(sizes.toDF("a_id", "ca"), "a_id")
-          .join(sizes.toDF("b_id", "cb"), "b_id")
-          .withColumn("jac", round(col("shared").cast("double") /
-            (col("ca") + col("cb") - col("shared")), 4))
-          .filter(col("jac") >= 0.2)
-          .select("a_id", "b_id", "jac")
-          .orderBy("a_id", "b_id")
-      },
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup
+          .ngramJaccardPairs(shingles(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
+          .orderBy("a_id", "b_id"),
       Some(s"""WITH sh AS (
                  SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
                shd AS (SELECT DISTINCT doc_id, sh FROM sh),
@@ -254,6 +243,24 @@ object LlmOps {
               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.event_id""")),
+
+    // Q32 — the custom TopKPerGroup physical operator (bounded heaps,
+    // no sort — graft.plans) through the hash gate: same rows as the
+    // window formulation, which is exactly what the oracle computes.
+    ("q32_topk_operator",
+      (s: SparkSession, dir: String) =>
+        graft.plans.TopK.perGroup(
+          Tables(s, dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+          Seq("c_mktsegment"),
+          Seq("c_acctbal" -> false, "c_custkey" -> true), 3)
+          .select("c_mktsegment", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "c_custkey"),
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer) q
+              WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""")),
   )
 
   def queries: Map[String, Q] =

@@ -111,5 +111,9 @@ class OperatorSpec extends SparkSpec {
     val perDoc = frames.groupBy("doc_id").count().collect()
     assert(perDoc.nonEmpty)
     perDoc.foreach(r => assert(r.getLong(1) == 4))
+    // resize stub: every payload lands exactly on the pixel budget
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.nonEmpty)
+    resized.foreach(r => assert(r.media.length == 64))
   }
 }
