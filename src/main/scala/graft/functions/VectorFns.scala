@@ -32,14 +32,12 @@ object VectorFns {
   }
 
   /** Signed projection against a constant hyperplane (for LSH): the
-    * plane arrives as a literal array baked into the plan, so the whole
-    * expression is codegen'd with no join.
+    * plane arrives as a literal array baked into the plan and the dot
+    * product runs through the codegen'd native [[DotProduct]]
+    * expression — a tight primitive loop, no lambda interpretation.
     */
   def planeSign(emb: Column, plane: Seq[Double]): Column = {
     val planeCol = array(plane.map(lit): _*)
-    (aggregate(
-      zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
-      lit(0.0),
-      (acc, v) => acc + v) >= 0).cast("int")
+    (DotProduct.dotNative(emb, planeCol) >= 0).cast("int")
   }
 }
