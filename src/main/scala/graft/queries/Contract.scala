@@ -586,6 +586,110 @@ object Contract {
                tiers(tier, lo, hi)
             ON o_totalprice >= lo AND o_totalprice < hi
           GROUP BY tier ORDER BY tier"""),
+
+    // Q33 — exact per-group median by rank selection (engine-native
+    // median/percentile interpolate in engine-specific ways; picking the
+    // ⌈n/2⌉-th element under a total order is deterministic everywhere).
+    ("q33_median",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        val wc = Window.partitionBy("o_orderpriority")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(expr("rn = (cnt + 1) div 2")) // ⌈n/2⌉ in integer division
+          .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, o_totalprice AS median_price FROM (
+           SELECT o_orderpriority, o_totalprice, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+           FROM orders) q
+         WHERE rn = (cnt + 1) // 2 ORDER BY o_orderpriority"""),
+
+    // Q34 — Pearson correlation from exact integer-cent sums (the same
+    // magnitude discipline as Q27; engine-native corr() is FP-order-
+    // dependent). x = extendedprice cents, y = quantity (integral).
+    ("q34_correlation",
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("x", round(col("l_extendedprice") * 100).cast("decimal(18,0)"))
+          .withColumn("y", round(col("l_quantity")).cast("decimal(18,0)"))
+        val n = count(lit(1))
+        val sx = sum(col("x")).cast("double")
+        val sy = sum(col("y")).cast("double")
+        val sxx = sum(col("x") * col("x")).cast("double")
+        val syy = sum(col("y") * col("y")).cast("double")
+        val sxy = sum(col("x") * col("y")).cast("double")
+        li.groupBy("l_returnflag")
+          .agg(n.as("n"),
+            ((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_xy"))
+          .orderBy("l_returnflag")
+      },
+      """WITH c AS (SELECT l_returnflag,
+                CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0)) AS x,
+                CAST(ROUND(l_quantity) AS DECIMAL(19,0)) AS y
+              FROM lineitem)
+          SELECT l_returnflag, COUNT(*) AS n,
+            (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+            / SQRT((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                   * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+                     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS corr_xy
+          FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Q35 — edit distance (both engines implement exact Levenshtein).
+    ("q35_edit_distance",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+            levenshtein(substring(col("p_name"), 1, 10), lit("standard")).cast("long").as("lev2"))
+          .orderBy("p_partkey")
+          .limit(300),
+      """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev,
+            levenshtein(SUBSTR(p_name, 1, 10), 'standard') AS lev2
+         FROM part ORDER BY p_partkey LIMIT 300"""),
+
+    // Q36 — array higher-order functions over embeddings: lambda filter/
+    // transform with integer outcomes (float comparisons are exact).
+    ("q36_array_hof",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+            size(filter(col("embedding"), x => x < 0)).as("n_neg"),
+            size(expr("transform(embedding, (x, i) -> i)")).as("dim"))
+          .orderBy("vec_id"),
+      """SELECT vec_id,
+            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+            CAST(len(list_filter(embedding, x -> x < 0)) AS INT) AS n_neg,
+            CAST(len(embedding) AS INT) AS dim
+         FROM embeddings ORDER BY vec_id"""),
+
+    // Q37 — pivot (orders count + money sum by priority × status); the
+    // oracle spells it as conditional aggregation, which is also what
+    // Spark's PivotFirst lowers to.
+    ("q37_pivot",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("o_orderpriority"), col("F").as("n_f"),
+            col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_f,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_o,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 
   def queries: Map[String, Q] =
