@@ -174,12 +174,17 @@ object Contract {
                      JOIN customer ON n_nationkey = c_nationkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
 
-    // Q11 — distinct / count-distinct.
+    // Q11 — distinct / count-distinct. Two independent single-distinct
+    // aggregates cross-joined instead of one multi-distinct agg: Spark
+    // lowers the latter to an Expand that doubles and double-shuffles
+    // every input row; two column-pruned scans each shuffle only their
+    // own distinct keys — the cheaper plan at fact-table scale.
     ("q11_count_distinct",
-      (s: SparkSession, dir: String) =>
-        t(s, dir, "orders")
-          .agg(countDistinct(col("o_custkey")).as("d1"),
-            countDistinct(col("o_orderpriority")).as("d2")),
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        o.agg(countDistinct(col("o_custkey")).as("d1"))
+          .crossJoin(o.agg(countDistinct(col("o_orderpriority")).as("d2")))
+      },
       """SELECT COUNT(DISTINCT o_custkey) AS d1, COUNT(DISTINCT o_orderpriority) AS d2
          FROM orders"""),
 
@@ -690,7 +695,28 @@ object Contract {
             CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_o,
             CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // Q38 — subquery forms through the SQL frontend: IN-subquery
+    // (rewritten to semi join), correlated EXISTS (decorrelated), and
+    // an uncorrelated scalar subquery (contract-avg threshold). Oracle
+    // runs the same ANSI text.
+    ("q38_subqueries",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(subquerySql)
+      },
+      subquerySql),
   )
+
+  /** Shared ANSI text for Q38 — valid in both Spark SQL and DuckDB. */
+  private lazy val subquerySql: String =
+    s"""SELECT c_custkey FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+          AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND c_acctbal > (SELECT ${avg4Sql("c_acctbal")} FROM customer)
+        ORDER BY c_custkey"""
 
   def queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap
