@@ -34,7 +34,7 @@ object Contract {
     Tables(s, dir, name)
 
   /** name -> (spark query, duckdb oracle sql) */
-  val entries: Seq[(String, Q, String)] = Seq(
+  lazy val entries: Seq[(String, Q, String)] = Seq(
 
     // Q01 — multi-source scan, count, union-all, literal projection.
     ("q01_counts",
@@ -708,7 +708,70 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  )
+  ) :+ q39 :+ q40
+
+  /** Q39 — data-quality report over the star schema (the reference's
+    * own roadmap item, README.md:95): one row per check with its
+    * violation count — all deterministic counts, hence oracle-able.
+    */
+  private val q39: (String, Q, String) = (
+    "q39_quality_report",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val lineitem = t(s, dir, "lineitem")
+      val checks = Seq(
+        ("orders.o_orderkey not null",
+          orders.filter(col("o_orderkey").isNull).count()),
+        ("orders.o_orderkey unique",
+          orders.groupBy("o_orderkey").count().filter(col("count") > 1).count()),
+        ("orders.o_custkey fk customer",
+          orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti").count()),
+        ("lineitem.l_orderkey fk orders",
+          lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti").count()),
+        ("orders.o_totalprice positive",
+          orders.filter(!coalesce(col("o_totalprice") > 0, lit(false))).count()),
+        ("lineitem.l_discount in [0,1]",
+          lineitem.filter(!coalesce(col("l_discount") >= 0 && col("l_discount") <= 1,
+            lit(false))).count()))
+      checks.toDF("check_name", "violations").orderBy("check_name")
+    },
+    """SELECT check_name, violations FROM (
+         SELECT 'orders.o_orderkey not null' AS check_name,
+                (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+         UNION ALL SELECT 'orders.o_orderkey unique',
+                (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                       GROUP BY o_orderkey HAVING COUNT(*) > 1) d)
+         UNION ALL SELECT 'orders.o_custkey fk customer',
+                (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+                   (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+         UNION ALL SELECT 'lineitem.l_orderkey fk orders',
+                (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+                   (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+         UNION ALL SELECT 'orders.o_totalprice positive',
+                (SELECT COUNT(*) FROM orders
+                 WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+         UNION ALL SELECT 'lineitem.l_discount in [0,1]',
+                (SELECT COUNT(*) FROM lineitem
+                 WHERE NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE))) q
+       ORDER BY check_name""")
+
+  /** Q40 — explicit GROUPING SETS (beyond rollup/cube), SQL frontend. */
+  private val q40: (String, Q, String) = (
+    "q40_grouping_sets",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupingSetsSql)
+    },
+    groupingSetsSql)
+
+  private lazy val groupingSetsSql: String =
+    """SELECT COALESCE(o_orderpriority, '(any)') AS prio,
+          COALESCE(o_orderstatus, '(any)') AS status, COUNT(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+       ORDER BY prio, status"""
 
   /** Shared ANSI text for Q38 — valid in both Spark SQL and DuckDB. */
   private lazy val subquerySql: String =
