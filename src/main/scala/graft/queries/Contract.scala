@@ -708,7 +708,58 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40
+  ) :+ q39 :+ q40 :+ q41 :+ q42
+
+  /** Q41 — bag-semantics set ops (EXCEPT ALL / INTERSECT ALL preserve
+    * multiplicity, unlike Q17's distinct forms).
+    */
+  private val q41: (String, Q, String) = (
+    "q41_bag_set_ops",
+    (s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.exceptAll(sup).groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("except_all"))
+        .unionAll(c.intersectAll(sup).groupBy("k").agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("intersect_all")))
+        .select("tag", "k", "n")
+        .orderBy("tag", "k")
+    },
+    """SELECT tag, k, n FROM (
+         SELECT 'except_all' AS tag, k, COUNT(*) AS n FROM
+           (SELECT c_nationkey AS k FROM customer
+            EXCEPT ALL SELECT s_nationkey FROM supplier) a GROUP BY k
+         UNION ALL
+         SELECT 'intersect_all' AS tag, k, COUNT(*) AS n FROM
+           (SELECT c_nationkey AS k FROM customer
+            INTERSECT ALL SELECT s_nationkey FROM supplier) b GROUP BY k) q
+       ORDER BY tag, k""")
+
+  /** Q42 — value window functions: first/last/nth over a full frame
+    * under a total order (deterministic by construction).
+    */
+  private val q42: (String, Q, String) = (
+    "q42_value_windows",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    """SELECT o_orderpriority, o_orderkey,
+          FIRST_VALUE(o_orderkey) OVER w AS first_key,
+          LAST_VALUE(o_orderkey) OVER w AS last_key,
+          NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+       FROM orders WHERE o_orderkey < 500
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_orderpriority, o_orderkey""")
 
   /** Q39 — data-quality report over the star schema (the reference's
     * own roadmap item, README.md:95): one row per check with its
