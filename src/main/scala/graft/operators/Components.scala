@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-dup pair graph — the step that
+  * turns pairwise similarity (minhash/simhash/Jaccard output) into
+  * dedup GROUPS: every document labeled with the min doc id of its
+  * component, so "keep one per component" is a trivial filter.
+  *
+  * Algorithm: hash-min label propagation — each iteration every node
+  * adopts the minimum label among itself and its neighbors, converging
+  * in O(component diameter) rounds. Each round is one join + one
+  * aggregation (both shuffles on node id); the driver only evaluates a
+  * scalar convergence count per round. This is the standard
+  * MapReduce-style CC formulation that scales to billions of edges —
+  * near-dup graphs are shallow (duplicate clusters are dense), so
+  * rounds stay in the low single digits in practice.
+  */
+object Components {
+
+  /** @param pairs (aCol, bCol) undirected edges
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint() // truncate the growing lineage each round
+      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup grouping: one row per multi-document component with its
+    * canonical keeper and size.
+    */
+  def dedupGroups(spark: SparkSession, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    connectedComponents(spark, pairs, aCol, bCol)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("size"), sort_array(collect_list(col("id"))).as("members"))
+      .select(col("comp").as("keep_id"), col("size"), col("members"))
+}

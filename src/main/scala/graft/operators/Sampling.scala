@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. RNG-based
+  * `df.sample` is seed-deterministic only under a fixed partitioning —
+  * useless as a contract at cluster scale, where partitioning is a
+  * runtime decision. Hash-based sampling keys the decision on the ROW
+  * (a stable id), so the same rows are selected on any cluster, any
+  * partitioning, any engine — and it's expressible in plain SQL for the
+  * oracle. Lehmer-style multiplicative hash mod a Mersenne prime keeps
+  * every intermediate < 2⁶³ (ANSI-overflow-safe).
+  */
+object Sampling {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val A = 48271L      // Lehmer multiplier
+
+  /** Pseudo-random bucket in [0, 100) derived from an integral id. */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(pmod(id, lit(P)) * lit(A), lit(P)), lit(100))
+
+  /** Keep ~pct% of rows, decided per row id — reproducible everywhere. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+
+  /** Per-stratum deterministic rates, e.g. Map("en" -> 10, "zh" -> 50):
+    * strata absent from the map are dropped (rate 0).
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
+  /** Oracle-side (DuckDB) spelling of [[hashBucket]]. */
+  def hashBucketSql(id: String): String =
+    s"((($id % $P) * $A) % $P) % 100"
+}

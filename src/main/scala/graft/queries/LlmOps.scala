@@ -261,6 +261,58 @@ object LlmOps {
                                           ORDER BY c_acctbal DESC, c_custkey) AS rn
                 FROM customer) q
               WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""")),
+
+    // Connected components over the near-dup pair graph: pairwise
+    // similarity → dedup groups (min-id labeling). Engine: hash-min
+    // label propagation (one join+agg per round); oracle: transitive
+    // closure by recursive CTE — two utterly different algorithms, one
+    // answer.
+    ("dedup_components",
+      (s: SparkSession, dir: String) => {
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(shingles(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
+        graft.operators.Components
+          .connectedComponents(s, pairs, "a_id", "b_id")
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+                 SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
+               shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+               sizes AS (SELECT doc_id, COUNT(*) AS c FROM shd GROUP BY doc_id),
+               rawp AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+                 FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+               pairs AS (
+                 SELECT a_id, b_id FROM rawp
+                 JOIN sizes ca ON ca.doc_id = a_id
+                 JOIN sizes cb ON cb.doc_id = b_id
+                 WHERE ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) >= 0.2),
+               edges AS (
+                 SELECT a_id AS s, b_id AS d FROM pairs
+                 UNION SELECT b_id, a_id FROM pairs),
+               reach(s, d) AS (
+                 SELECT s, d FROM edges
+                 UNION
+                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+               SELECT s AS id, LEAST(s, MIN(d)) AS comp
+               FROM reach GROUP BY s ORDER BY id""")),
+
+    // Deterministic hash-based stratified sampling: row-keyed Lehmer
+    // hash, reproducible on any partitioning / cluster / engine (RNG
+    // sampling is not a contract at scale).
+    ("sample_stratified",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling
+          .stratifiedHashSample(docs(s, dir), "doc_id", "lang",
+            Map("en" -> 10, "es" -> 50, "zh" -> 50, "de" -> 25, "fr" -> 25))
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+               WHERE ${graft.operators.Sampling.hashBucketSql("doc_id")} <
+                 CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 50 WHEN 'zh' THEN 50
+                           WHEN 'de' THEN 25 WHEN 'fr' THEN 25 ELSE 0 END
+               ORDER BY doc_id""")),
   )
 
   def queries: Map[String, Q] =

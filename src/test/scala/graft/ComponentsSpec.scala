@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Sampling}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains, cliques, singletons-by-edge") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = Components.connectedComponents(spark, pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val groups = Components.dedupGroups(spark, pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 4L, 10L -> 3L, 20L -> 2L))
+  }
+
+  test("long path converges (diameter > a few rounds)") {
+    val path = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a_id", "b_id")
+    val got = Components.connectedComponents(spark, path, "a_id", "b_id", maxIter = 50)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.sameElements(Array(1L)))
+  }
+
+  test("hash sampling: deterministic, partition-independent, rate-plausible") {
+    val docs = Tables(spark, sf, "documents")
+    val s1 = Sampling.hashSample(docs, "doc_id", 20).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs.repartition(13), "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    assert(s1.size > 50 && s1.size < 150, s"20% of 500 ≈ 100, got ${s1.size}")
+    // subset property: raising the rate only adds rows
+    val s3 = Sampling.hashSample(docs, "doc_id", 40).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("stratified rates apply per stratum") {
+    val docs = Tables(spark, sf, "documents")
+    val sampled = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 100, "zh" -> 0))
+    val langs = sampled.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+    assert(sampled.count() == docs.filter(col("lang") === "en").count())
+  }
+}
