@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Components, Dedup, Sampling}
+import graft.queries.LlmOps
+
+/** The capstone composition: an end-to-end TRAINING-DATA pipeline over
+  * the `documents` corpus, built from the engine's L3 operators and run
+  * through the same Asset DAG as the reference's taxi pipeline —
+  * ingest → quality filter → language ID → exact dedup → near-dup
+  * dedup (Jaccard pairs → connected components → keep canonical) →
+  * deterministic stratified sample → partitioned export.
+  *
+  * Every stage is a declarative DataFrame transform (one shuffle
+  * bound each); stage row counts land in [[report]] — the engine-side
+  * analogue of the reference's per-asset row-count/size observability
+  * (`taxi_pipeline_native.py:47-48,70-72`).
+  */
+final class CorpusPipeline(sfDir: String, exportDir: String,
+    minTokens: Int = 5, maxStopRatio: Double = 0.9,
+    nearDupJac: Double = 0.5,
+    sampleRates: Map[String, Int] = Map(
+      "en" -> 50, "es" -> 50, "zh" -> 50, "de" -> 50, "fr" -> 50)) {
+
+  private val log = LoggerFactory.getLogger(classOf[CorpusPipeline])
+  val report: collection.mutable.LinkedHashMap[String, Long] =
+    collection.mutable.LinkedHashMap.empty
+
+  private def note(stage: String, df: DataFrame): DataFrame = {
+    val n = df.count()
+    report(stage) = n
+    log.info(s"corpus stage $stage: $n docs")
+    df
+  }
+
+  def run(spark: SparkSession): DataFrame = {
+    val raw = note("ingest", Tables(spark, sfDir, "documents"))
+
+    // quality: token floor + stopword-ratio ceiling (single pass)
+    val toks = raw.withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")))
+    val stopHits = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("tok").isin(TextFns.stopwords: _*), 1).otherwise(0))
+        .cast("long").as("nstop"))
+    val quality = note("quality_filter",
+      toks.join(stopHits, "doc_id")
+        .filter(col("nt") >= minTokens &&
+          col("nstop").cast("double") / col("nt") <= maxStopRatio)
+        .drop("toks", "nstop"))
+
+    // language id (lexicon heuristic) attached as a column
+    val withLang = quality
+      .join(TextFns.langId(quality.sparkSession, quality)
+        .withColumnRenamed("guess", "lang_guess"), "doc_id")
+
+    // exact dedup: keep min doc_id per identical text
+    val exactKept = note("exact_dedup",
+      withLang.withColumn("keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("text").orderBy("doc_id")))
+        .filter(col("keep") === 1).drop("keep"))
+
+    // near-dup dedup: Jaccard pairs → components → drop non-canonical
+    val pairs = Dedup.ngramJaccardPairs(
+      LlmOps.shingles(exactKept), "doc_id", "sh", nearDupJac)
+    val comps = Components.connectedComponents(spark, pairs, "a_id", "b_id")
+    val nearKept = note("near_dedup",
+      exactKept.join(comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti"))
+
+    // deterministic stratified sample by source language
+    val sampled = note("sample",
+      Sampling.stratifiedHashSample(nearKept, "doc_id", "lang", sampleRates))
+
+    // partitioned export (the 100 TB path)
+    Sinks.exportPartitioned(
+      sampled.select("doc_id", "lang", "lang_guess", "source", "n_chars", "text"),
+      exportDir, Seq("lang"))
+    note("exported", Tables.read(spark, exportDir))
+  }
+}

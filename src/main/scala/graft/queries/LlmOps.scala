@@ -313,6 +313,41 @@ object LlmOps {
                  CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 50 WHEN 'zh' THEN 50
                            WHEN 'de' THEN 25 WHEN 'fr' THEN 25 ELSE 0 END
                ORDER BY doc_id""")),
+
+    // TF-IDF-style most-characteristic term per doc, ln-free: rank by
+    // (term frequency DESC, document frequency ASC, token ASC) — the
+    // same ordering ln(tf)·ln(N/df) induces for ties-free data, but
+    // all-integer and therefore hash-stable (libm log is not correctly
+    // rounded and differs across engines).
+    ("text_top_term",
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df_ = toks.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df"), col("tok"))
+        tf.join(df_, "tok")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tok").as("top_tok"), col("tf"), col("df"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                     WHERE tok <> '' GROUP BY doc_id, tok),
+              df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+                     WHERE tok <> '' GROUP BY tok)
+              SELECT doc_id, tok AS top_tok, tf, df FROM (
+                SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                          ORDER BY tf.tf DESC, df.df, tf.tok) AS rn
+                FROM tf JOIN df ON tf.tok = df.tok) q
+              WHERE rn = 1 ORDER BY doc_id""")),
   )
 
   def queries: Map[String, Q] =
