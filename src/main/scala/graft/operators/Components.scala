@@ -24,27 +24,38 @@ object Components {
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    // materialize the edge set ONCE — the pair graph may be the output
+    // of an expensive similarity query, and the loop touches it every
+    // round (at cluster scale this is a reliable-storage checkpoint)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-    var converged = false
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing monotone — equal sums ⇔ fixpoint. One cheap agg per
+    // round instead of a change-detection join. Decimal sum: exact and
+    // overflow-free at any node-id magnitude.
+    var prevSum = BigDecimal(-1)
+    def labelSum(df: DataFrame): BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0) match { case null => BigDecimal(0); case d => BigDecimal(d) }
     var iter = 0
-    while (!converged && iter < maxIter) {
+    var done = false
+    while (!done && iter < maxIter) {
       // each node adopts min(own label, neighbors' labels)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint() // truncate the growing lineage each round
-      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = updated
-      converged = changed == 0
+      val s = labelSum(labels)
+      done = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels
