@@ -44,6 +44,40 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
 
+  /** LSH-bucketed top-k: corpus and queries hash into random-hyperplane
+    * sign buckets (multi-table for recall, same machinery as
+    * [[Dedup.embeddingPairs]]); each query scores only same-bucket
+    * candidates. Unlike IVF there is no centroid build — the partition
+    * function is data-independent, so ingest is a pure map and the
+    * index "build" is free; recall comes from table count.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, tables: Int = 4, planesPerTable: Int = 6): DataFrame = {
+    import graft.functions.VectorFns.planeSign
+    val ps = Dedup.planes(tables * planesPerTable, dim)
+    def buckets(vec: org.apache.spark.sql.Column) =
+      array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until planesPerTable)
+            .map(j => planeSign(vec, ps(t * planesPerTable + j)) * lit(1 << j))
+            .reduce(_ + _).as("bkt"))
+      }: _*)
+    val qb = queries.select(col("q_id"), col("q_emb"),
+      explode(buckets(col("q_emb"))).as("tb"))
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      explode(buckets(col("embedding"))).as("tb"))
+    val cand = qb.join(cb, "tb")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "q_emb", "vec_id", "embedding")
+      .distinct() // a pair may collide in several tables
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF top-k: assign each query to its `nprobe` nearest cells by
     * centroid cosine, score only corpus vectors in those cells. Recall
     * < 1 by construction; the candidate set shrinks by ~|cells|/nprobe.

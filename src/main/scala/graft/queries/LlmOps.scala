@@ -189,6 +189,18 @@ object LlmOps {
       },
       None),
 
+    // LSH-bucketed ANN: data-independent hyperplane buckets — the
+    // index-free scale path (no centroid build; ingest is a pure map).
+    ("ann_lsh_topk",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Similarity.lshTopK(qs, emb, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // IVF ANN: label-cell centroids, nprobe=3 — the pruned scale path.
     ("ann_ivf_topk",
       (s: SparkSession, dir: String) => {

@@ -86,6 +86,24 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall@5 = $recall")
   }
 
+  test("LSH ANN: index-free buckets, sane recall, no fabricated rows") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf(Similarity.bruteTopK(qs, emb, 5))
+    val lsh = Similarity.lshTopK(qs, emb, 5)
+    val got = pairsOf(lsh)
+    assert(got.size <= brute.size) // sparse buckets may under-fill
+    assert(got.nonEmpty)
+    // every LSH result must be a genuine corpus vector with cos ≤ 1
+    lsh.collect().foreach(r => assert(r.getDouble(3) <= 1.0001))
+    // deterministic across partitionings
+    val again = pairsOf(Similarity.lshTopK(
+      qs.repartition(7), emb.repartition(11), 5))
+    assert(got == again)
+  }
+
   test("brute topk ranks by cosine descending, k rows per query") {
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
