@@ -49,10 +49,12 @@ object Components {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      labels = labels.join(neighborMin, Seq("id"), "left")
+      val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint() // truncate the growing lineage each round
+      // truncate the growing lineage every few rounds (each checkpoint
+      // pins executor memory for the session, so don't pay it per round)
+      labels = if (iter % 3 == 2) next.localCheckpoint() else next
       val s = labelSum(labels)
       done = s == prevSum
       prevSum = s
