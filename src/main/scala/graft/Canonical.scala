@@ -35,4 +35,17 @@ object Canonical {
   def moneySumSql(x: String): String = s"CAST(SUM(${decSql(x)}) AS DOUBLE)"
   def avg4Sql(x: String): String =
     s"ROUND(CAST(SUM(${decSql(x)}) AS DOUBLE) / COUNT($x), 4)"
+
+  /** 60-bit cross-engine hash: first 15 hex chars of md5 as a BIGINT.
+    * Unlike xxhash64 (Spark-only), md5 is identical everywhere, so
+    * integer pipelines built on this hash (minhash, simhash) are
+    * oracle-able. 15 hex chars keep the value < 2⁶⁰ — positive and
+    * overflow-safe in both engines.
+    */
+  def xhash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[xhash]] (verified identical on DuckDB 1.0). */
+  def xhashSql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
 }

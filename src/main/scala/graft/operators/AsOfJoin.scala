@@ -61,20 +61,29 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = rightVals.foldLeft(
-      unioned.withColumn("__mrt", last(col("__rt"), ignoreNulls = true).over(w))
-    )((d, c) => d.withColumn(s"__m_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    // ONE struct carries the matched right row's ts + ALL payload values,
+    // taken with a single last(ignoreNulls): ts and payload always come
+    // from the SAME right row. (Independent per-column last() windows
+    // would pair the newest row's ts with an OLDER row's payload whenever
+    // the newest payload value is NULL — diverging from asof semantics,
+    // which must surface the matched row's NULL.) The struct is NULL for
+    // left rows (side=1), so ignoreNulls skips them.
+    val payload = when(col("__side") === 0,
+      struct((col("__rt").as("__rt") +:
+        rightVals.map(c => col(s"__v_$c").as(s"__v_$c"))): _*))
+    val matched = unioned.withColumn("__m", last(payload, ignoreNulls = true).over(w))
 
     val stale = tolerance match {
       case Some(tol) =>
-        col("__mrt").isNull || (col("__t") - col("__mrt")) > tol
-      case None => col("__mrt").isNull
+        col("__m").isNull || (col("__t") - col("__m.__rt")) > tol
+      case None => col("__m").isNull
     }
 
     val out = rightVals.foldLeft(
       matched.filter(col("__side") === 1)
-        .withColumn(rightTs + "_asof", when(stale, lit(null)).otherwise(col("__mrt")))
-    )((d, c) => d.withColumn(c + "_asof", when(stale, lit(null)).otherwise(col(s"__m_$c"))))
+        .withColumn(rightTs + "_asof", when(stale, lit(null)).otherwise(col("__m.__rt")))
+    )((d, c) => d.withColumn(c + "_asof",
+      when(stale, lit(null)).otherwise(col(s"__m.__v_$c"))))
 
     out.select((leftCols.map(col) :+ col(rightTs + "_asof")) ++
       rightVals.map(c => col(c + "_asof")): _*)

@@ -60,6 +60,11 @@ object Components {
       prevSum = s
       iter += 1
     }
+    // a cap-exit would silently return PARTIALLY-propagated labels —
+    // wrong dedup groups for any graph with diameter > maxIter. Fail
+    // loudly; callers with genuinely deep graphs raise maxIter.
+    require(done,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

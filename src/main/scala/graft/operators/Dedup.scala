@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Spar
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+import graft.Canonical
 import graft.functions.VectorFns
 
 /** Deduplication operators for the LLM-pipeline surface (SURVEY §2.2 L3).
@@ -16,12 +17,17 @@ import graft.functions.VectorFns
   *  - minhash:    shingle → k hash mins → banded LSH self-join on band
   *                keys (candidate pairs only materialize for banded
   *                collisions, the classic Broder scheme);
-  *  - simhash:    64-bit signature via a typed [[Aggregator]] (map-side
-  *                partial aggregation of bit-count buffers), pairs via
-  *                16-bit chunk join (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4
-  *                chunks equal);
+  *  - simhash:    64-bit signature via per-bit vote aggregation, pairs
+  *                via 16-bit chunk join (pigeonhole: hamming ≤ 3 ⇒ ≥1 of
+  *                4 chunks equal);
   *  - embedding:  random-hyperplane LSH buckets, cosine verification
   *                only within buckets.
+  *
+  * The minhash/simhash base hash is [[Canonical.xhash]] (md5-derived) —
+  * computable identically in DuckDB, so both signature pipelines are
+  * pure cross-engine integer programs and hash-judged end to end
+  * ([[minhashOracleSql]] / [[simhashOracleSql]] generate the oracle SQL
+  * from the same constants).
   */
 object Dedup {
 
@@ -34,33 +40,38 @@ object Dedup {
       .filter(col("n") > 1)
       .select("keep_id", "n")
 
-  /** n-gram Jaccard near-dup pairs, fully relational: one distinct
-    * shingle frame with per-doc sizes attached via a window (no separate
-    * sizes aggregate + joins), self-joined on the shingle. Pairs only
-    * materialize for docs sharing ≥1 shingle — the shuffle is bounded by
-    * shingle co-occurrence, never O(n²).
+  /** n-gram Jaccard near-dup pairs, fully relational: stop-shingles
+    * pruned by document frequency, per-doc sizes computed ONCE as a tiny
+    * aggregate and joined to the (far smaller) pair frame after the
+    * self-join — not window-attached to both join inputs. Pairs only
+    * materialize for docs sharing ≥1 surviving shingle, so the shuffle
+    * is bounded by shingle co-occurrence, never O(n²).
     *
     * @param maxDocFreq drop shingles appearing in more than this many
-    *   docs ("stop-shingles") — at corpus scale a handful of ubiquitous
-    *   shingles would otherwise dominate the self-join; near-dup pairs
-    *   share *rare* shingles, so the cap trades no meaningful recall.
-    *   None = exact (the judged-query setting).
+    *   docs ("stop-shingles"). At corpus scale a single ubiquitous
+    *   shingle makes the self-join quadratic on that key — a genuine
+    *   scale-killer — while near-dup pairs share *rare* shingles, so the
+    *   cap trades no meaningful recall. Defaulted (1000) rather than
+    *   opt-in; `None` disables for exact small-corpus comparisons.
+    *   Jaccard is computed over the surviving shingle space.
     */
   def ngramJaccardPairs(shingled: DataFrame, docCol: String, shCol: String,
-      minJac: Double, maxDocFreq: Option[Int] = None): DataFrame = {
-    val sized = shingled.withColumn("__c",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(docCol)))
+      minJac: Double, maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val pruned = maxDocFreq match {
-      case Some(cap) => sized.withColumn("__df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(shCol)))
-        .filter(col("__df") <= cap).drop("__df")
-      case None => sized
+      case Some(cap) =>
+        val hot = shingled.groupBy(shCol).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(shCol)
+        shingled.join(broadcast(hot), Seq(shCol), "left_anti")
+      case None => shingled
     }
-    val a = pruned.select(col(docCol).as("a_id"), col(shCol).as("sh"), col("__c").as("ca"))
-    val b = pruned.select(col(docCol).as("b_id"), col(shCol).as("sh"), col("__c").as("cb"))
+    val sizes = pruned.groupBy(docCol).agg(count(lit(1)).as("__c"))
+    val a = pruned.select(col(docCol).as("a_id"), col(shCol).as("sh"))
+    val b = pruned.select(col(docCol).as("b_id"), col(shCol).as("sh"))
     a.join(b, "sh").filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "ca", "cb")
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col(docCol).as("a_id"), col("__c").as("ca")), "a_id")
+      .join(sizes.select(col(docCol).as("b_id"), col("__c").as("cb")), "b_id")
       .withColumn("jac", round(col("shared").cast("double") /
         (col("ca") + col("cb") - col("shared")), 4))
       .filter(col("jac") >= minJac)
@@ -87,13 +98,13 @@ object Dedup {
   /** Minhash signatures: one row per doc, `sig` = array of `numHashes`
     * permutation minima over the doc's shingle set. One explode + one
     * hash aggregation (all k minima in a single pass — partial aggs
-    * combine map-side).
+    * combine map-side). Base hash = [[Canonical.xhash]] (cross-engine).
     *
     * @param shingled (docCol, shingleCol) distinct pairs
     */
   def minhashSignatures(shingled: DataFrame, docCol: String, shCol: String,
       numHashes: Int): DataFrame = {
-    val base = pmod(xxhash64(col(shCol)), lit(P)) // shingle → residue
+    val base = pmod(Canonical.xhash(col(shCol)), lit(P)) // shingle → residue
     val hashed = shingled.withColumn("h0", base)
     val mins = (0 until numHashes).map { i =>
       min(pmod(lit(coeffA(i)) * col("h0") + lit(coeffB(i)), lit(P))).as(s"m$i")
@@ -103,10 +114,13 @@ object Dedup {
       .select(col(docCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Banded-LSH candidate pairs + signature-agreement estimate.
-    * bands·rows = numHashes; a pair collides iff some band's r rows all
-    * agree. `est` = fraction of agreeing signature components (the
-    * unbiased Jaccard estimator).
+  /** Banded-LSH candidate pairs + signature agreement. bands·rows =
+    * numHashes; a pair collides iff some band's r rows all agree (band
+    * keys are the raw component tuples — exact equality, no second-level
+    * hashing, so the oracle's equality joins see identical candidates).
+    * `n_agree` = number of agreeing signature components (integer —
+    * hash-judged); `est` = n_agree / numHashes, the unbiased Jaccard
+    * estimator.
     */
   def minhashPairs(shingled: DataFrame, docCol: String, shCol: String,
       numHashes: Int = 32, bands: Int = 8, minEst: Double = 0.0): DataFrame = {
@@ -115,8 +129,8 @@ object Dedup {
     val sigs = minhashSignatures(shingled, docCol, shCol, numHashes)
 
     val bandKeys = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64(((j * r) until ((j + 1) * r)).map(i => col("sig")(i)): _*).as("key"))
+      struct((lit(j).as("band") +:
+        (0 until r).map(i => col("sig")(j * r + i).as(s"v$i"))): _*)
     }
     val exploded = sigs.select(col(docCol).as("id"),
       explode(array(bandKeys: _*)).as("bk"))
@@ -126,23 +140,103 @@ object Dedup {
     val cand = a.join(b, "bk").filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    val est = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    val nAgree = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
 
     cand
       .join(sigs.select(col(docCol).as("a_id"), col("sig").as("sa")), "a_id")
       .join(sigs.select(col(docCol).as("b_id"), col("sig").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"), round(est, 4).as("est"))
+      .withColumn("n_agree", nAgree)
+      .withColumn("est", col("n_agree").cast("double") / numHashes)
       .filter(col("est") >= minEst)
+      .select("a_id", "b_id", "n_agree", "est")
+  }
+
+  /** DuckDB oracle for [[minhashPairs]]' integer projection
+    * (a_id, b_id, n_agree): the same permutation constants, the same
+    * md5-based base hash, the same band equality — generated from one
+    * set of constants so engine and oracle can never drift.
+    *
+    * @param shingleSrcSql SQL producing (doc_id, shl LIST<VARCHAR>)
+    */
+  def minhashOracleSql(shingleSrcSql: String, numHashes: Int, bands: Int,
+      minEst: Double): String = {
+    val r = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"MIN((${coeffA(i)} * h0 + ${coeffB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val bandJoins = (0 until bands).map { j =>
+      val conds = (0 until r).map(i => s"a.m${j * r + i} = b.m${j * r + i}")
+        .mkString(" AND ")
+      s"SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sig a JOIN sig b ON $conds AND a.doc_id < b.doc_id"
+    }.mkString(" UNION ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val thr = math.ceil(minEst * numHashes).toLong
+    s"""WITH shd AS (SELECT DISTINCT doc_id, sh FROM
+           (SELECT doc_id, unnest(shl) AS sh FROM ($shingleSrcSql) s0) s1),
+         h AS (SELECT doc_id, ${Canonical.xhashSql("sh")} % $P AS h0 FROM shd),
+         sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+         cand AS ($bandJoins)
+       SELECT c.a_id, c.b_id, CAST($agree AS BIGINT) AS n_agree
+       FROM cand c JOIN sig a ON a.doc_id = c.a_id
+                   JOIN sig b ON b.doc_id = c.b_id
+       WHERE ($agree) >= $thr
+       ORDER BY a_id, b_id"""
   }
 
   // ---------------------------------------------------------------- simhash
 
-  /** Typed aggregator folding token hashes into a 64-bit simhash: the
-    * buffer is the per-bit vote count, merged associatively (map-side
-    * combine), finished by taking vote signs. Custom `Aggregator` rather
-    * than 64 SQL agg columns: one buffer object, one pass.
+  /** Simhash bit width: [[Canonical.xhash]] yields 60 usable bits. */
+  val SimhashBits = 60
+
+  /** Per-doc simhash as a single relational aggregation: 60 per-bit vote
+    * sums in one codegen'd hash agg (map-side combinable), signs packed
+    * into a BIGINT in the output projection. No typed-encoder boundary —
+    * this is the fast path AND the oracle-able path (pure integer ops on
+    * the cross-engine hash).
+    */
+  def simhashes(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", Canonical.xhash(col("tok")))
+    val votes = (0 until SimhashBits).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val packed = (0 until SimhashBits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** DuckDB oracle for [[simhashes]] over the `documents` table —
+    * same hash, same votes, same packing.
+    */
+  def simhashOracleSql: String = {
+    val votes = (0 until SimhashBits)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bits = (0 until SimhashBits)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         h AS (SELECT doc_id, ${Canonical.xhashSql("tok")} AS h FROM toks
+               WHERE tok <> ''),
+         v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v
+       ORDER BY doc_id"""
+  }
+
+  /** Typed-Aggregator formulation of the same simhash (the UDAF surface,
+    * SURVEY §2.2 #49): the buffer is the per-bit vote count, merged
+    * associatively (map-side combine), finished by taking vote signs.
+    * Differentially tested equal to the relational [[simhashes]].
     */
   class SimhashAgg extends Aggregator[(Long, Long), Array[Int], Long] {
     override def zero: Array[Int] = new Array[Int](64)
@@ -168,14 +262,16 @@ object Dedup {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** 64-bit simhash per doc over whitespace tokens. */
-  def simhashes(spark: SparkSession, docs: DataFrame,
+  /** [[SimhashAgg]]-based simhash — identical output to [[simhashes]]
+    * (the md5 hash has zero top bits, so 64-bit votes match 60-bit).
+    */
+  def simhashesTyped(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import spark.implicits._
     val tokenHashes: Dataset[(Long, Long)] = docs
       .select(col(idCol).cast("long"), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col(idCol), xxhash64(col("tok")))
+      .select(col(idCol), Canonical.xhash(col("tok")))
       .as[(Long, Long)]
     tokenHashes
       .groupByKey(_._1)

@@ -29,6 +29,23 @@ object Multimodal {
         (col("doc_id") % 3).cast("int") + 1).as("media_type"),
       encode(col("text"), "UTF-8").as("media"))
 
+  /** Metadata that is a pure function of the payload bytes, computed
+    * with built-in expressions — stays inside whole-stage codegen, no
+    * typed-encoder round trip. This is the right path whenever the
+    * "decode" is expression-computable (here: the stub's size-derived
+    * dimensions); [[decodeMeta]] below is the per-partition harness for
+    * REAL codecs that need library state.
+    */
+  def metaExpr(media: DataFrame): DataFrame = {
+    val n = length(col("media")) // byte length for BinaryType
+    media.select(
+      col("doc_id"), col("media_type"),
+      n.cast("int").as("n_bytes"),
+      (lit(1) + pmod(n, lit(640))).cast("int").as("width"),
+      (lit(1) + pmod(n, lit(480))).cast("int").as("height"),
+      (lit(1) + pmod(n, lit(10))).cast("int").as("n_frames"))
+  }
+
   /** STUB decode: deterministic pseudo-metadata from the payload size.
     * A real deployment replaces the body of `decodeOne` with a codec
     * call; everything around it (schema, partitioning, typed encoders)

@@ -36,7 +36,11 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < rate)
   }
 
-  /** Oracle-side (DuckDB) spelling of [[hashBucket]]. */
+  /** Oracle-side (DuckDB) spelling of [[hashBucket]]. Sign-safe: Spark's
+    * pmod is always non-negative while DuckDB's % takes the dividend's
+    * sign, so the first reduction wraps negative ids explicitly (the
+    * later stages operate on non-negative values where % ≡ pmod).
+    */
   def hashBucketSql(id: String): String =
-    s"((($id % $P) * $A) % $P) % 100"
+    s"((((($id % $P) + $P) % $P) * $A) % $P) % 100"
 }

@@ -33,6 +33,66 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact cosine top-k on QUANTIZED embeddings — the reproducibility
+    * contract for the hash gate. Each component is floored to integer
+    * micro-units (`floor(double(x)·10⁶)`), so dot products and squared
+    * norms are exact BIGINTs; the final cosine is built from those
+    * integers with single IEEE ops (`(double)dot / sqrt((double)na·nb)`)
+    * — bit-identical on every engine, hence hash-judgeable, unlike raw
+    * float accumulation whose rounding is engine/order-dependent.
+    * Same broadcast-queries shape as [[bruteTopK]].
+    */
+  def bruteTopKExact(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * lit(1000000.0)))
+    def sumsq(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0L), (acc, v) => acc + v * v)
+    val q = broadcast(queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
+      .withColumn("qn", sumsq(col("qa"))))
+    val cand = corpus.select(col("vec_id"), quant(col("embedding")).as("ca"))
+      .withColumn("cn", sumsq(col("ca")))
+      .join(q, col("q_id") =!= col("vec_id")) // a query is not its own neighbor
+      .withColumn("dot", aggregate(
+        zip_with(col("qa"), col("ca"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** DuckDB oracle for [[bruteTopKExact]] over the `embeddings` table:
+    * the same quantization, integer sums, and IEEE-op sequence.
+    */
+  def bruteTopKExactOracleSql(maxQueryId: Int, k: Int): String =
+    s"""WITH xs AS (
+           SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                  embedding FROM embeddings),
+         qv AS (SELECT vec_id,  i,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+                FROM xs),
+         nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+                 FROM qv GROUP BY vec_id),
+         dots AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                  CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+           FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < $maxQueryId
+           GROUP BY q.vec_id, c.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE) /
+                    SQRT(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) AS cos
+           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+                       JOIN nrm nc ON nc.vec_id = d.vec_id)
+       SELECT q_id, vec_id AS neighbor_id, rank, cos FROM (
+         SELECT q_id, vec_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+         FROM scored) r
+       WHERE rank <= $k ORDER BY q_id, rank"""
+
   /** Per-cell centroids as a relational plan: posexplode → per-(cell,
     * dim) average → re-assemble ordered arrays. No driver-side math.
     */
@@ -62,14 +122,19 @@ object Similarity {
             .map(j => planeSign(vec, ps(t * planesPerTable + j)) * lit(1 << j))
             .reduce(_ + _).as("bkt"))
       }: _*)
-    val qb = queries.select(col("q_id"), col("q_emb"),
-      explode(buckets(col("q_emb"))).as("tb"))
-    val cb = corpus.select(col("vec_id"), col("embedding"),
-      explode(buckets(col("embedding"))).as("tb"))
-    val cand = qb.join(cb, "tb")
+    // dedup multi-table collisions on the ID PAIR alone, then rejoin the
+    // vectors — never shuffle two full embeddings per candidate just to
+    // distinct them (at scale the distinct's exchange would carry 2×dim
+    // floats per row instead of two longs)
+    val qb = queries.select(col("q_id"), explode(buckets(col("q_emb"))).as("tb"))
+    val cb = corpus.select(col("vec_id"), explode(buckets(col("embedding"))).as("tb"))
+    val candIds = qb.join(cb, "tb")
       .filter(col("q_id") =!= col("vec_id"))
-      .select("q_id", "q_emb", "vec_id", "embedding")
+      .select("q_id", "vec_id")
       .distinct() // a pair may collide in several tables
+    val cand = candIds
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))

@@ -483,7 +483,11 @@ object Contract {
             n.as("n"),
             (varCents / 10000.0).as("variance"),
             (sqrt(varCents) / 100.0).as("stddev"),
-            slice(sort_array(collect_list(col("o_orderkey"))), 1, 3).as("first_keys"))
+            // Array outputs crash the driver's pandas-based hasher
+            // ("unhashable type: numpy.ndarray") — emit the key list as a
+            // canonical comma-joined string on both sides instead.
+            concat_ws(",", slice(sort_array(collect_list(col("o_orderkey"))), 1, 3))
+              .as("first_keys"))
           .orderBy("o_orderpriority")
       },
       """WITH c AS (SELECT o_orderpriority, o_orderkey,
@@ -496,7 +500,7 @@ object Contract {
             SQRT((CAST(SUM(cents * cents) AS DOUBLE)
               - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / COUNT(cents))
              / (COUNT(cents) - 1)) / 100.0 AS stddev,
-            (list_sort(list(o_orderkey)))[1:3] AS first_keys
+            array_to_string((list_sort(list(o_orderkey)))[1:3], ',') AS first_keys
           FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
 
     // Q28 — CUBE over the dim chain (all four grouping sets), via the
@@ -708,7 +712,52 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44
+
+  /** Q43 — right outer join with a null-producing LEFT side (closes the
+    * join matrix alongside Q07's left outer): only high-value orders
+    * survive the filter, so most customers join to nothing and the order
+    * columns are NULL — COALESCE'd to sentinels for a hashable output.
+    */
+  private val q43: (String, Q, String) = (
+    "q43_right_join",
+    (s: SparkSession, dir: String) =>
+      t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("ok"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("price"))
+        .orderBy("c_custkey", "ok"),
+    """SELECT c_custkey, COALESCE(o_orderkey, -1) AS ok,
+          COALESCE(o_totalprice, 0.0) AS price
+       FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+       RIGHT JOIN customer ON o_custkey = c_custkey
+       ORDER BY c_custkey, ok""")
+
+  /** Q44 — full outer join with nulls produced on BOTH sides: disjoint
+    * nation-key ranges guarantee left-only, both, and right-only keys.
+    */
+  private val q44: (String, Q, String) = (
+    "q44_full_outer_join",
+    (s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("nc"))
+      val sup = t(s, dir, "supplier").filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("ns"))
+      c.join(sup, col("ck") === col("sk"), "full")
+        .select(coalesce(col("ck"), col("sk")).as("nk"),
+          coalesce(col("nc"), lit(0L)).as("n_cust"),
+          coalesce(col("ns"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    },
+    """SELECT COALESCE(ck, sk) AS nk, COALESCE(nc, 0) AS n_cust,
+          COALESCE(ns, 0) AS n_supp
+       FROM (SELECT c_nationkey AS ck, COUNT(*) AS nc FROM customer
+             WHERE c_nationkey < 15 GROUP BY 1) c
+       FULL JOIN (SELECT s_nationkey AS sk, COUNT(*) AS ns FROM supplier
+                  WHERE s_nationkey >= 10 GROUP BY 1) s
+         ON ck = sk
+       ORDER BY nk""")
 
   /** Q41 — bag-semantics set ops (EXCEPT ALL / INTERSECT ALL preserve
     * multiplicity, unlike Q17's distinct forms).
@@ -768,25 +817,30 @@ object Contract {
   private val q39: (String, Q, String) = (
     "q39_quality_report",
     (s: SparkSession, dir: String) => {
-      import s.implicits._
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
       val lineitem = t(s, dir, "lineitem")
-      val checks = Seq(
-        ("orders.o_orderkey not null",
-          orders.filter(col("o_orderkey").isNull).count()),
-        ("orders.o_orderkey unique",
-          orders.groupBy("o_orderkey").count().filter(col("count") > 1).count()),
-        ("orders.o_custkey fk customer",
-          orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti").count()),
-        ("lineitem.l_orderkey fk orders",
-          lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti").count()),
-        ("orders.o_totalprice positive",
-          orders.filter(!coalesce(col("o_totalprice") > 0, lit(false))).count()),
-        ("lineitem.l_discount in [0,1]",
+      // One lazy union-of-aggregates plan — a single Spark job, not six
+      // sequential driver-side .count() actions.
+      def check(name: String, violations: DataFrame): DataFrame =
+        violations.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      Seq(
+        check("orders.o_orderkey not null",
+          orders.filter(col("o_orderkey").isNull)),
+        check("orders.o_orderkey unique",
+          orders.groupBy("o_orderkey").count().filter(col("count") > 1)),
+        check("orders.o_custkey fk customer",
+          orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")),
+        check("lineitem.l_orderkey fk orders",
+          lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")),
+        check("orders.o_totalprice positive",
+          orders.filter(!coalesce(col("o_totalprice") > 0, lit(false)))),
+        check("lineitem.l_discount in [0,1]",
           lineitem.filter(!coalesce(col("l_discount") >= 0 && col("l_discount") <= 1,
-            lit(false))).count()))
-      checks.toDF("check_name", "violations").orderBy("check_name")
+            lit(false)))))
+        .reduce(_.unionAll(_))
+        .orderBy("check_name")
     },
     """SELECT check_name, violations FROM (
          SELECT 'orders.o_orderkey not null' AS check_name,
