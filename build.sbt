@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout UNPREFIXED: the bench driver
+// parses the JSON metrics line from the process tail, and sbt's default
+// LoggedOutput wraps every line in "[info] " which breaks that parse.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads at sf0.1 allocate fast; an 8g heap spent the
+  // round-1 driver bench in GC (mid-run queries 8-18x their recorded
+  // cost with identical plans). The box has 125 GiB; give the single
+  // local[32] JVM real headroom so timings measure plans, not GC.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseG1GC",
 )
