@@ -40,4 +40,45 @@ object VectorFns {
     val planeCol = array(plane.map(lit): _*)
     (DotProduct.dotNative(emb, planeCol) >= 0).cast("int")
   }
+
+  // ------------------------------------------- cross-engine integer planes
+
+  /** INTEGER hyperplanes for the hash-judged LSH paths: component
+    * `w(p, i) = (xhash("p:i") % 17) - 8` (md5-derived, i 1-based), so
+    * the oracle re-derives the identical planes in SQL
+    * ([[intPlanesSql]]) and sign decisions are exact integer
+    * comparisons — no float RNG, no engine-dependent rounding. Small
+    * odd range ([-8, 8]) keeps quantized dot products far from BIGINT
+    * overflow while leaving sign-LSH quality intact (plane direction
+    * is what matters, not component magnitude).
+    */
+  def intPlanes(numPlanes: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(numPlanes) { p =>
+      IndexedSeq.tabulate(dim) { i0 =>
+        val hex = md.digest(s"$p:${i0 + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        (java.lang.Long.parseLong(hex, 16) % 17L) - 8L
+      }
+    }
+  }
+
+  /** DuckDB derivation of [[intPlanes]] as a CTE body producing
+    * (p, i, w) — p 0-based plane, i 1-based component (matching
+    * DuckDB's 1-based list indexing). Verified value-identical to the
+    * Scala derivation on DuckDB 1.0.
+    */
+  def intPlanesSql(numPlanes: Int, dim: Int): String =
+    s"""SELECT p, i,
+          ((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) % 17) - 8 AS w
+        FROM generate_series(0, ${numPlanes - 1}) g1(p)
+        CROSS JOIN generate_series(1, $dim) g2(i)"""
+
+  /** Exact integer dot of a quantized (BIGINT-array) column against a
+    * constant integer plane — codegen'd HOFs, literal plane in-plan.
+    */
+  def intPlaneDot(quantVec: Column, plane: Seq[Long]): Column =
+    aggregate(
+      zip_with(quantVec, typedlit(plane), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
 }

@@ -330,4 +330,81 @@ object Dedup {
       .distinct()
       .filter(col("cos") >= minCos)
   }
+
+  /** [[embeddingPairs]] under the hash-gate contract: INTEGER
+    * hyperplanes ([[VectorFns.intPlanes]]) over micro-unit-quantized
+    * vectors, so bucketing is exact integer arithmetic and the cosine
+    * is the single-IEEE-op sequence of
+    * [[Similarity.bruteTopKExact]] — the oracle
+    * ([[embeddingPairsExactOracleSql]]) re-derives buckets, pairs, and
+    * scores identically in DuckDB. Pairs distinct on the id pair alone
+    * (two longs through the exchange), vectors re-joined after.
+    */
+  def embeddingPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, dim: Int = 64, tables: Int = 2,
+      planesPerTable: Int = 8): DataFrame = {
+    import graft.functions.VectorFns.{intPlanes, intPlaneDot}
+    import Similarity.{quant, sumsq, idot}
+    val ps = intPlanes(tables * planesPerTable, dim)
+    def buckets(qv: Column) =
+      array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until planesPerTable)
+            .map(j => when(intPlaneDot(qv, ps(t * planesPerTable + j)) >= 0,
+              lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("bkt"))
+      }: _*)
+    val qd = emb.select(col(idCol).as("id"), quant(col(vecCol)).as("qa"))
+    val bucketed = qd.select(col("id"), explode(buckets(col("qa"))).as("tb"))
+    val candIds = bucketed.toDF("a_id", "tb")
+      .join(bucketed.toDF("b_id", "tb"), "tb")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val withN = qd.withColumn("nn", sumsq(col("qa")))
+    candIds
+      .join(withN.select(col("id").as("a_id"), col("qa").as("va"), col("nn").as("na")), "a_id")
+      .join(withN.select(col("id").as("b_id"), col("qa").as("vb"), col("nn").as("nb")), "b_id")
+      .withColumn("cos", idot(col("va"), col("vb")).cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** DuckDB oracle for [[embeddingPairsExact]] over `embeddings`
+    * (id = vec_id, vec = embedding), top-`limit` pairs by cosine.
+    */
+  def embeddingPairsExactOracleSql(minCos: Double, limit: Int,
+      dim: Int = 64, tables: Int = 2, planesPerTable: Int = 8): String =
+    s"""WITH xs AS (
+           SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                  embedding FROM embeddings),
+         qv AS (SELECT vec_id, i,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+                FROM xs),
+         nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+                 FROM qv GROUP BY vec_id),
+         pl AS (${VectorFns.intPlanesSql(tables * planesPerTable, dim)}),
+         dp AS (SELECT v.vec_id, pl.p, CAST(SUM(v.x * pl.w) AS BIGINT) AS d
+                FROM qv v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p),
+         bk AS (SELECT vec_id, p // $planesPerTable AS t,
+                  CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % $planesPerTable)) ELSE 0 END) AS BIGINT) AS bkt
+                FROM dp GROUP BY vec_id, p // $planesPerTable),
+         cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                  FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt
+                  WHERE a.vec_id < b.vec_id),
+         dots AS (SELECT cd.a_id, cd.b_id, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+                  FROM cand cd
+                  JOIN qv a ON a.vec_id = cd.a_id
+                  JOIN qv b ON b.vec_id = cd.b_id AND b.i = a.i
+                  GROUP BY cd.a_id, cd.b_id),
+         scored AS (
+           SELECT d.a_id, d.b_id,
+                  CAST(d.dot AS DOUBLE) /
+                    SQRT(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+           FROM dots d JOIN nrm na ON na.vec_id = d.a_id
+                       JOIN nrm nb ON nb.vec_id = d.b_id)
+       SELECT a_id, b_id, cos FROM scored
+       WHERE cos >= $minCos
+       ORDER BY cos DESC, a_id, b_id LIMIT $limit"""
 }

@@ -42,18 +42,25 @@ object Similarity {
     * float accumulation whose rounding is engine/order-dependent.
     * Same broadcast-queries shape as [[bruteTopK]].
     */
+  /** Micro-unit quantization (`floor(double(x)·10⁶)` per component) —
+    * the shared substrate of every hash-judged similarity query: all
+    * downstream sums/dots are exact BIGINTs.
+    */
+  private[operators] def quant(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x.cast("double") * lit(1000000.0)))
+  private[operators] def sumsq(c: org.apache.spark.sql.Column) =
+    aggregate(c, lit(0L), (acc, v) => acc + v * v)
+  private[operators] def idot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   def bruteTopKExact(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    def quant(c: org.apache.spark.sql.Column) =
-      transform(c, x => floor(x.cast("double") * lit(1000000.0)))
-    def sumsq(c: org.apache.spark.sql.Column) =
-      aggregate(c, lit(0L), (acc, v) => acc + v * v)
     val q = broadcast(queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
       .withColumn("qn", sumsq(col("qa"))))
     val cand = corpus.select(col("vec_id"), quant(col("embedding")).as("ca"))
       .withColumn("cn", sumsq(col("ca")))
       .join(q, col("q_id") =!= col("vec_id")) // a query is not its own neighbor
-      .withColumn("dot", aggregate(
-        zip_with(col("qa"), col("ca"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("dot", idot(col("qa"), col("ca")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -143,6 +150,87 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** LSH top-k under the hash-gate contract: quantized vectors
+    * ([[quant]]) bucketed by INTEGER hyperplanes
+    * ([[graft.functions.VectorFns.intPlanes]]) — sign decisions are
+    * exact integer comparisons, so the oracle re-derives the identical
+    * candidate set in DuckDB SQL; scoring is the [[bruteTopKExact]]
+    * integer contract. Same shuffle shape as [[lshTopK]] (bucket join
+    * on id pairs, vectors re-joined after the distinct).
+    */
+  def lshTopKExact(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, tables: Int = 4, planesPerTable: Int = 6): DataFrame = {
+    import graft.functions.VectorFns.{intPlanes, intPlaneDot}
+    val ps = intPlanes(tables * planesPerTable, dim)
+    def buckets(qv: org.apache.spark.sql.Column) =
+      array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until planesPerTable)
+            .map(j => when(intPlaneDot(qv, ps(t * planesPerTable + j)) >= 0,
+              lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("bkt"))
+      }: _*)
+    val q = queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
+    val c = corpus.select(col("vec_id"), quant(col("embedding")).as("ca"))
+    val qb = q.select(col("q_id"), explode(buckets(col("qa"))).as("tb"))
+    val cb = c.select(col("vec_id"), explode(buckets(col("ca"))).as("tb"))
+    val candIds = qb.join(cb, "tb")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+      .distinct()
+    val cand = candIds
+      .join(broadcast(q.withColumn("qn", sumsq(col("qa")))), "q_id")
+      .join(c.withColumn("cn", sumsq(col("ca"))), "vec_id")
+      .withColumn("dot", idot(col("qa"), col("ca")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** DuckDB oracle for [[lshTopKExact]]: same quantization, same
+    * md5-derived integer planes, same band/bucket packing, same scoring
+    * contract — generated from the same constants.
+    */
+  def lshTopKExactOracleSql(maxQueryId: Int, k: Int,
+      dim: Int = 64, tables: Int = 4, planesPerTable: Int = 6): String =
+    s"""WITH xs AS (
+           SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                  embedding FROM embeddings),
+         qv AS (SELECT vec_id, i,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+                FROM xs),
+         nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+                 FROM qv GROUP BY vec_id),
+         pl AS (${graft.functions.VectorFns.intPlanesSql(tables * planesPerTable, dim)}),
+         dp AS (SELECT v.vec_id, pl.p, CAST(SUM(v.x * pl.w) AS BIGINT) AS d
+                FROM qv v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p),
+         bk AS (SELECT vec_id, p // $planesPerTable AS t,
+                  CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % $planesPerTable)) ELSE 0 END) AS BIGINT) AS bkt
+                FROM dp GROUP BY vec_id, p // $planesPerTable),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+                  FROM bk q JOIN bk c ON q.t = c.t AND q.bkt = c.bkt
+                  WHERE q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id),
+         dots AS (SELECT cd.q_id, cd.vec_id, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+                  FROM cand cd
+                  JOIN qv q ON q.vec_id = cd.q_id
+                  JOIN qv c ON c.vec_id = cd.vec_id AND c.i = q.i
+                  GROUP BY cd.q_id, cd.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE) /
+                    SQRT(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) AS cos
+           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+                       JOIN nrm nc ON nc.vec_id = d.vec_id)
+       SELECT q_id, vec_id AS neighbor_id, rank, cos FROM (
+         SELECT q_id, vec_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         FROM scored) r
+       WHERE rank <= $k ORDER BY q_id, rank"""
+
   /** IVF top-k: assign each query to its `nprobe` nearest cells by
     * centroid cosine, score only corpus vectors in those cells. Recall
     * < 1 by construction; the candidate set shrinks by ~|cells|/nprobe.
@@ -166,4 +254,97 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** IVF top-k under the hash-gate contract: centroids are exact
+    * integer sums of quantized components, floored to a per-component
+    * integer mean (`floor(double(Σx)/n)` — one IEEE division + floor,
+    * bit-identical cross-engine; NOT `//`, whose negative-operand
+    * semantics differ between engines). Cell ranking and candidate
+    * scoring both follow the [[bruteTopKExact]] single-IEEE-op cosine
+    * contract, so probes and results are deterministic and the whole
+    * operator is hash-judged. Same pruned-candidate shape as
+    * [[ivfTopK]].
+    */
+  def ivfTopKExact(queries: DataFrame, corpus: DataFrame, cellCol: String,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val q = queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
+      .withColumn("qn", sumsq(col("qa")))
+    val c = corpus.select(col("vec_id"), col(cellCol).as("cell"),
+      quant(col("embedding")).as("ca"))
+    val cm = c.select(col("cell"), posexplode(col("ca")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("sx").cast("double") / col("cnt")))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("cm"))
+      .withColumn("cn", sumsq(col("cm")))
+    val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cm))
+      .withColumn("cdot", idot(col("qa"), col("cm")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qa"), col("qn"), col("cell"))
+    val cand = c.withColumn("vn", sumsq(col("ca")))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dot", idot(col("qa"), col("ca")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("qn").cast("double") * col("vn").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** DuckDB oracle for [[ivfTopKExact]] over `embeddings` with cell
+    * column `label`: same integer centroid sums, floored means, probe
+    * ranking, and scoring contract.
+    */
+  def ivfTopKExactOracleSql(maxQueryId: Int, k: Int, nprobe: Int = 3): String =
+    s"""WITH xs AS (
+           SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+                  embedding FROM embeddings),
+         qv AS (SELECT vec_id, label, i,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+                FROM xs),
+         nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+                 FROM qv GROUP BY vec_id),
+         cm AS (SELECT label AS cell, i,
+                  CAST(FLOOR(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+                FROM qv GROUP BY label, i),
+         cn AS (SELECT cell, CAST(SUM(m * m) AS BIGINT) AS cn FROM cm GROUP BY cell),
+         qcd AS (SELECT q.vec_id AS q_id, c.cell, CAST(SUM(q.x * c.m) AS BIGINT) AS cdot
+                 FROM qv q JOIN cm c ON q.i = c.i
+                 WHERE q.vec_id < $maxQueryId
+                 GROUP BY q.vec_id, c.cell),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT qcd.q_id, qcd.cell,
+                    ROW_NUMBER() OVER (PARTITION BY qcd.q_id ORDER BY
+                      CAST(qcd.cdot AS DOUBLE) /
+                        SQRT(CAST(nq.nn AS DOUBLE) * CAST(cn.cn AS DOUBLE)) DESC,
+                      qcd.cell) AS pr
+             FROM qcd JOIN nrm nq ON nq.vec_id = qcd.q_id
+                      JOIN cn ON cn.cell = qcd.cell) p
+           WHERE pr <= $nprobe),
+         dots AS (SELECT q.vec_id AS q_id, c.vec_id, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+                  FROM qv q
+                  JOIN probes pr ON pr.q_id = q.vec_id
+                  JOIN qv c ON c.label = pr.cell AND c.i = q.i AND c.vec_id <> q.vec_id
+                  GROUP BY q.vec_id, c.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE) /
+                    SQRT(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) AS cos
+           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+                       JOIN nrm nc ON nc.vec_id = d.vec_id)
+       SELECT q_id, vec_id AS neighbor_id, rank, cos FROM (
+         SELECT q_id, vec_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         FROM scored) r
+       WHERE rank <= $k ORDER BY q_id, rank"""
 }

@@ -176,16 +176,19 @@ object LlmOps {
       Some(graft.operators.Dedup.simhashOracleSql)),
 
     // Embedding-cosine near-dup: LSH-bucketed candidates, top-20 pairs
-    // by cosine. FP-ranked → no hash oracle (SURVEY §2.4 rationale).
+    // by cosine — integer-hyperplane buckets over quantized vectors +
+    // the single-IEEE-op cosine contract, so the whole pipeline
+    // (buckets, pairs, scores) is re-derived identically by the DuckDB
+    // oracle. The float-RNG-plane variant (Dedup.embeddingPairs) stays
+    // as the API surface with its own ScalaTest.
     ("dedup_embedding",
       (s: SparkSession, dir: String) =>
         graft.operators.Dedup
-          .embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          .embeddingPairsExact(Tables(s, dir, "embeddings"), "vec_id", "embedding",
             minCos = -1.0)
           .orderBy(col("cos").desc, col("a_id"), col("b_id"))
-          .limit(20)
-          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos")),
-      None),
+          .limit(20),
+      Some(graft.operators.Dedup.embeddingPairsExactOracleSql(minCos = -1.0, limit = 20))),
 
     // Brute-force cosine top-k ANN baseline (queries = vec_id < 10),
     // judged via the quantized-integer scoring contract: dots and norms
@@ -203,26 +206,34 @@ object LlmOps {
 
     // LSH-bucketed ANN: data-independent hyperplane buckets — the
     // index-free scale path (no centroid build; ingest is a pure map).
+    // Judged via integer planes + the quantized scoring contract; the
+    // DuckDB oracle re-derives buckets, candidates, and ranks from the
+    // same constants. Float-plane lshTopK stays as the API surface
+    // with a recall ScalaTest.
     ("ann_lsh_topk",
       (s: SparkSession, dir: String) => {
         val emb = Tables(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.operators.Similarity.lshTopK(qs, emb, k = 5)
+        graft.operators.Similarity.lshTopKExact(qs, emb, k = 5)
           .orderBy("q_id", "rank")
       },
-      None),
+      Some(graft.operators.Similarity.lshTopKExactOracleSql(maxQueryId = 10, k = 5))),
 
     // IVF ANN: label-cell centroids, nprobe=3 — the pruned scale path.
+    // Judged end to end: integer centroid sums + floored means make the
+    // probe assignment deterministic, and candidate scoring follows the
+    // quantized contract. Float ivfTopK stays as the API surface with a
+    // recall ScalaTest.
     ("ann_ivf_topk",
       (s: SparkSession, dir: String) => {
         val emb = Tables(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.operators.Similarity.ivfTopK(qs, emb, "label", k = 5, nprobe = 3)
+        graft.operators.Similarity.ivfTopKExact(qs, emb, "label", k = 5, nprobe = 3)
           .orderBy("q_id", "rank")
       },
-      None),
+      Some(graft.operators.Similarity.ivfTopKExactOracleSql(maxQueryId = 10, k = 5, nprobe = 3))),
 
     // Multimodal: binary media column + metadata via built-in
     // expressions (codegen, no encoder round trip — the stub metadata is
