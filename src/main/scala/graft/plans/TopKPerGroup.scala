@@ -39,9 +39,15 @@ final case class TopKPerGroupPlan(
 }
 
 object TopKStrategy extends SparkStrategy {
+  /** Two-phase plan, the partial-aggregation shape: a map-side partial
+    * top-k BELOW the exchange bounds shuffle volume to ≤ groups·k rows
+    * per input partition (vs every input row for the window
+    * formulation), then the post-exchange final pass is exact.
+    */
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, s, k, child) =>
-      TopKPerGroupExec(g, s, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, s, k, partial = false,
+        TopKPerGroupExec(g, s, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -50,20 +56,34 @@ final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrders: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** One hash exchange on the group keys — after it, every group lives
-    * in exactly one partition and the per-partition heaps are exact.
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  /** Final pass: one hash exchange on the group keys — after it, every
+    * group lives in exactly one partition and the heaps are exact.
+    * Partial pass: runs on the child's partitioning as-is (map side);
+    * its per-partition top-k is a superset of each group's global
+    * top-k, so the final pass loses nothing.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val boundGroup = groupExprs.map(BindReferences.bindReference(_, child.output))
     val orderingGen = new LazilyGeneratedOrdering(sortOrders, child.output)
     val kk = k
+    val outRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
       val ordering: Ordering[InternalRow] = orderingGen
       val groupProj = UnsafeProjection.create(boundGroup)
@@ -84,6 +104,7 @@ final case class TopKPerGroupExec(
         }
       }
       heaps.iterator.flatMap { case (_, heap) =>
+        outRows += heap.size
         heap.dequeueAll.reverseIterator // ascending under the sort order
       }
     }, preservesPartitioning = true)

@@ -31,7 +31,7 @@ class TopKSpec extends SparkSpec {
     assert(viaOp.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaOp).isEmpty)
   }
 
-  test("plan: custom exec with exactly one exchange, no sort") {
+  test("plan: partial below + final above exactly one exchange, no sort") {
     val c = Tables(spark, sf, "customer")
       .select("c_mktsegment", "c_custkey", "c_acctbal")
     val df = TopK.perGroup(c, Seq("c_mktsegment"),
@@ -40,10 +40,46 @@ class TopKSpec extends SparkSpec {
     // AQE prints Final + Initial plans; audit only the final one
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("TopKPerGroupFinal"), s"final exec missing:\n$plan")
+    assert(plan.contains("TopKPerGroupPartial"), s"partial exec missing:\n$plan")
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+    // the partial pass must sit BELOW the exchange (map side)
+    val lines = plan.linesIterator.toSeq
+    val iPartial = lines.indexWhere(_.contains("TopKPerGroupPartial"))
+    val iExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val iFinal = lines.indexWhere(_.contains("TopKPerGroupFinal"))
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"want Final above Exchange above Partial:\n$plan")
+  }
+
+  test("map-side partial bounds shuffled rows to ≤ groups·k per partition") {
+    val c = Tables(spark, sf, "customer")
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+    val inputRows = c.count()
+    val nParts = c.rdd.getNumPartitions
+    val nGroups = c.select("c_mktsegment").distinct().count()
+    val df = TopK.perGroup(c, Seq("c_mktsegment"),
+      Seq("c_acctbal" -> false, "c_custkey" -> true), 3)
+    df.collect()
+    // walk through AQE wrappers: AdaptiveSparkPlanExec hides its final
+    // plan and materialized QueryStageExec nodes are leaves to collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val partial = allNodes(df.queryExecution.executedPlan)
+      .collectFirst { case e: graft.plans.TopKPerGroupExec if e.partial => e }
+    assert(partial.isDefined, "partial exec not found in executed plan")
+    val shuffled = partial.get.metrics("numOutputRows").value
+    assert(shuffled <= nGroups * 3 * nParts,
+      s"partial emitted $shuffled rows > bound ${nGroups * 3 * nParts}")
+    assert(shuffled < inputRows,
+      s"partial did not reduce shuffle volume ($shuffled vs $inputRows input rows)")
   }
 
   test("edge shapes: k larger than groups, single group, empty input") {
