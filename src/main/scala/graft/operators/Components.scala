@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Lineage-truncating materialization: a RELIABLE checkpoint when the
+    * session has a checkpoint dir (`sparkContext.setCheckpointDir` —
+    * fault-tolerant, releases executor memory; the only correct choice
+    * on a cluster where an executor loss mid-loop would otherwise
+    * recompute the whole similarity query), falling back to
+    * `localCheckpoint` when none is set (local mode: no re-execution
+    * risk worth a distributed-FS round trip).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** @param pairs (aCol, bCol) undirected edges
     * @return (id, component) — component = min node id reachable
     */
@@ -26,11 +39,11 @@ object Components {
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     // materialize the edge set ONCE — the pair graph may be the output
     // of an expensive similarity query, and the loop touches it every
-    // round (at cluster scale this is a reliable-storage checkpoint)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // round
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     // labels only ever decrease, so the label sum is a strictly
@@ -52,9 +65,10 @@ object Components {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // truncate the growing lineage every few rounds (each checkpoint
-      // pins executor memory for the session, so don't pay it per round)
-      labels = if (iter % 3 == 2) next.localCheckpoint() else next
+      // truncate the growing lineage every few rounds (a checkpoint per
+      // round would dominate loop cost; every 3rd bounds lineage depth
+      // at 3 joins while amortizing the materialization)
+      labels = if (iter % 3 == 2) materialize(next) else next
       val s = labelSum(labels)
       done = s == prevSum
       prevSum = s

@@ -31,11 +31,32 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
   val report: collection.mutable.LinkedHashMap[String, Long] =
     collection.mutable.LinkedHashMap.empty
 
+  private val staged = collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Per-stage: did this stage's plan read a cached predecessor (vs
+    * recompute the raw lineage)? Observability for the funnel's
+    * no-recompute guarantee; asserted in CorpusPipelineSpec.
+    */
+  val readsCache: collection.mutable.LinkedHashMap[String, Boolean] =
+    collection.mutable.LinkedHashMap.empty
+
+  /** Persist + count a funnel stage. The persist means the count (and
+    * every downstream stage) reads THIS stage's materialization, not a
+    * recomputation of the whole upstream lineage — without it, stage N
+    * re-executes stages 1..N-1, multiplying pipeline cost by the stage
+    * count. MEMORY_AND_DISK: spills instead of evicting at scale; on a
+    * cluster a reliable checkpoint would also cut the lineage itself.
+    * Everything is unpersisted at the end of [[run]].
+    */
   private def note(stage: String, df: DataFrame): DataFrame = {
-    val n = df.count()
+    readsCache(stage) =
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation")
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staged += c
+    val n = c.count()
     report(stage) = n
     log.info(s"corpus stage $stage: $n docs")
-    df
+    c
   }
 
   def run(spark: SparkSession): DataFrame = {
@@ -83,6 +104,10 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
     Sinks.exportPartitioned(
       sampled.select("doc_id", "lang", "lang_guess", "source", "n_chars", "text"),
       exportDir, Seq("lang"))
-    note("exported", Tables.read(spark, exportDir))
+    val out = Tables.read(spark, exportDir)
+    report("exported") = out.count()
+    staged.foreach(_.unpersist(blocking = false))
+    staged.clear()
+    out
   }
 }

@@ -28,6 +28,30 @@ class ComponentsSpec extends SparkSpec {
     assert(got.sameElements(Array(1L)))
   }
 
+  test("reliable checkpoint path: same labels with a checkpoint dir set") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val expected = Components.connectedComponents(spark, pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val got = Components.connectedComponents(spark, pairs, "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      // the reliable path must actually have written checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written with a checkpoint dir set")
+    } finally {
+      // sc has no unset API; point it at a throwaway so later suites in
+      // this shared session fall back cleanly (getCheckpointDir stays
+      // defined — Components still works, just checkpoints there)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("cc_ckpt_rest").toString)
+    }
+  }
+
   test("hash sampling: deterministic, partition-independent, rate-plausible") {
     val docs = Tables(spark, sf, "documents")
     val s1 = Sampling.hashSample(docs, "doc_id", 20).select("doc_id")

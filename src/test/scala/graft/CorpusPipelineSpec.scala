@@ -24,6 +24,12 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r("sample") > 0, "pipeline must not empty the corpus")
     // export is hive-partitioned by lang and re-readable
     assert(exported.columns.contains("lang"))
+    // every post-ingest stage must read its cached predecessor, not
+    // recompute the raw lineage (the per-stage count would otherwise
+    // re-execute the entire upstream funnel)
+    p.readsCache.toSeq.filterNot(_._1 == "ingest").foreach { case (stage, cached) =>
+      assert(cached, s"stage $stage recomputes lineage instead of reading the cache")
+    }
 
     val p2 = new CorpusPipeline(sf,
       Files.createTempDirectory("corpus_out2").toString + "/corpus")
