@@ -42,6 +42,21 @@ object Portable {
   final case class MinOf(col: String, alias: String) extends Agg
   final case class MaxOf(col: String, alias: String) extends Agg
 
+  // --------------------------------------------------------------- windows
+  /** Window-function vocabulary. Determinism contract: the window's
+    * ORDER BY must be a total order (callers add a unique tiebreak);
+    * ranking functions compile to BIGINT on both backends; the running
+    * money sum follows the §2.4 decimal contract with an explicit
+    * `ROWS UNBOUNDED PRECEDING → CURRENT ROW` frame on both backends.
+    */
+  sealed trait WinFn
+  case object RowNum extends WinFn
+  case object RankOf extends WinFn
+  case object DenseRankOf extends WinFn
+  final case class LagCol(col: String, n: Int) extends WinFn
+  final case class LeadCol(col: String, n: Int) extends WinFn
+  final case class RunningMoneySum(col: String) extends WinFn
+
   // ------------------------------------------------------------------ rels
   sealed trait Rel
   /** Named base table (resolved per backend: parquet dir / DuckDB view). */
@@ -49,8 +64,22 @@ object Portable {
   final case class Filter(in: Rel, pred: Expr) extends Rel
   final case class Project(in: Rel, cols: Seq[(Expr, String)]) extends Rel
   final case class GroupAgg(in: Rel, keys: Seq[String], aggs: Seq[Agg]) extends Rel
-  final case class InnerJoin(l: Rel, r: Rel, lk: String, rk: String) extends Rel
-  /** keys: (column, ascending); always NULLS FIRST (contract). */
+  /** how ∈ inner | left | right | full | semi | anti. Inner/outer joins
+    * keep both key columns (identical `SELECT *` semantics on both
+    * backends); semi/anti keep only the left side's columns.
+    */
+  final case class Join(l: Rel, r: Rel, lk: String, rk: String,
+      how: String = "inner") extends Rel
+  final case class Distinct(in: Rel) extends Rel
+  /** Positional union (both branches come from one tree, so positions
+    * agree by construction); `all = false` dedups.
+    */
+  final case class Union(l: Rel, r: Rel, all: Boolean) extends Rel
+  /** One window column appended to the input's columns. */
+  final case class WindowCol(in: Rel, partitionBy: Seq[String],
+      orderBy: Seq[(String, Boolean)], fn: WinFn, alias: String) extends Rel
+  /** keys: (column, ascending); asc NULLS FIRST / desc NULLS LAST
+    * (contract). */
   final case class Sort(in: Rel, keys: Seq[(String, Boolean)]) extends Rel
   final case class Limit(in: Rel, n: Int) extends Rel
 
@@ -59,7 +88,19 @@ object Portable {
     def where(pred: Expr): Rel = Filter(r, pred)
     def select(cols: (Expr, String)*): Rel = Project(r, cols)
     def groupBy(keys: String*)(aggs: Agg*): Rel = GroupAgg(r, keys, aggs)
-    def join(other: Rel, lk: String, rk: String): Rel = InnerJoin(r, other, lk, rk)
+    /** HAVING is Filter-over-GroupAgg — same tree, named for intent. */
+    def having(pred: Expr): Rel = Filter(r, pred)
+    def join(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk)
+    def leftJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "left")
+    def rightJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "right")
+    def fullJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "full")
+    def semiJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "semi")
+    def antiJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "anti")
+    def distinct: Rel = Distinct(r)
+    def union(other: Rel): Rel = Union(r, other, all = false)
+    def unionAll(other: Rel): Rel = Union(r, other, all = true)
+    def window(partitionBy: Seq[String], orderBy: Seq[(String, Boolean)],
+        fn: WinFn, alias: String): Rel = WindowCol(r, partitionBy, orderBy, fn, alias)
     def orderBy(keys: (String, Boolean)*): Rel = Sort(r, keys)
     def limit(n: Int): Rel = Limit(r, n)
   }
@@ -81,9 +122,37 @@ object Portable {
           val cols = aggs.map(aggCol)
           if (keys.isEmpty) df.agg(cols.head, cols.tail: _*)
           else df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
-        case InnerJoin(l, r, lk, rk) =>
+        case Join(l, r, lk, rk, how) =>
+          val sparkHow = how match {
+            case "semi" => "left_semi"
+            case "anti" => "left_anti"
+            case h => h
+          }
           toDataFrame(spark, sfDir, l)
-            .join(toDataFrame(spark, sfDir, r), col(lk) === col(rk))
+            .join(toDataFrame(spark, sfDir, r), col(lk) === col(rk), sparkHow)
+        case Distinct(in) => toDataFrame(spark, sfDir, in).distinct()
+        case Union(l, r, all) =>
+          val u = toDataFrame(spark, sfDir, l).union(toDataFrame(spark, sfDir, r))
+          if (all) u else u.distinct()
+        case WindowCol(in, pb, ob, fn, alias) =>
+          import org.apache.spark.sql.expressions.{Window => W}
+          val sortCols = ob.map { case (k, asc) =>
+            if (asc) asc_nulls_first(k) else desc_nulls_last(k) }
+          val base =
+            (if (pb.isEmpty) W.partitionBy() else W.partitionBy(pb.map(col): _*))
+              .orderBy(sortCols: _*)
+          val c = fn match {
+            case RowNum => row_number().over(base).cast("long")
+            case RankOf => rank().over(base).cast("long")
+            case DenseRankOf => dense_rank().over(base).cast("long")
+            case LagCol(cn, n) => lag(col(cn), n).over(base)
+            case LeadCol(cn, n) => lead(col(cn), n).over(base)
+            case RunningMoneySum(cn) =>
+              sum(Canonical.dec(col(cn)))
+                .over(base.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .cast("double")
+          }
+          toDataFrame(spark, sfDir, in).withColumn(alias, c)
         case Sort(in, keys) =>
           toDataFrame(spark, sfDir, in)
             .orderBy(keys.map { case (k, asc) =>
@@ -130,8 +199,41 @@ object Portable {
         val sel = (keys ++ aggs.map(aggSql)).mkString(", ")
         val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
         s"(SELECT $sel FROM ${relSql(in)}$grp)"
-      case InnerJoin(l, r, lk, rk) =>
-        s"(SELECT * FROM ${relSql(l)} JOIN ${relSql(r)} ON $lk = $rk)"
+      case Join(l, r, lk, rk, how) =>
+        val kw = how match {
+          case "inner" => "JOIN"
+          case "left" => "LEFT JOIN"
+          case "right" => "RIGHT JOIN"
+          case "full" => "FULL JOIN"
+          case "semi" => "SEMI JOIN"
+          case "anti" => "ANTI JOIN"
+        }
+        s"(SELECT * FROM ${relSql(l)} $kw ${relSql(r)} ON $lk = $rk)"
+      case Distinct(in) => s"(SELECT DISTINCT * FROM ${relSql(in)})"
+      case Union(l, r, all) =>
+        val kw = if (all) "UNION ALL" else "UNION"
+        s"(SELECT * FROM ${relSql(l)} $kw SELECT * FROM ${relSql(r)})"
+      case WindowCol(in, pb, ob, fn, alias) =>
+        val part = if (pb.isEmpty) "" else s"PARTITION BY ${pb.mkString(", ")} "
+        val ord = ob.map { case (k, asc) =>
+          s"$k ${if (asc) "ASC NULLS FIRST" else "DESC NULLS LAST"}" }
+          .mkString(", ")
+        val (fnSql, frame) = fn match {
+          case RowNum => ("ROW_NUMBER()", "")
+          case RankOf => ("RANK()", "")
+          case DenseRankOf => ("DENSE_RANK()", "")
+          case LagCol(cn, n) => (s"LAG($cn, $n)", "")
+          case LeadCol(cn, n) => (s"LEAD($cn, $n)", "")
+          case RunningMoneySum(cn) =>
+            (s"CAST(SUM(${Canonical.decSql(cn)})",
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+        }
+        val over = s"OVER ($part" + s"ORDER BY $ord$frame)"
+        val expr = fn match {
+          case RunningMoneySum(_) => s"$fnSql $over AS DOUBLE) AS $alias"
+          case _ => s"$fnSql $over AS $alias"
+        }
+        s"(SELECT *, $expr FROM ${relSql(in)})"
       case Sort(in, keys) =>
         val ks = keys.map { case (k, asc) =>
           s"$k ${if (asc) "ASC" else "DESC"} NULLS ${if (asc) "FIRST" else "LAST"}" }

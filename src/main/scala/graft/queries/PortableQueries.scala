@@ -44,10 +44,75 @@ object PortableQueries {
       .orderBy("o_totalprice" -> false, "o_orderkey" -> true)
       .limit(50)
 
+  /** Left outer join + ranking window + HAVING-style post-filter: the
+    * null-producing side flows through ROW_NUMBER with the contract's
+    * pinned null order, then top-2 orders per customer survive.
+    */
+  val leftJoinRank: Rel =
+    table("customer")
+      .where(Bin("<", c("c_custkey"), LitNum(40)))
+      .leftJoin(table("orders"), "c_custkey", "o_custkey")
+      .window(Seq("c_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        RowNum, "rn")
+      .where(Bin("<=", c("rn"), LitNum(2)))
+      .select(c("c_custkey") -> "c_custkey", c("rn") -> "rn",
+        c("o_orderkey") -> "o_orderkey", c("o_totalprice") -> "o_totalprice")
+      .orderBy("c_custkey" -> true, "rn" -> true)
+
+  /** UNION ALL of two filtered projections → group → HAVING → sort:
+    * the bag-union and post-aggregation-filter vocabulary.
+    */
+  val unionHaving: Rel =
+    table("orders")
+      .where(Bin(">", c("o_totalprice"), LitNum(150000)))
+      .select(c("o_custkey") -> "k")
+      .unionAll(
+        table("orders")
+          .where(Bin("=", c("o_orderstatus"), LitStr("F")))
+          .select(c("o_custkey") -> "k"))
+      .groupBy("k")(CountAll("n"))
+      .having(Bin(">=", c("n"), LitNum(8)))
+      .orderBy("k" -> true)
+
+  /** Anti join + distinct + running money sum: customers WITHOUT any
+    * high-value order, their order history with a §2.4-contract
+    * cumulative spend.
+    */
+  val antiRunning: Rel =
+    table("orders")
+      .where(Bin("<", c("o_custkey"), LitNum(30)))
+      .antiJoin(
+        table("orders").where(Bin(">", c("o_totalprice"), LitNum(250000)))
+          .select(c("o_custkey") -> "hi_k").distinct,
+        "o_custkey", "hi_k")
+      .window(Seq("o_custkey"), Seq("o_orderdate" -> true, "o_orderkey" -> true),
+        RunningMoneySum("o_totalprice"), "running")
+      .select(c("o_custkey") -> "o_custkey", c("o_orderkey") -> "o_orderkey",
+        c("running") -> "running")
+      .orderBy("o_custkey" -> true, "o_orderkey" -> true)
+
+  /** Semi join over a deduped key set: orders whose customer appears in
+    * the automobile segment (EXISTS vocabulary through the IR).
+    */
+  val semiDistinct: Rel =
+    table("orders")
+      .semiJoin(
+        table("customer")
+          .where(Bin("=", c("c_mktsegment"), LitStr("AUTOMOBILE")))
+          .select(c("c_custkey") -> "c_custkey").distinct,
+        "o_custkey", "c_custkey")
+      .groupBy("o_orderpriority")(
+        CountAll("n"), Avg4("o_totalprice", "avg_price"))
+      .orderBy("o_orderpriority" -> true)
+
   val all: Seq[(String, Rel)] = Seq(
     "portable_ref_query" -> refQuery,
     "portable_join_agg" -> joinAgg,
     "portable_filter_topk" -> filterTopK,
+    "portable_left_join_rank" -> leftJoinRank,
+    "portable_union_having" -> unionHaving,
+    "portable_anti_running" -> antiRunning,
+    "portable_semi_distinct" -> semiDistinct,
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

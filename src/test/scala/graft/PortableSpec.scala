@@ -28,6 +28,37 @@ class PortableSpec extends SparkSpec {
     assert(topk.contains("DESC NULLS LAST"))
   }
 
+  test("widened vocabulary: joins/union/distinct/having/window compile both ways") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    // left join ≡ hand-written Dataset.join(..., "left") + window
+    val ir = Compile.toDataFrame(spark, sf, PortableQueries.leftJoinRank)
+    val cust = Tables(spark, sf, "customer").filter(fcol("c_custkey") < 40)
+    val hand = cust.join(Tables(spark, sf, "orders"),
+        fcol("c_custkey") === fcol("o_custkey"), "left")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c_custkey")
+          .orderBy(fcol("o_totalprice").desc_nulls_last, fcol("o_orderkey").asc_nulls_first))
+        .cast("long"))
+      .filter(fcol("rn") <= 2)
+      .select("c_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("c_custkey", "rn")
+    assert(ir.collect().toSeq == hand.collect().toSeq)
+    // join vocabulary reaches SQL with the right keywords
+    val sql = Compile.toSql(PortableQueries.leftJoinRank)
+    assert(sql.contains("LEFT JOIN") && sql.contains("ROW_NUMBER()"))
+    assert(Compile.toSql(PortableQueries.antiRunning).contains("ANTI JOIN"))
+    assert(Compile.toSql(PortableQueries.antiRunning)
+      .contains("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"))
+    assert(Compile.toSql(PortableQueries.semiDistinct).contains("SEMI JOIN"))
+    assert(Compile.toSql(PortableQueries.semiDistinct).contains("SELECT DISTINCT"))
+    assert(Compile.toSql(PortableQueries.unionHaving).contains("UNION ALL"))
+    // union dedup vs bag union
+    val a = table("orders").select(c("o_orderstatus") -> "s")
+    val dedup = Compile.toDataFrame(spark, sf, a.union(a)).count()
+    val bag = Compile.toDataFrame(spark, sf, a.unionAll(a)).count()
+    assert(dedup == 3 && bag == 2 * Tables(spark, sf, "orders").count())
+  }
+
   test("IR trees are plain data: reusable and composable") {
     val base = table("orders").where(Bin(">", c("o_totalprice"), LitNum(100000)))
     val a = base.groupBy("o_orderpriority")(CountAll("n"))
