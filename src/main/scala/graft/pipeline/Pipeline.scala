@@ -19,6 +19,32 @@ final case class Asset(name: String, deps: Seq[String] = Nil)(
 final case class AssetResult(name: String, seconds: Double,
     error: Option[Throwable])
 
+object Pipeline {
+
+  /** One-file JSON run report — the artifact analogue of the reference's
+    * per-asset observability UI (`dagster dev` timing/metadata panes):
+    * per-asset status + wall-clock, machine-readable for CI dashboards.
+    */
+  def runReportJson(results: Seq[AssetResult]): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ")
+    val assets = results.map { r =>
+      val err = r.error.map(e => "\"" + esc(e.toString) + "\"").getOrElse("null")
+      f"""{"asset":"${esc(r.name)}","seconds":${r.seconds}%.3f,"status":"${if (r.error.isEmpty) "ok" else "failed"}","error":$err}"""
+    }.mkString("[", ",", "]")
+    val total = results.map(_.seconds).sum
+    f"""{"assets":$assets,"n_assets":${results.size},"n_failed":${results.count(_.error.nonEmpty)},"total_seconds":$total%.3f}"""
+  }
+
+  /** Write [[runReportJson]] to `path` (parent dirs created). */
+  def writeRunReport(results: Seq[AssetResult], path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      (runReportJson(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
 final class Pipeline(val assets: Seq[Asset]) {
   private val log = LoggerFactory.getLogger(classOf[Pipeline])
   private val byName = assets.map(a => a.name -> a).toMap
@@ -46,25 +72,30 @@ final class Pipeline(val assets: Seq[Asset]) {
 
   /** Run every asset in dependency order; logs timing per asset, stops
     * at (and rethrows after logging) the first failure — the reference's
-    * error contract.
+    * error contract. When `reportPath` is set, a JSON run report
+    * ([[Pipeline.runReportJson]]) is written even on failure (the
+    * failed asset appears with its error).
     */
-  def materialize(spark: SparkSession): Seq[AssetResult] = {
+  def materialize(spark: SparkSession,
+      reportPath: Option[String] = None): Seq[AssetResult] = {
     val results = collection.mutable.ArrayBuffer.empty[AssetResult]
-    topoOrder.foreach { a =>
-      val t0 = System.nanoTime()
-      try {
-        a.run(spark)
-        val secs = (System.nanoTime() - t0) / 1e9
-        log.info(f"asset ${a.name} materialized in $secs%.3f s")
-        results += AssetResult(a.name, secs, None)
-      } catch {
-        case e: Throwable =>
+    try {
+      topoOrder.foreach { a =>
+        val t0 = System.nanoTime()
+        try {
+          a.run(spark)
           val secs = (System.nanoTime() - t0) / 1e9
-          log.error(s"asset ${a.name} failed after $secs s: ${e.getMessage}")
-          results += AssetResult(a.name, secs, Some(e))
-          throw e
+          log.info(f"asset ${a.name} materialized in $secs%.3f s")
+          results += AssetResult(a.name, secs, None)
+        } catch {
+          case e: Throwable =>
+            val secs = (System.nanoTime() - t0) / 1e9
+            log.error(s"asset ${a.name} failed after $secs s: ${e.getMessage}")
+            results += AssetResult(a.name, secs, Some(e))
+            throw e
+        }
       }
-    }
+    } finally reportPath.foreach(Pipeline.writeRunReport(results.toSeq, _))
     results.toSeq
   }
 }

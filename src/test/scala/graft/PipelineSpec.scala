@@ -76,6 +76,30 @@ class PipelineSpec extends SparkSpec {
     intercept[RuntimeException] { boom.materialize(spark) }
   }
 
+  test("run report: one JSON artifact per run, written even on failure") {
+    val ok = new Pipeline(Seq(
+      Asset("a")(_ => ()), Asset("b", Seq("a"))(_ => ())))
+    val path = Files.createTempDirectory("runrep").resolve("report.json").toString
+    ok.materialize(spark, reportPath = Some(path))
+    val rep = spark.read.json(path)
+    assert(rep.select("n_assets").first().getLong(0) == 2)
+    assert(rep.select("n_failed").first().getLong(0) == 0)
+    val assets = rep.selectExpr("explode(assets) as a")
+      .select("a.asset", "a.status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(assets == Map("a" -> "ok", "b" -> "ok"))
+    // failure: report still lands, failed asset carries its error
+    val boomPath = Files.createTempDirectory("runrep2").resolve("report.json").toString
+    val boom = new Pipeline(Seq(Asset("ok")(_ => ()),
+      Asset("boom", Seq("ok"))(_ => throw new RuntimeException("kaput"))))
+    intercept[RuntimeException] { boom.materialize(spark, Some(boomPath)) }
+    val rep2 = spark.read.json(boomPath)
+    assert(rep2.select("n_failed").first().getLong(0) == 1)
+    val err = rep2.selectExpr("explode(assets) as a")
+      .filter("a.status = 'failed'").selectExpr("a.error").first().getString(0)
+    assert(err.contains("kaput"))
+  }
+
   test("partitioned export writes hive-style dirs (the 100 TB path)") {
     val dir = Files.createTempDirectory("part_out").toString + "/events"
     Sinks.exportPartitioned(

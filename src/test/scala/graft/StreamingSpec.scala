@@ -46,6 +46,52 @@ class StreamingSpec extends SparkSpec {
     assert(agg.exceptAll(q23).isEmpty && q23.exceptAll(agg).isEmpty)
   }
 
+  test("append-dir stream: watermark closes windows, drops late data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_append").toString
+    def writeBatch(n: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("eus", "event_type")
+        .select(expr("timestamp_micros(eus)").as("ts"), col("event_type"))
+        .coalesce(1).write.parquet(s"$dir/b$n")
+    def us(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000L
+    // batch 1: two events in [00:00,01:00) + one at 02:30 that will push
+    // the watermark (1h delay) past W0's end
+    writeBatch(1, Seq(us(0, 10) -> "click", us(0, 20) -> "click", us(2, 30) -> "click"))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/b*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(cast(w.start as timestamp))").as("ws"), col("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to 01:30
+      // batch 2: a LATE event for W0 (00:15 < watermark) that must be
+      // dropped, plus 04:00 to advance the watermark further
+      writeBatch(2, Seq(us(0, 15) -> "late", us(4, 0) -> "click"))
+      q.processAllAvailable()
+      // batch 3: push the watermark past every earlier window
+      writeBatch(3, Seq(us(6, 0) -> "click"))
+      q.processAllAvailable()
+      val out = spark.table("late_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // W0 closed with ONLY the two on-time events — the late 00:15
+      // arrival after the watermark passed was discarded
+      assert(out.get(us(0, 0)).contains(2L),
+        s"window [00:00,01:00) must close with 2 on-time rows, got $out")
+      // the 02:30 event's window closed intact
+      assert(out.get(us(2, 0)).contains(1L), s"missing [02:00,03:00) in $out")
+      // no window ever emitted twice (append-mode contract)
+      val emitted = spark.table("late_out").groupBy("ws").count()
+        .filter(col("count") > 1).count()
+      assert(emitted == 0, "append mode must emit each closed window once")
+    } finally q.stop()
+  }
+
   test("true streaming run: readStream → tumbling agg → memory sink") {
     // ns-timestamp parquet arrives as long under nanosAsLong; declare the
     // file schema explicitly (required for readStream) and convert.
