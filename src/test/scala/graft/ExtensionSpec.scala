@@ -90,4 +90,29 @@ class ExtensionSpec extends SparkSpec {
         col("o_totalprice"))).isEmpty ||
       jsonBack.columns.sorted.sameElements(orders.columns.sorted))
   }
+
+  test("cloud storage API shape: one reader path, connector-gated schemes") {
+    // local filesystem resolves; object-store schemes need connector
+    // jars that the offline build intentionally does not bundle
+    assert(Sources.cloudReadable(spark, "file"))
+    assert(!Sources.cloudReadable(spark, "s3a"),
+      "offline build must not silently claim s3a support")
+    // connector config lands in the session's Hadoop conf (public keys)
+    Sources.configureCloud(spark, Map(
+      "fs.s3a.endpoint" -> "http://localhost:9000",
+      "fs.s3a.path.style.access" -> "true"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    // the SAME reader entry point is used for cloud URIs: a read attempt
+    // fails on the missing connector (informative), not on graft code
+    val err = intercept[Exception] {
+      Tables.read(spark, "s3a://nonexistent-bucket/data.parquet").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(m =>
+      m.contains("s3a") || m.contains("S3A") || m.contains("FileSystem")),
+      s"expected a filesystem-resolution error, got: ${messages(err)}")
+  }
 }
