@@ -65,6 +65,26 @@ class PlanSpec extends SparkSpec {
     assert(df.limit(5).collect().forall(!_.isNullAt(0)))
   }
 
+  test("exact ANN plans: broadcast query side, no cartesian product") {
+    // lsh: bucket join + id-pair distinct + vector rejoin — the
+    // candidate exchange must carry id pairs, never a cross product
+    val lsh = q("ann_lsh_topk")
+    lsh.collect()
+    val lshPlan = planString(lsh)
+    assert(!lshPlan.contains("CartesianProduct"),
+      s"LSH ANN must never cross-join:\n$lshPlan")
+    assert(lshPlan.contains("BroadcastHashJoin") || lshPlan.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$lshPlan")
+    // ivf: centroid probe is a broadcast nested loop over |cells| rows
+    // (bounded by cell count, not corpus) — corpus scoring itself must
+    // be a broadcast hash join on cell
+    val ivf = q("ann_ivf_topk")
+    ivf.collect()
+    val ivfPlan = planString(ivf)
+    assert(ivfPlan.contains("BroadcastHashJoin"),
+      s"IVF candidate join should broadcast probes:\n$ivfPlan")
+  }
+
   test("q22: event-time bucketing aggregates without a pre-shuffle sort") {
     val s = planString(q("q22_tumbling_window"))
     assert(s.contains("HashAggregate"), s"expected hash agg in:\n$s")
