@@ -712,7 +712,89 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47
+
+  /** Q45 — unpivot/melt (wide → long): four per-status contract sums
+    * melted into (status, metric, v) rows via `Dataset.unpivot`. The
+    * oracle spells the same reshape as a UNION ALL — two independent
+    * formulations of the melt.
+    */
+  private val q45: (String, Q, String) = (
+    "q45_unpivot",
+    (s: SparkSession, dir: String) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          moneySum(col("l_discount")).as("sum_disc"),
+          moneySum(col("l_tax")).as("sum_tax"))
+      wide.unpivot(
+          Array(col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+          "metric", "v")
+        .orderBy("l_linestatus", "metric")
+    },
+    s"""WITH wide AS (
+          SELECT l_linestatus,
+                 ${moneySumSql("l_quantity")} AS sum_qty,
+                 ${moneySumSql("l_extendedprice")} AS sum_price,
+                 ${moneySumSql("l_discount")} AS sum_disc,
+                 ${moneySumSql("l_tax")} AS sum_tax
+          FROM lineitem GROUP BY l_linestatus)
+        SELECT l_linestatus, metric, v FROM (
+          SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS v FROM wide
+          UNION ALL SELECT l_linestatus, 'sum_price', sum_price FROM wide
+          UNION ALL SELECT l_linestatus, 'sum_disc', sum_disc FROM wide
+          UNION ALL SELECT l_linestatus, 'sum_tax', sum_tax FROM wide) u
+        ORDER BY l_linestatus, metric""")
+
+  /** Q46 — time-series gap-fill (resample): the hourly event series with
+    * MISSING buckets zero-filled — `sequence()`+`explode` against a
+    * left join (Spark) vs `generate_series` (DuckDB). The dense axis is
+    * integer hour buckets, so the fill is exact on both engines.
+    */
+  private val q46: (String, Q, String) = (
+    "q46_gapfill",
+    (s: SparkSession, dir: String) => {
+      val counts = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("bucket", expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val series = counts.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      series.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("bucket")
+    },
+    """WITH counts AS (
+         SELECT epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n
+         FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+       series AS (
+         SELECT unnest(generate_series((SELECT MIN(bucket) FROM counts),
+                                       (SELECT MAX(bucket) FROM counts))) AS bucket)
+       SELECT s.bucket, COALESCE(c.n, 0) AS n
+       FROM series s LEFT JOIN counts c ON s.bucket = c.bucket
+       ORDER BY s.bucket""")
+
+  /** Q47 — histogram bucketing: fixed-width value bins with count and
+    * contract sum per bin. The bin id is `FLOOR(value / 25.0)` — one
+    * IEEE division + floor, identical on both engines (dodges
+    * width_bucket's engine-specific boundary conventions).
+    */
+  private val q47: (String, Q, String) = (
+    "q47_histogram",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("bin", floor(col("value") / lit(25.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sumv"))
+        .orderBy("bin")
+    },
+    s"""SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+          COUNT(*) AS n, ${moneySumSql("value")} AS sumv
+        FROM events WHERE value IS NOT NULL
+        GROUP BY bin ORDER BY bin""")
 
   /** Q43 — right outer join with a null-producing LEFT side (closes the
     * join matrix alongside Q07's left outer): only high-value orders
