@@ -92,6 +92,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: cross-batch duplicates dropped within watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    def writeBatch(n: Int, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "eus")
+        .select(col("doc_id"), col("text"), expr("timestamp_micros(eus)").as("ts"))
+        .coalesce(1).write.parquet(s"$dir/b$n")
+    // keep event times well past epoch 0: the initial watermark is 0,
+    // and a row AT the watermark is boundary-expired by the dedup state
+    def us(m: Int): Long = (24 * 3600L + m * 60L) * 1000000L
+    writeBatch(1, Seq((1L, "alpha", us(0)), (2L, "beta", us(10))))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // the L3 exact-dedup op lifted to a stream: state bounded by the
+    // watermark instead of unbounded key memory — the 100 TB posture
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/b*")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("text")
+      .select("doc_id", "text")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 3 re-sends "alpha" within the watermark → dropped;
+      // doc 4 is new
+      writeBatch(2, Seq((3L, "alpha", us(20)), (4L, "gamma", us(30))))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got == Set(1L -> "alpha", 2L -> "beta", 4L -> "gamma"),
+        s"duplicate text must be dropped across micro-batches, got $got")
+    } finally q.stop()
+  }
+
   test("true streaming run: readStream → tumbling agg → memory sink") {
     // ns-timestamp parquet arrives as long under nanosAsLong; declare the
     // file schema explicitly (required for readStream) and convert.
