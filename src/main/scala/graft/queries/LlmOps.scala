@@ -352,6 +352,48 @@ object LlmOps {
                            WHEN 'de' THEN 25 WHEN 'fr' THEN 25 ELSE 0 END
                ORDER BY doc_id""")),
 
+    // Decontamination (train/eval overlap): the pre-training hygiene op
+    // — eval documents sharing word-3-gram shingles with any train
+    // document are flagged with their overlap count. Fully relational:
+    // shingle equi-join + distinct + count, no pairwise text compare.
+    // Here train = even doc_id, eval = odd (a deterministic split of
+    // the corpus standing in for two real corpora).
+    ("text_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(docs(s, dir))
+        val trainSh = sh.filter(col("doc_id") % 2 === 0)
+          .select(col("sh")).distinct()
+        sh.filter(col("doc_id") % 2 === 1)
+          .join(trainSh, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+                 SELECT DISTINCT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
+               train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0)
+               SELECT e.doc_id, COUNT(*) AS n_shared
+               FROM sh e JOIN train t ON e.sh = t.sh
+               WHERE e.doc_id % 2 = 1
+               GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // PII-style scrubbing: digit runs redacted to a placeholder, with
+    // counts of redactions per doc and a fingerprint of the scrubbed
+    // text (both engines replace ALL matches — DuckDB needs the 'g'
+    // flag; the patterns stay in the regex subset both dialects share).
+    ("text_scrub",
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"),
+            md5(regexp_replace(col("text"), "[0-9]+", "<num>")).as("fp_scrubbed"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+                md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS fp_scrubbed
+              FROM documents ORDER BY doc_id""")),
+
     // TF-IDF-style most-characteristic term per doc, ln-free: rank by
     // (term frequency DESC, document frequency ASC, token ASC) — the
     // same ordering ln(tf)·ln(N/df) induces for ties-free data, but
