@@ -27,7 +27,21 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    run(left, right, on, leftTs, rightTs, rightVals, tolerance, fwd = false)
+
+  /** Forward as-of: attach the EARLIEST right row with right.ts ≥
+    * left.ts (inclusive — matches DuckDB `ASOF ... ON l.ts <= r.ts`).
+    * Same one-shuffle tagged-union shape, mirrored window frame.
+    */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    run(left, right, on, leftTs, rightTs, rightVals, tolerance, fwd = true)
+
+  private def run(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      tolerance: Option[Long], fwd: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(right.columns.contains), "missing right payload col")
 
@@ -57,9 +71,19 @@ object AsOfJoin {
         rightVals.map(c => col(s"__v_$c"))): _*)
       .unionByName(rAligned)
 
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward: right(0) sorts before left(1) at equal ts, and the
+    // preceding-frame last() sees it (inclusive ≤). Forward mirrors:
+    // left before right at equal ts, following-frame first() sees the
+    // exact-ts right row (inclusive ≥).
+    val w =
+      if (fwd)
+        Window.partitionBy(on.map(col): _*)
+          .orderBy(col("__t"), col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(on.map(col): _*)
+          .orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // ONE struct carries the matched right row's ts + ALL payload values,
     // taken with a single last(ignoreNulls): ts and payload always come
@@ -71,11 +95,15 @@ object AsOfJoin {
     val payload = when(col("__side") === 0,
       struct((col("__rt").as("__rt") +:
         rightVals.map(c => col(s"__v_$c").as(s"__v_$c"))): _*))
-    val matched = unioned.withColumn("__m", last(payload, ignoreNulls = true).over(w))
+    val matched = unioned.withColumn("__m",
+      (if (fwd) first(payload, ignoreNulls = true)
+       else last(payload, ignoreNulls = true)).over(w))
 
+    val gap =
+      if (fwd) col("__m.__rt") - col("__t")
+      else col("__t") - col("__m.__rt")
     val stale = tolerance match {
-      case Some(tol) =>
-        col("__m").isNull || (col("__t") - col("__m.__rt")) > tol
+      case Some(tol) => col("__m").isNull || gap > tol
       case None => col("__m").isNull
     }
 

@@ -712,7 +712,40 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48
+
+  /** Q48 — exact multi-percentile per group (percentile_disc without
+    * the engine's percentile function, whose interpolation conventions
+    * differ): rank selection at `ceil(p·n)` via pure integer
+    * arithmetic, one windowed pass joined to a literal percentile
+    * table so small groups can emit the same source row for several
+    * percentiles.
+    */
+  private val q48: (String, Q, String) = (
+    "q48_percentiles",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      val wc = Window.partitionBy("o_orderpriority")
+      val pcts = Seq(25, 50, 75, 90).toDF("pct")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .join(pcts, expr("rn = (cnt * pct + 99) div 100"))
+        .select(col("o_orderpriority"), col("pct"),
+          col("o_totalprice").as("v"))
+        .orderBy("o_orderpriority", "pct")
+    },
+    """SELECT o_orderpriority, pct, o_totalprice AS v FROM (
+         SELECT o_orderpriority, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         FROM orders) q
+       CROSS JOIN (VALUES (25), (50), (75), (90)) p(pct)
+       WHERE rn = (cnt * pct + 99) // 100
+       ORDER BY o_orderpriority, pct""")
 
   /** Q45 — unpivot/melt (wide → long): four per-status contract sums
     * melted into (status, metric, v) rows via `Dataset.unpivot`. The

@@ -279,6 +279,31 @@ object LlmOps {
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.event_id""")),
 
+    // Forward as-of join: each click picks up the NEXT purchase
+    // at-or-after it by the same user — the mirrored window frame of
+    // [[graft.operators.AsOfJoin.backward]]; oracle = DuckDB ASOF with
+    // the inequality flipped (l.ts <= r.ts).
+    ("asof_join_forward",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables(s, dir, "events")
+          .withColumn("eus", expr("unix_micros(cast(ts as timestamp))"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "eus")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "eus", "value")
+        graft.operators.AsOfJoin
+          .forward(clicks, purchases, on = Seq("user_id"),
+            leftTs = "eus", rightTs = "eus", rightVals = Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("value_asof").as("pval"), col("eus_asof").as("pts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, r.value AS pval, epoch_us(r.ts) AS pts
+              FROM (SELECT * FROM events WHERE event_type = 'click') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts <= r.ts
+              ORDER BY l.event_id""")),
+
     // Q32 — the custom TopKPerGroup physical operator (bounded heaps,
     // no sort — graft.plans) through the hash gate: same rows as the
     // window formulation, which is exactly what the oracle computes.

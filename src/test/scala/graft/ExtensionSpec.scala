@@ -62,6 +62,32 @@ class ExtensionSpec extends SparkSpec {
     assert(got(3) == (("B", 15L, None, None)))           // no quotes for B
   }
 
+  test("as-of join forward: next-at-or-after match incl. ties and no-match") {
+    val trades = Seq(
+      ("A", 10L, 1), ("A", 20L, 2), ("A", 30L, 3), ("B", 15L, 4))
+      .toDF("sym", "t", "qty")
+    val quotes = Seq(
+      ("A", 5L, 1.0), ("A", 20L, 2.0), ("A", 25L, 3.0), ("C", 1L, 9.0))
+      .toDF("sym", "t", "px")
+    val got = AsOfJoin
+      .forward(trades, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .orderBy("sym", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.toString.toLong),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got(0) == (("A", 10L, Some(20L), Some(2.0)))) // earliest ≥ 10
+    assert(got(1) == (("A", 20L, Some(20L), Some(2.0)))) // tie: inclusive
+    assert(got(2) == (("A", 30L, None, None)))           // nothing after 30
+    assert(got(3) == (("B", 15L, None, None)))           // no quotes for B
+    // forward tolerance bounds the LOOKAHEAD gap
+    val l = Seq(("A", 10L, 1)).toDF("k", "t", "x")
+    val r = Seq(("A", 100L, 7.0)).toDF("k", "t", "v")
+    assert(AsOfJoin.forward(l, r, Seq("k"), "t", "t", Seq("v"), Some(200L))
+      .collect()(0).getDouble(4) == 7.0)
+    assert(AsOfJoin.forward(l, r, Seq("k"), "t", "t", Seq("v"), Some(50L))
+      .collect()(0).isNullAt(4))
+  }
+
   test("as-of join tolerance nulls out stale matches") {
     val l = Seq(("A", 100L, 1)).toDF("k", "t", "x")
     val r = Seq(("A", 10L, 7.0)).toDF("k", "t", "v")
