@@ -10,13 +10,14 @@ import graft.queries.Contract.Q
   * pipeline surface — dedup, text analysis, fingerprinting, similarity,
   * multimodal — over the `documents` / `embeddings` tables.
   *
-  * Ops whose results are deterministic and SQL-expressible carry a DuckDB
-  * oracle. Minhash/simhash are pure integer pipelines on the md5-based
-  * [[graft.Canonical.xhash]] and the brute-force ANN ranks a quantized
-  * cosine built from exact integer sums — all three are hash-judged.
-  * Only genuinely FP-ranked ops (the raw-float LSH/IVF ANN variants and
-  * hyperplane-bucket embedding dedup) stay rows-only (SURVEY §2.4
-  * rationale) with tolerance/recall ScalaTests instead.
+  * Every op here is hash-judged. The signature pipelines (minhash,
+  * simhash) are pure integer programs on the md5-based
+  * [[graft.Canonical.xhash]]; the similarity family (brute/LSH/IVF ANN,
+  * embedding near-dup) runs under the quantized-integer contract —
+  * micro-unit quantization, md5-derived integer hyperplanes, exact
+  * integer centroid sums, one IEEE-op cosine — so buckets, candidates,
+  * and ranks are bit-reproducible in DuckDB. The raw-float variants
+  * remain as API surface with tolerance/recall ScalaTests (SURVEY §2.4).
   */
 object LlmOps {
 
