@@ -185,34 +185,42 @@ object Portable {
       case MaxOf(cn, al) => max(col(cn)).as(al)
     }
 
-    // ------------------------------------------------------------ duckdb
-    def toSql(rel: Rel): String = s"SELECT * FROM ${relSql(rel)}"
+    // --------------------------------------------------------- sql text
+    // ANSI core is shared; the dialects differ only in join keywords
+    // (DuckDB `SEMI JOIN`/`ANTI JOIN` vs Spark `LEFT SEMI JOIN`/`LEFT
+    // ANTI JOIN`). The Spark dialect makes the IR genuinely
+    // THREE-frontend — one tree runs as a DataFrame plan, as Spark SQL
+    // text, and as the DuckDB oracle (the reference's multi-frontend
+    // redundancy, SURVEY §2.1 totals note).
+    def toSql(rel: Rel): String = s"SELECT * FROM ${relSql(rel, spark = false)}"
+    def toSparkSql(rel: Rel): String =
+      s"SELECT * FROM ${relSql(rel, spark = true)}"
 
-    private def relSql(rel: Rel): String = rel match {
+    private def relSql(rel: Rel, spark: Boolean): String = rel match {
       case Scan(t) => t
       case Filter(in, p) =>
-        s"(SELECT * FROM ${relSql(in)} WHERE ${exprSql(p)})"
+        s"(SELECT * FROM ${relSql(in, spark)} WHERE ${exprSql(p)})"
       case Project(in, cols) =>
         val cs = cols.map { case (e, a) => s"${exprSql(e)} AS $a" }.mkString(", ")
-        s"(SELECT $cs FROM ${relSql(in)})"
+        s"(SELECT $cs FROM ${relSql(in, spark)})"
       case GroupAgg(in, keys, aggs) =>
         val sel = (keys ++ aggs.map(aggSql)).mkString(", ")
         val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
-        s"(SELECT $sel FROM ${relSql(in)}$grp)"
+        s"(SELECT $sel FROM ${relSql(in, spark)}$grp)"
       case Join(l, r, lk, rk, how) =>
         val kw = how match {
           case "inner" => "JOIN"
           case "left" => "LEFT JOIN"
           case "right" => "RIGHT JOIN"
           case "full" => "FULL JOIN"
-          case "semi" => "SEMI JOIN"
-          case "anti" => "ANTI JOIN"
+          case "semi" => if (spark) "LEFT SEMI JOIN" else "SEMI JOIN"
+          case "anti" => if (spark) "LEFT ANTI JOIN" else "ANTI JOIN"
         }
-        s"(SELECT * FROM ${relSql(l)} $kw ${relSql(r)} ON $lk = $rk)"
-      case Distinct(in) => s"(SELECT DISTINCT * FROM ${relSql(in)})"
+        s"(SELECT * FROM ${relSql(l, spark)} $kw ${relSql(r, spark)} ON $lk = $rk)"
+      case Distinct(in) => s"(SELECT DISTINCT * FROM ${relSql(in, spark)})"
       case Union(l, r, all) =>
         val kw = if (all) "UNION ALL" else "UNION"
-        s"(SELECT * FROM ${relSql(l)} $kw SELECT * FROM ${relSql(r)})"
+        s"(SELECT * FROM ${relSql(l, spark)} $kw SELECT * FROM ${relSql(r, spark)})"
       case WindowCol(in, pb, ob, fn, alias) =>
         val part = if (pb.isEmpty) "" else s"PARTITION BY ${pb.mkString(", ")} "
         val ord = ob.map { case (k, asc) =>
@@ -233,13 +241,13 @@ object Portable {
           case RunningMoneySum(_) => s"$fnSql $over AS DOUBLE) AS $alias"
           case _ => s"$fnSql $over AS $alias"
         }
-        s"(SELECT *, $expr FROM ${relSql(in)})"
+        s"(SELECT *, $expr FROM ${relSql(in, spark)})"
       case Sort(in, keys) =>
         val ks = keys.map { case (k, asc) =>
           s"$k ${if (asc) "ASC" else "DESC"} NULLS ${if (asc) "FIRST" else "LAST"}" }
           .mkString(", ")
-        s"(SELECT * FROM ${relSql(in)} ORDER BY $ks)"
-      case Limit(in, n) => s"(SELECT * FROM ${relSql(in)} LIMIT $n)"
+        s"(SELECT * FROM ${relSql(in, spark)} ORDER BY $ks)"
+      case Limit(in, n) => s"(SELECT * FROM ${relSql(in, spark)} LIMIT $n)"
     }
 
     private def exprSql(e: Expr): String = e match {

@@ -59,6 +59,20 @@ class PortableSpec extends SparkSpec {
     assert(dedup == 3 && bag == 2 * Tables(spark, sf, "orders").count())
   }
 
+  test("three frontends, one tree: DataFrame ≡ spark.sql(toSparkSql)") {
+    // register base tables once for the SQL-text frontend
+    Seq("orders", "customer").foreach(n =>
+      Tables(spark, sf, n).createOrReplaceTempView(n))
+    PortableQueries.all.foreach { case (name, rel) =>
+      val viaDf = Compile.toDataFrame(spark, sf, rel)
+      val viaSql = spark.sql(Compile.toSparkSql(rel))
+      assert(viaDf.columns.sameElements(viaSql.columns),
+        s"$name: column mismatch df=${viaDf.columns.mkString(",")} sql=${viaSql.columns.mkString(",")}")
+      assert(viaDf.collect().toSeq == viaSql.collect().toSeq,
+        s"$name: DataFrame and Spark-SQL frontends disagree")
+    }
+  }
+
   test("IR trees are plain data: reusable and composable") {
     val base = table("orders").where(Bin(">", c("o_totalprice"), LitNum(100000)))
     val a = base.groupBy("o_orderpriority")(CountAll("n"))
