@@ -11,8 +11,9 @@ import graft.{Canonical, Tables}
   * `taxi_pipeline.py:89-94` is built once and executed on both backends
   * at `:115-117` and `:140-147`).
   *
-  * A `Rel` tree compiles two ways:
+  * A `Rel` tree compiles three ways:
   *   - [[Compile.toDataFrame]] → a lazy Spark plan (Catalyst optimizes);
+  *   - [[Compile.toSparkSql]]  → Spark-dialect SQL text (`spark.sql`);
   *   - [[Compile.toSql]]       → DuckDB-dialect SQL (the oracle side).
   *
   * The aggregate vocabulary bakes in the cross-engine determinism
@@ -30,6 +31,12 @@ object Portable {
   final case class LitStr(v: String) extends Expr
   /** op ∈ > >= < <= = != and or + - * / */
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  /** Scalar function call, names restricted to [[Compile.scalarFns]] —
+    * the subset spelled and typed identically in both dialects.
+    */
+  final case class Fn(name: String, args: Seq[Expr]) extends Expr
+  /** to ∈ bigint | int | double | string (identical CAST semantics). */
+  final case class Cast(e: Expr, to: String) extends Expr
 
   // ------------------------------------------------------------------ aggs
   sealed trait Agg { def alias: String }
@@ -160,10 +167,28 @@ object Portable {
         case Limit(in, n) => toDataFrame(spark, sfDir, in).limit(n)
       }
 
+    /** Scalar functions admitted into the IR: same name, argument
+      * shape, and result type in Spark SQL and DuckDB. (Notable
+      * exclusions: `length`/`year` return INT on Spark vs BIGINT on
+      * DuckDB — admit them only under an explicit [[Cast]]; `round`
+      * on raw doubles differs in tie-breaking — the contract's
+      * decimal-based aggs handle rounding instead.)
+      */
+    val scalarFns: Set[String] = Set(
+      "upper", "lower", "substr", "concat", "trim", "abs", "floor",
+      "ceil", "coalesce", "length", "year", "month")
+
     private def exprCol(e: Expr): Column = e match {
       case Col(n) => col(n)
-      case LitNum(v) => lit(v)
+      // integral literals stay integral (the SQL renderer already
+      // prints them without a decimal point — keep the frontends typed
+      // alike)
+      case LitNum(v) => if (v == v.floor && v.abs < 1e15) lit(v.toLong) else lit(v)
       case LitStr(v) => lit(v)
+      case Fn(name, args) =>
+        require(scalarFns(name), s"function $name not in the portable subset")
+        call_function(name, args.map(exprCol): _*)
+      case Cast(x, to) => exprCol(x).cast(to)
       case Bin(op, l, r) =>
         val (a, b) = (exprCol(l), exprCol(r))
         op match {
@@ -199,9 +224,9 @@ object Portable {
     private def relSql(rel: Rel, spark: Boolean): String = rel match {
       case Scan(t) => t
       case Filter(in, p) =>
-        s"(SELECT * FROM ${relSql(in, spark)} WHERE ${exprSql(p)})"
+        s"(SELECT * FROM ${relSql(in, spark)} WHERE ${exprSql(p, spark)})"
       case Project(in, cols) =>
-        val cs = cols.map { case (e, a) => s"${exprSql(e)} AS $a" }.mkString(", ")
+        val cs = cols.map { case (e, a) => s"${exprSql(e, spark)} AS $a" }.mkString(", ")
         s"(SELECT $cs FROM ${relSql(in, spark)})"
       case GroupAgg(in, keys, aggs) =>
         val sel = (keys ++ aggs.map(aggSql)).mkString(", ")
@@ -250,15 +275,25 @@ object Portable {
       case Limit(in, n) => s"(SELECT * FROM ${relSql(in, spark)} LIMIT $n)"
     }
 
-    private def exprSql(e: Expr): String = e match {
+    private def exprSql(e: Expr, spark: Boolean): String = e match {
       case Col(n) => n
       case LitNum(v) => if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString
       case LitStr(v) => s"'${v.replace("'", "''")}'"
+      case Fn(name, args) =>
+        require(scalarFns(name), s"function $name not in the portable subset")
+        s"$name(${args.map(exprSql(_, spark)).mkString(", ")})"
+      case Cast(x, to) =>
+        val t = to match {
+          case "bigint" => "BIGINT"; case "int" => "INTEGER"
+          case "double" => "DOUBLE"
+          case "string" => if (spark) "STRING" else "VARCHAR"
+        }
+        s"CAST(${exprSql(x, spark)} AS $t)"
       case Bin(op, l, r) =>
         val o = op match {
           case "and" => "AND"; case "or" => "OR"; case "!=" => "<>"; case x => x
         }
-        s"(${exprSql(l)} $o ${exprSql(r)})"
+        s"(${exprSql(l, spark)} $o ${exprSql(r, spark)})"
     }
 
     private def aggSql(a: Agg): String = a match {

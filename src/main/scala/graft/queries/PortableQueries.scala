@@ -105,6 +105,23 @@ object PortableQueries {
         CountAll("n"), Avg4("o_totalprice", "avg_price"))
       .orderBy("o_orderpriority" -> true)
 
+  /** Scalar-function vocabulary through the IR: string, date-part, and
+    * math functions from the cross-dialect subset, with explicit casts
+    * where the engines' native widths differ (year/length are INT on
+    * Spark, BIGINT on DuckDB).
+    */
+  val scalarFns: Rel =
+    table("orders")
+      .where(Bin("<", c("o_orderkey"), LitNum(2000)))
+      .select(
+        c("o_orderkey") -> "k",
+        Fn("upper", Seq(Fn("substr", Seq(c("o_orderpriority"), LitNum(3), LitNum(6))))) -> "pname",
+        Cast(Fn("year", Seq(c("o_orderdate"))), "bigint") -> "yr",
+        Cast(Fn("length", Seq(c("o_orderpriority"))), "bigint") -> "prio_len",
+        Cast(Fn("floor", Seq(Bin("/", c("o_totalprice"), LitNum(1000)))), "bigint") -> "kprice",
+        Fn("coalesce", Seq(Fn("trim", Seq(c("o_orderstatus"))), LitStr(""))) -> "st")
+      .orderBy("k" -> true)
+
   val all: Seq[(String, Rel)] = Seq(
     "portable_ref_query" -> refQuery,
     "portable_join_agg" -> joinAgg,
@@ -113,6 +130,7 @@ object PortableQueries {
     "portable_union_having" -> unionHaving,
     "portable_anti_running" -> antiRunning,
     "portable_semi_distinct" -> semiDistinct,
+    "portable_scalar_fns" -> scalarFns,
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
