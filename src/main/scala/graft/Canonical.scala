@@ -28,6 +28,18 @@ object Canonical {
   /** Deterministic 4-dp AVG per the contract (§2.4 rule 3). */
   def avg4(c: Column): Column = round(sum(dec(c)).cast("double") / count(c), 4)
 
+  /** Exact SUM of `price·(1−disc)` — the TPC-H revenue shape. The raw
+    * decimal product carries scale 8, which at sf≥0.1 pushes the exact
+    * sum past 2⁵³ where DuckDB's int128→double cast and Spark's
+    * Decimal.toDouble round DIFFERENTLY. Money inputs have ≤2 real
+    * decimals, so the product has ≤4 — casting it back to DECIMAL(18,4)
+    * before SUM is LOSSLESS (spec-asserted) and keeps the final double
+    * cast exact at any judged scale.
+    */
+  def revenueSum(price: Column, disc: Column): Column =
+    sum((dec(price) * (lit(1) - dec(disc))).cast(DecimalType(18, 4)))
+      .cast("double")
+
   /** Oracle-side (DuckDB SQL) spellings of the same three helpers; kept
     * here so engine and oracle formulations evolve together.
     */
@@ -35,6 +47,8 @@ object Canonical {
   def moneySumSql(x: String): String = s"CAST(SUM(${decSql(x)}) AS DOUBLE)"
   def avg4Sql(x: String): String =
     s"ROUND(CAST(SUM(${decSql(x)}) AS DOUBLE) / COUNT($x), 4)"
+  def revenueSumSql(p: String, d: String): String =
+    s"CAST(SUM(CAST(${decSql(p)} * (1 - ${decSql(d)}) AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** 60-bit cross-engine hash: first 15 hex chars of md5 as a BIGINT.
     * Unlike xxhash64 (Spark-only), md5 is identical everywhere, so

@@ -80,15 +80,15 @@ object Contract {
           .agg(
             moneySum(col("l_quantity")).as("sum_qty"),
             moneySum(col("l_extendedprice")).as("sum_base"),
-            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-              .cast("double").as("sum_disc_price"),
+            Canonical.revenueSum(col("l_extendedprice"), col("l_discount"))
+              .as("sum_disc_price"),
             avg4(col("l_quantity")).as("avg_qty"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus"),
       s"""SELECT l_returnflag, l_linestatus,
             ${moneySumSql("l_quantity")} AS sum_qty,
             ${moneySumSql("l_extendedprice")} AS sum_base,
-            CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE) AS sum_disc_price,
+            ${Canonical.revenueSumSql("l_extendedprice", "l_discount")} AS sum_disc_price,
             ${avg4Sql("l_quantity")} AS avg_qty,
             COUNT(*) AS n
           FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -113,12 +113,12 @@ object Contract {
           .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
           .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderkey")
-          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
+          .agg(Canonical.revenueSum(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10),
       s"""SELECT o_orderkey,
-            CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE) AS revenue
+            ${Canonical.revenueSumSql("l_extendedprice", "l_discount")} AS revenue
           FROM customer JOIN orders ON c_custkey = o_custkey
                         JOIN lineitem ON o_orderkey = l_orderkey
           WHERE c_mktsegment = 'BUILDING'
@@ -481,8 +481,13 @@ object Contract {
         o.groupBy("o_orderpriority")
           .agg(
             n.as("n"),
-            (varCents / 10000.0).as("variance"),
-            (sqrt(varCents) / 100.0).as("stddev"),
+            // §2.4 rule 3: the squared-cents sums exceed 2⁵³ at sf≥0.1,
+            // where the two engines' int128/decimal→double casts round
+            // differently at the last ulp — the statistic itself is
+            // stable to ~1e-10 relative, so the final doubles are
+            // ROUND(x, 4) like every other free double in the contract
+            round(varCents / 10000.0, 4).as("variance"),
+            round(sqrt(varCents) / 100.0, 4).as("stddev"),
             // Array outputs crash the driver's pandas-based hasher
             // ("unhashable type: numpy.ndarray") — emit the key list as a
             // canonical comma-joined string on both sides instead.
@@ -494,12 +499,12 @@ object Contract {
                 CAST(ROUND(o_totalprice * 100) AS DECIMAL(18,0)) AS cents
               FROM orders)
           SELECT o_orderpriority, COUNT(cents) AS n,
-            ((CAST(SUM(cents * cents) AS DOUBLE)
+            ROUND(((CAST(SUM(cents * cents) AS DOUBLE)
               - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / COUNT(cents))
-             / (COUNT(cents) - 1)) / 10000.0 AS variance,
-            SQRT((CAST(SUM(cents * cents) AS DOUBLE)
+             / (COUNT(cents) - 1)) / 10000.0, 4) AS variance,
+            ROUND(SQRT((CAST(SUM(cents * cents) AS DOUBLE)
               - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / COUNT(cents))
-             / (COUNT(cents) - 1)) / 100.0 AS stddev,
+             / (COUNT(cents) - 1)) / 100.0, 4) AS stddev,
             array_to_string((list_sort(list(o_orderkey)))[1:3], ',') AS first_keys
           FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
 

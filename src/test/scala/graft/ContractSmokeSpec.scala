@@ -19,6 +19,17 @@ class ContractSmokeSpec extends SparkSpec {
     }
   }
 
+  test("revenueSum premise: price·(1−disc) is lossless at DECIMAL(18,4)") {
+    import org.apache.spark.sql.functions._
+    import graft.Canonical.dec
+    val li = Tables(spark, sf, "lineitem")
+    val prod = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    val lossy = li.filter(
+      prod.cast(org.apache.spark.sql.types.DecimalType(18, 4)) =!= prod).count()
+    assert(lossy == 0,
+      s"$lossy rows lose precision at scale 4 — revenueSum contract broken")
+  }
+
   test("oracleSql keys are a subset of queries keys with matching columns contract") {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
