@@ -640,8 +640,12 @@ object Contract {
         val sxy = sum(col("x") * col("y")).cast("double")
         li.groupBy("l_returnflag")
           .agg(n.as("n"),
-            ((n * sxy - sx * sy) /
-              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_xy"))
+            // §2.4 rule 3: the squared-cent sums pass 2⁵³ at sf≥0.1
+            // (engine-dependent last-ulp double casts, same hazard q27
+            // hit) — the O(1) statistic is stable far beyond 4 dp, so
+            // the output is rounded like every free double
+            round((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4).as("corr_xy"))
           .orderBy("l_returnflag")
       },
       """WITH c AS (SELECT l_returnflag,
@@ -649,12 +653,12 @@ object Contract {
                 CAST(ROUND(l_quantity) AS DECIMAL(19,0)) AS y
               FROM lineitem)
           SELECT l_returnflag, COUNT(*) AS n,
-            (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+            ROUND((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
             / SQRT((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
                    * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
-                     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS corr_xy
+                     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))), 4) AS corr_xy
           FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // Q35 — edit distance (both engines implement exact Levenshtein).
