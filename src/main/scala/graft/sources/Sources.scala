@@ -19,6 +19,15 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC — the second columnar format Spark ships natively (predicate
+    * pushdown + column pruning work the same as parquet).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

@@ -117,6 +117,23 @@ class ExtensionSpec extends SparkSpec {
       jsonBack.columns.sorted.sameElements(orders.columns.sorted))
   }
 
+  test("orc source: lossless round-trip, filter pushdown reaches the scan") {
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/orders"
+    Sources.writeOrc(orders, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // scale posture holds for the second columnar format too
+    val plan = back.filter(col("o_totalprice") > 100000)
+      .select("o_orderkey").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"),
+      s"ORC pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"ORC pruning missing:\n$plan")
+  }
+
   test("cloud storage API shape: one reader path, connector-gated schemes") {
     // local filesystem resolves; object-store schemes need connector
     // jars that the offline build intentionally does not bundle
