@@ -108,6 +108,22 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
     report("exported") = out.count()
     staged.foreach(_.unpersist(blocking = false))
     staged.clear()
+    reportPath.foreach(writeReport)
     out
+  }
+
+  /** Optional one-file JSON funnel report (stage → doc count), the
+    * corpus-pipeline analogue of [[Pipeline.runReportJson]].
+    */
+  var reportPath: Option[String] = None
+
+  private def writeReport(path: String): Unit = {
+    val stages = report.map { case (k, v) => s"""{"stage":"$k","docs":$v}""" }
+      .mkString("[", ",", "]")
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      (s"""{"stages":$stages}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

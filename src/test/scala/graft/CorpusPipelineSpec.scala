@@ -33,7 +33,15 @@ class CorpusPipelineSpec extends SparkSpec {
 
     val p2 = new CorpusPipeline(sf,
       Files.createTempDirectory("corpus_out2").toString + "/corpus")
+    val repPath = Files.createTempDirectory("corpus_rep").resolve("funnel.json").toString
+    p2.reportPath = Some(repPath)
     p2.run(spark)
     assert(p2.report == r, "pipeline must be deterministic")
+    // funnel report artifact is written and machine-readable
+    val rep = spark.read.json(repPath)
+    val stages = rep.selectExpr("explode(stages) as s")
+      .select("s.stage", "s.docs").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(stages == r.toMap)
   }
 }
