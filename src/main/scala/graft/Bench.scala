@@ -25,6 +25,10 @@ object Bench {
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -43,27 +47,45 @@ object Bench {
     // then the timed run — steady-state plan cost, which is what scales;
     // cold-start costs amortize across a real workload. A GC between
     // queries keeps one query's allocation debt from being collected
-    // inside the next query's timed window (62 queries × 2 executions
-    // in one JVM otherwise time GC, not plans).
+    // inside the next query's timed window, and clearCache() releases
+    // intermediates queries persist (76 queries × 2 executions in one
+    // JVM otherwise time GC and cache eviction, not plans). Per-query
+    // GC-time delta is recorded so a slow query can be attributed to
+    // collection pressure vs plan cost from the metrics line alone.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
       exec(n)
+      spark.catalog.clearCache()
       System.gc()
-      n -> exec(n)
+      val g0 = gcMillis()
+      val t = exec(n)
+      val g = gcMillis() - g0
+      spark.catalog.clearCache()
+      (n, t, g)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver's tail-parse, plus a file for a prefix-proof
-    // channel (sbt wraps logged stdout in "[info] " — round 1's line was
-    // unparseable that way).
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+    // Channels, most- to least-robust: a file (BENCH_OUT), stderr, and
+    // stdout BEFORE the Spark shutdown noise plus again as the very
+    // last line — the driver's stdout tail-parse has failed two rounds
+    // running ("parsed": null), so the line is emitted everywhere a
+    // parser could plausibly look.
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(line)
+    System.out.flush()
     spark.stop()
+    println(line)
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
   }
 }

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries may persist shared intermediates (e.g. the ngram
+      // inverted index); release them so 76 queries in one JVM don't
+      // accumulate cache
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

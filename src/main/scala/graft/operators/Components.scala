@@ -49,10 +49,13 @@ object Components {
     import spark.implicits._
     // materialize the edge set ONCE — the pair graph may be the output
     // of an expensive similarity query, and the loop touches it every
-    // round
-    val edges0 = pairs
+    // round. `pairs` itself is persisted first: it appears on BOTH sides
+    // of the symmetrizing union, which would otherwise execute the full
+    // upstream similarity pipeline twice.
+    val pairsP = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges0 = pairsP
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionAll(pairs
+      .unionAll(pairsP
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .as[(Long, Long)].rdd
@@ -68,6 +71,7 @@ object Components {
     ckpt(edges, spark)
     edges.count()
     edges0.unpersist(blocking = false)
+    pairsP.unpersist(blocking = false)
 
     var lab = edges.keys.distinct(parts).map(id => (id, id))
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)

@@ -41,15 +41,18 @@ object Dedup {
       .select("keep_id", "n")
 
   /** n-gram Jaccard near-dup pairs, fully relational: stop-shingles
-    * pruned by document frequency, per-doc sizes computed ONCE as a tiny
-    * aggregate and joined to the (far smaller) pair frame after the
-    * self-join — not window-attached to both join inputs. Pairs only
-    * materialize for docs sharing ≥1 surviving shingle, so the shuffle
-    * is bounded by shingle co-occurrence, never O(n²).
+    * pruned by document frequency, per-doc sizes computed ONCE from the
+    * (persisted) inverted index, pairs generated in-list — no self-join,
+    * no O(n²) cross product. Pairs only materialize for docs sharing ≥1
+    * surviving shingle, so the shuffle is bounded by co-occurrence.
+    *
+    * `shingled` may contain duplicate (doc, shingle) rows — dedup
+    * happens inside the index aggregation (collect_set), so callers
+    * should pass RAW exploded shingles and skip the distinct shuffle.
     *
     * @param maxDocFreq drop shingles appearing in more than this many
     *   docs ("stop-shingles"). At corpus scale a single ubiquitous
-    *   shingle makes the self-join quadratic on that key — a genuine
+    *   shingle makes pair generation quadratic on that key — a genuine
     *   scale-killer — while near-dup pairs share *rare* shingles, so the
     *   cap trades no meaningful recall. Defaulted (1000) rather than
     *   opt-in; `None` disables for exact small-corpus comparisons.
@@ -58,29 +61,38 @@ object Dedup {
   def ngramJaccardPairs(shingled: DataFrame, docCol: String, shCol: String,
       minJac: Double, maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     // ONE aggregation inverts (doc, shingle) to (shingle, sorted doc
-    // list) — from it, the cap is a plain filter (no hot-list broadcast
-    // anti-join), per-doc sizes are an explode+count, and co-occurrence
-    // pairs are generated by exploding in-list combinations instead of
-    // a self-join. Net: the (expensive) shingle pipeline executes twice
-    // (pairs + sizes) instead of 6+ times — the self-join formulation
-    // recomputed it per join input and per hot-list broadcast, and
-    // exchange reuse does not fire across those differing projections.
-    // The list is sorted, so within-list combinations are (a < b) by
-    // construction; memory per row is bounded by the cap (k docs ⇒
-    // k(k-1)/2 structs, ~8 MB at the default 1000).
-    val byShingle0 = shingled.groupBy(col(shCol)).agg(
-      sort_array(collect_list(col(docCol))).as("ds"), count(lit(1)).as("__df"))
-    val byShingle = maxDocFreq.fold(byShingle0)(cap =>
-      byShingle0.filter(col("__df") <= cap)).select("ds")
+    // SET) — collect_set dedups in the aggregation buffer (map-side
+    // partials combine), so the input needs NO prior distinct: the
+    // usual extra shuffle on (doc, shingle) is gone and raw exploded
+    // shingles feed the index directly. The df-cap is then a plain
+    // size filter on the set (set size ≡ count of distinct docs).
+    // (A window-count formulation that filters hot rows before
+    // list-building was measured 7× slower here: WindowExec's
+    // per-group buffer machinery collapses under millions of tiny
+    // shingle partitions.) The index is PERSISTED: the sizes and pairs
+    // branches both read it, so the (expensive) upstream shingle
+    // pipeline executes exactly once. Callers that materialize the
+    // result (bench/verify) clear the cache between queries.
+    val byShingle = shingled.groupBy(col(shCol))
+      .agg(sort_array(collect_set(col(docCol))).as("ds"))
+      .filter(maxDocFreq.fold(lit(true))(cap => size(col("ds")) <= cap))
+      .select("ds")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = byShingle.select(explode(col("ds")).as("__doc"))
       .groupBy("__doc").agg(count(lit(1)).as("__c"))
+    // Two-level pair generation: posexplode picks the anchor, a second
+    // explode walks the strictly-after tail slice. Allocation per output
+    // row is O(k) (one tail slice ≤ cap), never the k(k-1)/2 struct
+    // array a flatten(transform(transform)) builds in ONE row (~8 MB at
+    // cap 1000 — measured GC-bound in long-lived benchmark JVMs). Rows
+    // stream through two Generate operators inside whole-stage codegen.
+    // The list is sorted, so (anchor, tail element) is (a < b) by
+    // construction.
     val pairs = byShingle
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds)), y -> struct(x, y))))"""))
-        .as("p"))
-      .select(col("p.x").as("a_id"), col("p.y").as("b_id"))
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("a_id"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared"))
     pairs

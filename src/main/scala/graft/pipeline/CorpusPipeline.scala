@@ -90,7 +90,7 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
 
     // near-dup dedup: Jaccard pairs → components → drop non-canonical
     val pairs = Dedup.ngramJaccardPairs(
-      LlmOps.shingles(exactKept), "doc_id", "sh", nearDupJac)
+      LlmOps.shinglesRaw(exactKept), "doc_id", "sh", nearDupJac)
     val comps = Components.connectedComponents(spark, pairs, "a_id", "b_id")
     val nearKept = note("near_dedup",
       exactKept.join(comps.filter(col("id") =!= col("comp"))

@@ -28,13 +28,19 @@ object LlmOps {
     * n-gram Jaccard, minhash, and winnowing fingerprints. Relational
     * (explode → distinct), so it scales as a shuffle, not a UDF loop.
     */
-  def shingles(d: DataFrame): DataFrame =
+  def shingles(d: DataFrame): DataFrame = shinglesRaw(d).distinct()
+
+  /** [[shingles]] without the distinct — NO shuffle at all (narrow
+    * explode off the scan). Consumers whose first aggregation dedups
+    * anyway (collect_set indexes, MIN-permutation sketches) should take
+    * this and save the (doc, shingle) exchange.
+    */
+  def shinglesRaw(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("sh"))
-      .distinct()
 
   /** Oracle-side spelling of [[shingles]] (DuckDB list ops). */
   val shinglesSql: String =
@@ -64,7 +70,7 @@ object LlmOps {
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>
         graft.operators.Dedup
-          .ngramJaccardPairs(shingles(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
+          .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
           .orderBy("a_id", "b_id"),
       Some(s"""WITH sh AS (
                  SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
@@ -331,7 +337,7 @@ object LlmOps {
     ("dedup_components",
       (s: SparkSession, dir: String) => {
         val pairs = graft.operators.Dedup
-          .ngramJaccardPairs(shingles(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
+          .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
         graft.operators.Components
           .connectedComponents(s, pairs, "a_id", "b_id")
           .orderBy("id")

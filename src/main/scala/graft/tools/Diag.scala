@@ -16,11 +16,16 @@ object Diag {
         "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding")
     val spark = Engine.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     names.foreach { n =>
+      // mirror Bench: untimed warm run, clear persisted intermediates +
+      // GC, then the timed run
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        t
       }
       println(f"[diag] $n%-24s cold ${times(0)}%6.2f s  warm ${times(1)}%6.2f s")
     }
