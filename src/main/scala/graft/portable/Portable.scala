@@ -35,8 +35,20 @@ object Portable {
     * the subset spelled and typed identically in both dialects.
     */
   final case class Fn(name: String, args: Seq[Expr]) extends Expr
-  /** to ∈ bigint | int | double | string (identical CAST semantics). */
+  /** to ∈ bigint | int | double | string | date (identical CAST
+    * semantics). */
   final case class Cast(e: Expr, to: String) extends Expr
+  /** CASE WHEN b₁ THEN v₁ … ELSE otherwise END. */
+  final case class Case(branches: Seq[(Expr, Expr)], otherwise: Expr) extends Expr
+  final case class IsNull(e: Expr) extends Expr
+  final case class IsNotNull(e: Expr) extends Expr
+  /** Whole days from `start` to `end`, BIGINT on both backends. Encodes
+    * the classic cross-dialect hazard ONCE: Spark spells it
+    * `datediff(end, start)` (2 args, end first) while DuckDB spells it
+    * `date_diff('day', start, end)` (3 args, start first) — an IR user
+    * never sees the divergence.
+    */
+  final case class DateDiffDays(end: Expr, start: Expr) extends Expr
 
   // ------------------------------------------------------------------ aggs
   sealed trait Agg { def alias: String }
@@ -48,6 +60,20 @@ object Portable {
   final case class Avg4(col: String, alias: String) extends Agg
   final case class MinOf(col: String, alias: String) extends Agg
   final case class MaxOf(col: String, alias: String) extends Agg
+  /** Plain SUM for integral columns — exact, BIGINT on both backends
+    * (DuckDB widens BIGINT sums to HUGEINT; the cast restores the lane).
+    */
+  final case class SumOf(col: String, alias: String) extends Agg
+  /** Plain average of an integral column: exact integer sum, then ONE
+    * IEEE division — bit-identical across engines (a naive AVG()
+    * accumulates in engine-specific float order).
+    */
+  final case class AvgOf(col: String, alias: String) extends Agg
+  /** Sample stddev of a money column under the §2.4 contract: exact
+    * decimal cents sums, the two-pass-free textbook formula evaluated
+    * in doubles, rule-3 ROUND(x, 4) on the output.
+    */
+  final case class StddevMoney4(col: String, alias: String) extends Agg
 
   // --------------------------------------------------------------- windows
   /** Window-function vocabulary. Determinism contract: the window's
@@ -73,9 +99,12 @@ object Portable {
   final case class GroupAgg(in: Rel, keys: Seq[String], aggs: Seq[Agg]) extends Rel
   /** how ∈ inner | left | right | full | semi | anti. Inner/outer joins
     * keep both key columns (identical `SELECT *` semantics on both
-    * backends); semi/anti keep only the left side's columns.
+    * backends); semi/anti keep only the left side's columns. `keys` is
+    * a conjunction of (leftCol, rightCol) equalities — names must
+    * differ across sides (rename in a Project first), keeping the
+    * DataFrame compile free of ambiguous-column traps.
     */
-  final case class Join(l: Rel, r: Rel, lk: String, rk: String,
+  final case class Join(l: Rel, r: Rel, keys: Seq[(String, String)],
       how: String = "inner") extends Rel
   final case class Distinct(in: Rel) extends Rel
   /** Positional union (both branches come from one tree, so positions
@@ -97,12 +126,14 @@ object Portable {
     def groupBy(keys: String*)(aggs: Agg*): Rel = GroupAgg(r, keys, aggs)
     /** HAVING is Filter-over-GroupAgg — same tree, named for intent. */
     def having(pred: Expr): Rel = Filter(r, pred)
-    def join(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk)
-    def leftJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "left")
-    def rightJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "right")
-    def fullJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "full")
-    def semiJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "semi")
-    def antiJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, lk, rk, "anti")
+    def join(other: Rel, lk: String, rk: String): Rel = Join(r, other, Seq(lk -> rk))
+    def leftJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, Seq(lk -> rk), "left")
+    def rightJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, Seq(lk -> rk), "right")
+    def fullJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, Seq(lk -> rk), "full")
+    def semiJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, Seq(lk -> rk), "semi")
+    def antiJoin(other: Rel, lk: String, rk: String): Rel = Join(r, other, Seq(lk -> rk), "anti")
+    /** Multi-key equi-join: conjunction of (leftCol, rightCol) pairs. */
+    def joinOn(other: Rel, keys: (String, String)*): Rel = Join(r, other, keys)
     def distinct: Rel = Distinct(r)
     def union(other: Rel): Rel = Union(r, other, all = false)
     def unionAll(other: Rel): Rel = Union(r, other, all = true)
@@ -129,14 +160,16 @@ object Portable {
           val cols = aggs.map(aggCol)
           if (keys.isEmpty) df.agg(cols.head, cols.tail: _*)
           else df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
-        case Join(l, r, lk, rk, how) =>
+        case Join(l, r, keys, how) =>
           val sparkHow = how match {
             case "semi" => "left_semi"
             case "anti" => "left_anti"
             case h => h
           }
+          val cond = keys.map { case (lk, rk) => col(lk) === col(rk) }
+            .reduce(_ && _)
           toDataFrame(spark, sfDir, l)
-            .join(toDataFrame(spark, sfDir, r), col(lk) === col(rk), sparkHow)
+            .join(toDataFrame(spark, sfDir, r), cond, sparkHow)
         case Distinct(in) => toDataFrame(spark, sfDir, in).distinct()
         case Union(l, r, all) =>
           val u = toDataFrame(spark, sfDir, l).union(toDataFrame(spark, sfDir, r))
@@ -176,7 +209,8 @@ object Portable {
       */
     val scalarFns: Set[String] = Set(
       "upper", "lower", "substr", "concat", "trim", "abs", "floor",
-      "ceil", "coalesce", "length", "year", "month")
+      "ceil", "coalesce", "length", "year", "month",
+      "replace", "lpad", "rpad", "nullif", "split_part", "date_trunc")
 
     private def exprCol(e: Expr): Column = e match {
       case Col(n) => col(n)
@@ -189,6 +223,17 @@ object Portable {
         require(scalarFns(name), s"function $name not in the portable subset")
         call_function(name, args.map(exprCol): _*)
       case Cast(x, to) => exprCol(x).cast(to)
+      case Case(branches, otherwise) =>
+        branches.tail
+          .foldLeft(when(exprCol(branches.head._1), exprCol(branches.head._2))) {
+            case (acc, (p, v)) => acc.when(exprCol(p), exprCol(v))
+          }
+          .otherwise(exprCol(otherwise))
+      case IsNull(x) => exprCol(x).isNull
+      case IsNotNull(x) => exprCol(x).isNotNull
+      // Spark: datediff(end, start), INT → widen to the contract lane
+      case DateDiffDays(end, start) =>
+        datediff(exprCol(end), exprCol(start)).cast("long")
       case Bin(op, l, r) =>
         val (a, b) = (exprCol(l), exprCol(r))
         op match {
@@ -208,6 +253,17 @@ object Portable {
       case Avg4(cn, al) => Canonical.avg4(col(cn)).as(al)
       case MinOf(cn, al) => min(col(cn)).as(al)
       case MaxOf(cn, al) => max(col(cn)).as(al)
+      case SumOf(cn, al) => sum(col(cn)).cast("bigint").as(al)
+      case AvgOf(cn, al) =>
+        (sum(col(cn)).cast("double") / count(col(cn))).as(al)
+      case StddevMoney4(cn, al) =>
+        // q27's contract formulation: exact decimal cents sums, the
+        // one-pass variance identity in doubles, ROUND(x, 4)
+        val cents = round(col(cn) * 100).cast("decimal(18,0)")
+        val sumsq = sum(cents * cents).cast("double")
+        val sumc = sum(cents).cast("double")
+        val n = count(cents)
+        round(sqrt((sumsq - sumc * sumc / n) / (n - lit(1))) / 100.0, 4).as(al)
     }
 
     // --------------------------------------------------------- sql text
@@ -232,7 +288,7 @@ object Portable {
         val sel = (keys ++ aggs.map(aggSql)).mkString(", ")
         val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
         s"(SELECT $sel FROM ${relSql(in, spark)}$grp)"
-      case Join(l, r, lk, rk, how) =>
+      case Join(l, r, keys, how) =>
         val kw = how match {
           case "inner" => "JOIN"
           case "left" => "LEFT JOIN"
@@ -241,7 +297,8 @@ object Portable {
           case "semi" => if (spark) "LEFT SEMI JOIN" else "SEMI JOIN"
           case "anti" => if (spark) "LEFT ANTI JOIN" else "ANTI JOIN"
         }
-        s"(SELECT * FROM ${relSql(l, spark)} $kw ${relSql(r, spark)} ON $lk = $rk)"
+        val on = keys.map { case (lk, rk) => s"$lk = $rk" }.mkString(" AND ")
+        s"(SELECT * FROM ${relSql(l, spark)} $kw ${relSql(r, spark)} ON $on)"
       case Distinct(in) => s"(SELECT DISTINCT * FROM ${relSql(in, spark)})"
       case Union(l, r, all) =>
         val kw = if (all) "UNION ALL" else "UNION"
@@ -285,10 +342,22 @@ object Portable {
       case Cast(x, to) =>
         val t = to match {
           case "bigint" => "BIGINT"; case "int" => "INTEGER"
-          case "double" => "DOUBLE"
+          case "double" => "DOUBLE"; case "date" => "DATE"
           case "string" => if (spark) "STRING" else "VARCHAR"
         }
         s"CAST(${exprSql(x, spark)} AS $t)"
+      case Case(branches, otherwise) =>
+        val whens = branches
+          .map { case (p, v) => s"WHEN ${exprSql(p, spark)} THEN ${exprSql(v, spark)}" }
+          .mkString(" ")
+        s"(CASE $whens ELSE ${exprSql(otherwise, spark)} END)"
+      case IsNull(x) => s"(${exprSql(x, spark)} IS NULL)"
+      case IsNotNull(x) => s"(${exprSql(x, spark)} IS NOT NULL)"
+      case DateDiffDays(end, start) =>
+        if (spark)
+          s"CAST(datediff(${exprSql(end, spark)}, ${exprSql(start, spark)}) AS BIGINT)"
+        else
+          s"date_diff('day', ${exprSql(start, spark)}, ${exprSql(end, spark)})"
       case Bin(op, l, r) =>
         val o = op match {
           case "and" => "AND"; case "or" => "OR"; case "!=" => "<>"; case x => x
@@ -303,6 +372,14 @@ object Portable {
       case Avg4(cn, al) => s"${Canonical.avg4Sql(cn)} AS $al"
       case MinOf(cn, al) => s"MIN($cn) AS $al"
       case MaxOf(cn, al) => s"MAX($cn) AS $al"
+      case SumOf(cn, al) => s"CAST(SUM($cn) AS BIGINT) AS $al"
+      case AvgOf(cn, al) =>
+        s"(CAST(SUM($cn) AS DOUBLE) / COUNT($cn)) AS $al"
+      case StddevMoney4(cn, al) =>
+        val cts = s"CAST(ROUND($cn * 100) AS DECIMAL(18,0))"
+        s"""ROUND(SQRT((CAST(SUM($cts * $cts) AS DOUBLE)
+           |  - CAST(SUM($cts) AS DOUBLE) * CAST(SUM($cts) AS DOUBLE) / COUNT($cts))
+           | / (COUNT($cts) - 1)) / 100.0, 4) AS $al""".stripMargin.replaceAll("\n", " ")
     }
   }
 }

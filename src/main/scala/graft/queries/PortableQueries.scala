@@ -122,6 +122,73 @@ object PortableQueries {
         Fn("coalesce", Seq(Fn("trim", Seq(c("o_orderstatus"))), LitStr(""))) -> "st")
       .orderBy("k" -> true)
 
+  /** CASE/WHEN + IS [NOT] NULL through a null-producing left join, with
+    * the plain exact-integer aggregates: customers banded by their
+    * orders' value, order-less customers surfacing through the NULL
+    * branch (the first thing a second Ibis pipeline reaches for).
+    */
+  val caseIsNull: Rel =
+    table("customer")
+      .where(Bin("<", c("c_custkey"), LitNum(200)))
+      .leftJoin(table("orders"), "c_custkey", "o_custkey")
+      .select(
+        c("c_custkey") -> "ck",
+        Case(Seq(
+          IsNull(c("o_orderkey")) -> LitStr("none"),
+          Bin(">", c("o_totalprice"), LitNum(200000)) -> LitStr("high"),
+          Bin(">", c("o_totalprice"), LitNum(100000)) -> LitStr("mid")),
+          LitStr("low")) -> "band",
+        Case(Seq(IsNotNull(c("o_orderkey")) -> LitNum(1)), LitNum(0)) -> "has_order")
+      .groupBy("band")(
+        CountAll("n"), SumOf("has_order", "n_orders"),
+        CountDistinct("ck", "n_cust"))
+      .orderBy("band" -> true)
+
+  /** Multi-key equi-join (the grouped-rejoin pattern: per-(order, flag)
+    * rollup joined back on BOTH keys) + DateDiffDays + the plain
+    * Sum/Avg and contract-stddev aggregates.
+    */
+  val multiKeyDates: Rel = {
+    val grp = table("lineitem")
+      .groupBy("l_orderkey", "l_returnflag")(
+        CountAll("grp_n"), MoneySum("l_extendedprice", "grp_rev"))
+      .select(c("l_orderkey") -> "gk", c("l_returnflag") -> "gf",
+        c("grp_n") -> "grp_n")
+    table("lineitem")
+      .where(Bin("<", c("l_orderkey"), LitNum(400)))
+      .joinOn(grp, "l_orderkey" -> "gk", "l_returnflag" -> "gf")
+      .select(c("gf") -> "gf",
+        c("grp_n") -> "grp_n",
+        c("l_quantity") -> "qty",
+        c("l_extendedprice") -> "price",
+        DateDiffDays(c("l_shipdate"),
+          Cast(Fn("date_trunc", Seq(LitStr("year"), c("l_shipdate"))), "date")) -> "ship_doy")
+      .groupBy("gf")(
+        CountAll("n"), SumOf("grp_n", "sum_grp_n"),
+        AvgOf("ship_doy", "avg_ship_doy"),
+        StddevMoney4("price", "sd_price"))
+      .orderBy("gf" -> true)
+  }
+
+  /** Second scalar-function battery: string surgery (split_part /
+    * replace / lpad), date bucketing (date_trunc under an explicit DATE
+    * cast — Spark returns TIMESTAMP, DuckDB DATE), NULLIF, and the
+    * day-offset DateDiffDays — all on one projection.
+    */
+  val scalarFns2: Rel =
+    table("orders")
+      .where(Bin("<", c("o_orderkey"), LitNum(1500)))
+      .select(
+        c("o_orderkey") -> "k",
+        Fn("split_part", Seq(c("o_orderpriority"), LitStr("-"), LitNum(2))) -> "prio_word",
+        Fn("replace", Seq(c("o_orderstatus"), LitStr("F"), LitStr("FINAL"))) -> "st",
+        Fn("lpad", Seq(Cast(c("o_orderkey"), "string"), LitNum(8), LitStr("0"))) -> "k_pad",
+        Cast(Fn("date_trunc", Seq(LitStr("month"), c("o_orderdate"))), "date") -> "omonth",
+        Fn("nullif", Seq(c("o_orderstatus"), LitStr("O"))) -> "st_null",
+        DateDiffDays(c("o_orderdate"),
+          Cast(Fn("date_trunc", Seq(LitStr("month"), c("o_orderdate"))), "date")) -> "dom0")
+      .orderBy("k" -> true)
+
   val all: Seq[(String, Rel)] = Seq(
     "portable_ref_query" -> refQuery,
     "portable_join_agg" -> joinAgg,
@@ -131,6 +198,9 @@ object PortableQueries {
     "portable_anti_running" -> antiRunning,
     "portable_semi_distinct" -> semiDistinct,
     "portable_scalar_fns" -> scalarFns,
+    "portable_case_isnull" -> caseIsNull,
+    "portable_multikey_dates" -> multiKeyDates,
+    "portable_scalar_fns2" -> scalarFns2,
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,45 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  test("null right payloads: ts and value come from the SAME matched row") {
+    // The matched row is decided by TIMESTAMP alone; if its payload is
+    // NULL, the output must surface that NULL — not an older row's
+    // value. (A per-column last(ignoreNulls) formulation gets this
+    // wrong; the single-struct window must not.)
+    (1 to 3).foreach { i =>
+      val ls = sample(leftGen, 300L + i).distinct
+      val rs = sample(rightGen, 400L + i).zipWithIndex.map { case ((k, t, v), j) =>
+        (k, t, if (j % 3 == 0) None else Some(v)) // every 3rd payload NULL
+      }
+      val l = ls.toDF("k", "t")
+      val r = rs.toDF("k", "t", "v")
+      val got = AsOfJoin.backward(l, r, Seq("k"), "t", "t", Seq("v"))
+        .collect()
+        .map(row => (row.getInt(0), row.getLong(1)) ->
+          ((if (row.isNullAt(2)) None else Some(row.getLong(2))),
+            (if (row.isNullAt(3)) None else Some(row.getDouble(3)))))
+        .toMap
+      ls.foreach { case (k, t) =>
+        val cands = rs.filter(x => x._1 == k && x._2 <= t)
+        val (gotTs, gotV) = got((k, t))
+        if (cands.isEmpty)
+          assert(gotTs.isEmpty && gotV.isEmpty,
+            s"key ($k,$t): expected no match, got ($gotTs, $gotV)")
+        else {
+          val bt = cands.map(_._2).max
+          assert(gotTs.contains(bt), s"key ($k,$t): matched ts $gotTs, want $bt")
+          // ties on ts: among equal (k, ts) right rows the window's
+          // last() picks whichever the sort placed last — the payload
+          // must be one of the TIED rows' payloads (incl. None), never
+          // an older row's value
+          val tiedVals = cands.filter(_._2 == bt).map(_._3)
+          assert(tiedVals.contains(gotV),
+            s"key ($k,$t): payload $gotV not among tied rows' $tiedVals")
+        }
+      }
+    }
+  }
+
   test("as-of join plan: a bounded number of shuffles (no range explosion)") {
     val l = Tables(spark, sf, "events")
       .selectExpr("user_id", "event_id", "unix_micros(cast(ts as timestamp)) as eus")

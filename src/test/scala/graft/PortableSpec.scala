@@ -61,7 +61,7 @@ class PortableSpec extends SparkSpec {
 
   test("three frontends, one tree: DataFrame ≡ spark.sql(toSparkSql)") {
     // register base tables once for the SQL-text frontend
-    Seq("orders", "customer").foreach(n =>
+    Seq("orders", "customer", "lineitem").foreach(n =>
       Tables(spark, sf, n).createOrReplaceTempView(n))
     PortableQueries.all.foreach { case (name, rel) =>
       val viaDf = Compile.toDataFrame(spark, sf, rel)
@@ -71,6 +71,21 @@ class PortableSpec extends SparkSpec {
       assert(viaDf.collect().toSeq == viaSql.collect().toSeq,
         s"$name: DataFrame and Spark-SQL frontends disagree")
     }
+  }
+
+  test("DateDiffDays renders each dialect's arg order from one node") {
+    val e = table("orders").select(
+      DateDiffDays(c("o_orderdate"), c("start_d")) -> "d")
+    assert(Compile.toSql(e).contains("date_diff('day', start_d, o_orderdate)"))
+    assert(Compile.toSparkSql(e)
+      .contains("CAST(datediff(o_orderdate, start_d) AS BIGINT)"))
+  }
+
+  test("multi-key join renders a conjunctive ON clause") {
+    val j = table("orders").joinOn(table("customer"),
+      "o_custkey" -> "c_custkey", "o_orderstatus" -> "c_mktsegment")
+    assert(Compile.toSql(j)
+      .contains("ON o_custkey = c_custkey AND o_orderstatus = c_mktsegment"))
   }
 
   test("IR trees are plain data: reusable and composable") {
