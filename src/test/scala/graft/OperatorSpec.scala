@@ -161,6 +161,32 @@ class OperatorSpec extends SparkSpec {
     assert(viaExpr.sameElements(viaMap))
   }
 
+  test("multimodal: real PNG/WAV headers parse back through decodeMeta") {
+    val media = Multimodal.synthesizeMedia(spark, docs.limit(60))
+    val meta = Multimodal.decodeMeta(spark, media.toDF()).collect()
+    assert(meta.count(_.media_type == "image") > 0)
+    assert(meta.count(_.media_type == "audio") > 0)
+    meta.filter(_.media_type == "image").foreach { m =>
+      // dimensions come from the IHDR bytes, not the payload size
+      assert(m.width == 1 + (m.doc_id % 640).toInt, s"doc ${m.doc_id}")
+      assert(m.height == 1 + (m.doc_id % 480).toInt)
+      assert(m.n_bytes == 33 && m.sample_rate == 0)
+    }
+    meta.filter(_.media_type == "audio").foreach { m =>
+      assert(m.sample_rate == 8000 + (m.doc_id % 8).toInt * 1000, s"doc ${m.doc_id}")
+      assert(m.channels == 1 + (m.doc_id % 2).toInt)
+      assert(m.n_frames == 1 + (m.doc_id % 50).toInt)
+    }
+    // a corrupted IHDR (bad CRC) must fall back to the stub, not emit
+    // garbage dimensions
+    val png = Multimodal.pngBytes(100, 50)
+    assert(Multimodal.parsePng(png).contains((100, 50)))
+    val bad = png.clone(); bad(17) = (bad(17) ^ 0x1).toByte
+    assert(Multimodal.parsePng(bad).isEmpty)
+    assert(Multimodal.parseWav(Multimodal.wavBytes(44100, 2, 10))
+      .contains((44100, 2, 10)))
+  }
+
   test("multimodal decode stub: deterministic meta, frame sampling shape") {
     val media = Multimodal.fromDocuments(docs.limit(30))
     val meta = Multimodal.decodeMeta(spark, media).collect()
