@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 import graft.Canonical.dec
 
@@ -36,4 +38,41 @@ object Streams {
       .agg(count(lit(1)).as("session_len"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("session_len"))
+
+  // ------------------------------------------------------------ sinks
+
+  /** Checkpointed file-to-file pipeline: directory source → transform →
+    * parquet FILE SINK. Exactly-once across restarts by construction:
+    * source offsets commit to the checkpoint and the sink journals each
+    * batch in its `_spark_metadata` transaction log, so a restarted
+    * query (same checkpoint + output dir) resumes from the committed
+    * offset and readers see every input row exactly once — no dup on
+    * replay, no loss on early stop.
+    */
+  def fileToFile(spark: SparkSession, inDir: String, schema: StructType,
+      transform: DataFrame => DataFrame, outDir: String,
+      ckptDir: String): StreamingQuery =
+    transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .start()
+
+  /** foreachBatch with batch-id-keyed idempotent writes: each
+    * micro-batch overwrites `outDir/batch_id=<id>`, so a replay after
+    * a mid-batch failure rewrites the SAME path instead of appending a
+    * duplicate — the standard recipe that upgrades foreachBatch's
+    * at-least-once delivery to exactly-once effects on any sink that
+    * supports keyed overwrite.
+    */
+  def foreachBatchParquet(spark: SparkSession, inDir: String,
+      schema: StructType, transform: DataFrame => DataFrame, outDir: String,
+      ckptDir: String): StreamingQuery =
+    transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
 }
