@@ -38,3 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseG1GC",
 )
+// Soak suites (tri-scale oracle runs, minutes each) are tagged
+// graft.SlowTest and excluded from the default `sbt test`; run them
+// with: sbt "testOnly graft.OracleSoakSpec -- -n graft.SlowTest"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
