@@ -22,7 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Contract.queries ++ graft.queries.LlmOps.queries ++
-      graft.queries.PortableQueries.queries
+      graft.queries.PortableQueries.queries ++ graft.queries.EngineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (those
@@ -30,5 +30,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Contract.oracleSql ++ graft.queries.LlmOps.oracleSql ++
-      graft.queries.PortableQueries.oracleSql
+      graft.queries.PortableQueries.oracleSql ++ graft.queries.EngineOps.oracleSql
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Layout, Merge}
+import graft.queries.Contract.Q
+
+/** Engine-mutation and storage-layout queries: changelog MERGE
+  * (upsert + delete) and Z-order clustering keys. Both are judged
+  * end-to-end against DuckDB — the merge via an equivalent
+  * QUALIFY/anti-join program, the Z-order key via the SAME unrolled
+  * bit-arithmetic spelling ([[Layout.zorderKeySql]]), so engine and
+  * oracle cannot drift.
+  */
+object EngineOps {
+
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+
+  private val oCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Changelog MERGE: two update generations, tombstones, and inserts
+    // derived deterministically from the target itself; latest version
+    // wins per key, a final 'D' removes the key. Exercises
+    // Merge.applyChangelog end-to-end (compaction + anti-join + union).
+    ("merge_changelog",
+      (s: SparkSession, dir: String) => {
+        val o = orders(s, dir)
+        val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+        val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+          .withColumn("o_orderstatus", lit("S"))
+          .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+        val del = o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("version", lit(3L)).withColumn("op", lit("D"))
+        val ins = o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("version", lit(1L)).withColumn("op", lit("I"))
+        val chg = upd1.unionByName(upd2).unionByName(del).unionByName(ins)
+        Merge.applyChangelog(o, chg, Seq("o_orderkey"), "version", "op")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH chg AS (
+                SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+                       o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+                       o_orderpriority, 1 AS version, 'U' AS op
+                  FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, 'S', o_totalprice + 2.0,
+                       o_orderdate, o_orderpriority, 2, 'U'
+                  FROM orders WHERE o_orderkey % 14 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority, 3, 'D'
+                  FROM orders WHERE o_orderkey % 13 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+                       o_orderdate, o_orderpriority, 1, 'I'
+                  FROM orders WHERE o_orderkey % 11 = 0),
+              latest AS (
+                SELECT * FROM chg
+                QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY version DESC) = 1)
+              SELECT o.* FROM orders o
+                ANTI JOIN latest l ON o.o_orderkey = l.o_orderkey
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+                FROM latest WHERE op <> 'D'
+              ORDER BY o_orderkey""")),
+
+    // Z-order (Morton) clustering key over two bounded dimensions of
+    // the events table — the write-time layout that makes parquet
+    // row-group stats prune on BOTH dimensions (see LayoutSpec for the
+    // row-group-stats pruning proof; this query judges the key bits).
+    ("layout_zorder",
+      (s: SparkSession, dir: String) => {
+        val e = Tables(s, dir, "events")
+        e.select(col("event_id"),
+          (col("user_id") % 65536).as("zx"),
+          (col("event_id") % 65536).as("zy"))
+          .withColumn("zkey", Layout.zorderKey2(col("zx"), col("zy")))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id % 65536 AS zx,
+                      event_id % 65536 AS zy,
+                      ${Layout.zorderKeySql("(user_id % 65536)", "(event_id % 65536)")} AS zkey
+               FROM events ORDER BY event_id""")),
+  )
+
+  def queries: Map[String, Q] =
+    entries.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(o)) => n -> o.stripMargin }.toMap
+}

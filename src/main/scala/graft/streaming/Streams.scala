@@ -39,6 +39,25 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("session_len"))
 
+  /** Stream-stream interval join: match each right event to left
+    * events of the same key within `[left.ts, left.ts + within]`.
+    * The time-range condition plus BOTH watermarks is what lets Spark
+    * bound the join state: a buffered left row can be evicted once the
+    * right watermark passes `left.ts + within`, so state is
+    * O(key-rate × window), not unbounded — the only formulation that
+    * survives an infinite stream. Mode-agnostic: on batch frames it is
+    * a plain range-predicate equi-join (how the spec cross-checks it).
+    *
+    * @param within SQL interval string, e.g. "10 minutes"
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $within"))
+      .drop(right(key))
+
   // ------------------------------------------------------------ sinks
 
   /** Checkpointed file-to-file pipeline: directory source → transform →

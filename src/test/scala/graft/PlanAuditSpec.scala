@@ -1,0 +1,48 @@
+package graft
+
+/** Systemic plan-regression gate: every judged query's physical plan is
+  * audited for operators that do not survive a 100× scale-up. A
+  * cartesian product or broadcast-nested-loop join anywhere EXCEPT the
+  * declared whitelist fails the build — so an innocent-looking edit
+  * that silently degrades a join to O(n·m) is caught at test time, not
+  * in a 100 TB run. The whitelist is exact: an entry that stops being
+  * needed also fails, keeping it honest.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a non-equi or cross join,
+    * each with the reason it is scale-safe.
+    */
+  private val allowed: Map[String, String] = Map(
+    "q11_count_distinct" -> "single-row cross join (two global aggregates combined)",
+    "q24_dedup_stats" -> "single-row cross join (global dedup ratio)",
+    "q31_range_join" -> "declared theta-join surface: BNLJ over a broadcast 5-row bound table",
+    "ann_brute_topk" -> "declared brute-force baseline: broadcast queries × corpus by design",
+    "q48_percentiles" -> "4-row literal percentile frame broadcast against ranked groups",
+    "ann_ivf_topk" -> "probe scoring: queries × broadcast centroid-mean frame (cells ≪ corpus) by design",
+  )
+
+  /** Allowed but not required: plans that flip between a subquery
+    * expression (no join) and a single-row broadcast BNLJ depending on
+    * session state — both forms are scale-safe.
+    */
+  private val conditional: Set[String] = Set(
+    "q38_subqueries" // scalar subquery: single row compared against every row
+  )
+
+  test("no undeclared cartesian / broadcast-nested-loop joins in any judged plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad) Some(name) else None
+    }.toSet
+    val undeclared = offenders -- allowed.keySet -- conditional
+    val stale = allowed.keySet -- offenders
+    assert(undeclared.isEmpty,
+      s"queries gained an unexpected cartesian/BNL join: $undeclared")
+    assert(stale.isEmpty,
+      s"whitelist entries no longer needed (remove them): $stale")
+  }
+}

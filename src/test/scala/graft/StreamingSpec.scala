@@ -214,4 +214,46 @@ class StreamingSpec extends SparkSpec {
       assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches batch; watermarked state bounds") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream_ssj")
+    def writeRows(sub: String, n: Int, rows: Seq[(Long, Long)], ts: String): Unit =
+      rows.toDF("ad_id", "eus")
+        .select(col("ad_id"), expr("timestamp_micros(eus)").as(ts))
+        .coalesce(1).write.parquet(s"$root/$sub/b$n")
+    def us(m: Int): Long = (24 * 3600L + m * 60L) * 1000000L
+    // impressions at 00 and 30; clicks at +5 (match), +12 (outside the
+    // 10-minute window), +35 (matches the second impression)
+    writeRows("imp", 1, Seq(1L -> us(0), 1L -> us(30), 2L -> us(0)), "its")
+    writeRows("clk", 1, Seq(1L -> us(5), 1L -> us(12), 1L -> us(35), 3L -> us(5)), "cts")
+    def src(sub: String, ts: String) = spark.readStream
+      .schema(StructType(Seq(
+        StructField("ad_id", LongType), StructField(ts, TimestampType))))
+      .option("pathGlobFilter", "*.parquet").parquet(s"$root/$sub/b*")
+      .withWatermark(ts, "1 hour")
+    val q = Streams.intervalJoin(src("imp", "its"), src("clk", "cts"),
+        "ad_id", "its", "cts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a second micro-batch joins across batch boundaries too
+      writeRows("clk", 2, Seq(2L -> us(8)), "cts")
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select(col("ad_id"), expr("unix_micros(its)"), expr("unix_micros(cts)"))
+        .as[(Long, Long, Long)].collect().toSet
+      // exactly the in-window matches: no 12-minute click, no ad 3
+      assert(got == Set((1L, us(0), us(5)), (1L, us(30), us(35)),
+        (2L, us(0), us(8))), s"got $got")
+      // the same operator on the materialized inputs (batch mode) agrees
+      val impB = spark.read.parquet(s"$root/imp/b*")
+      val clkB = spark.read.parquet(s"$root/clk/b*")
+      val batch = Streams.intervalJoin(impB, clkB, "ad_id", "its", "cts", "10 minutes")
+        .select(col("ad_id"), expr("unix_micros(its)"), expr("unix_micros(cts)"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == got, s"stream and batch disagree: $batch vs $got")
+    } finally q.stop()
+  }
 }
