@@ -60,4 +60,33 @@ object Scale {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Scale-safe range join: points to intervals WITHOUT a nested loop.
+    * A theta join `p BETWEEN lo AND hi` degrades to broadcast-nested-
+    * loop (O(n·m) comparisons) the moment the interval side outgrows a
+    * broadcast. This formulation turns it into an EQUI-join: each
+    * interval explodes into the fixed-width bins it covers (cost ∝
+    * width/binWidth rows, choose binWidth near the median interval
+    * width), each point maps to exactly ONE bin, the join shuffles on
+    * the bin key like any hash join, and a residual filter applies the
+    * exact predicate. No duplicate pairs by construction: a (point,
+    * interval) match shares exactly the point's single bin.
+    *
+    * Numeric domain: bin = floor(x / binWidth) over doubles — callers
+    * pick a binWidth such that interval bounds are exact in binary
+    * (integers, or dyadic fractions) if they need reproducibility.
+    */
+  def binnedRangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("bigint"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("bigint"),
+        floor(col(hiCol) / binWidth).cast("bigint"))))
+    p.join(iv, "__bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

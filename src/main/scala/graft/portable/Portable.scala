@@ -42,6 +42,14 @@ object Portable {
   final case class Case(branches: Seq[(Expr, Expr)], otherwise: Expr) extends Expr
   final case class IsNull(e: Expr) extends Expr
   final case class IsNotNull(e: Expr) extends Expr
+  /** SQL IN over a literal list. */
+  final case class InList(e: Expr, values: Seq[Expr]) extends Expr
+  /** SQL BETWEEN (inclusive both ends). */
+  final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
+  /** SQL LIKE with `%`/`_` wildcards — identical matching semantics
+    * (case-sensitive, no implicit anchors) on Spark and DuckDB.
+    */
+  final case class Like(e: Expr, pattern: String) extends Expr
   /** Whole days from `start` to `end`, BIGINT on both backends. Encodes
     * the classic cross-dialect hazard ONCE: Spark spells it
     * `datediff(end, start)` (2 args, end first) while DuckDB spells it
@@ -231,6 +239,15 @@ object Portable {
           .otherwise(exprCol(otherwise))
       case IsNull(x) => exprCol(x).isNull
       case IsNotNull(x) => exprCol(x).isNotNull
+      case InList(x, vs) => exprCol(x).isin(vs.map {
+        case LitNum(v) => if (v == v.floor && v.abs < 1e15) v.toLong else v
+        case LitStr(v) => v
+        case other => throw new IllegalArgumentException(
+          s"IN list takes literals, got $other")
+      }: _*)
+      case Between(x, lo, hi) =>
+        exprCol(x).between(exprCol(lo), exprCol(hi))
+      case Like(x, p) => exprCol(x).like(p)
       // Spark: datediff(end, start), INT → widen to the contract lane
       case DateDiffDays(end, start) =>
         datediff(exprCol(end), exprCol(start)).cast("long")
@@ -353,6 +370,12 @@ object Portable {
         s"(CASE $whens ELSE ${exprSql(otherwise, spark)} END)"
       case IsNull(x) => s"(${exprSql(x, spark)} IS NULL)"
       case IsNotNull(x) => s"(${exprSql(x, spark)} IS NOT NULL)"
+      case InList(x, vs) =>
+        s"(${exprSql(x, spark)} IN (${vs.map(exprSql(_, spark)).mkString(", ")}))"
+      case Between(x, lo, hi) =>
+        s"(${exprSql(x, spark)} BETWEEN ${exprSql(lo, spark)} AND ${exprSql(hi, spark)})"
+      case Like(x, p) =>
+        s"(${exprSql(x, spark)} LIKE '${p.replace("'", "''")}')"
       case DateDiffDays(end, start) =>
         if (spark)
           s"CAST(datediff(${exprSql(end, spark)}, ${exprSql(start, spark)}) AS BIGINT)"

@@ -721,7 +721,7 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49
 
   /** Q48 — exact multi-percentile per group (percentile_disc without
     * the engine's percentile function, whose interpolation conventions
@@ -755,6 +755,35 @@ object Contract {
        CROSS JOIN (VALUES (25), (50), (75), (90)) p(pct)
        WHERE rn = (cnt * pct + 99) // 100
        ORDER BY o_orderpriority, pct""")
+
+  /** Q49 — equi-depth (quantile) binning per group: NTILE deciles of
+    * order value within each priority, then per-bin count and bounds.
+    * The window is PARTITIONED (per-priority), so each group sorts
+    * independently — the scale-safe shape; a global NTILE would funnel
+    * everything through one partition. NTILE's uneven-split rule
+    * (first n mod k tiles get the extra row) is the same SQL-standard
+    * behavior on both engines; ties broken by unique key.
+    */
+  private val q49: (String, Q, String) = (
+    "q49_equidepth",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("bin", ntile(10).over(w).cast("bigint"))
+        .groupBy("o_orderpriority", "bin")
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority", "bin")
+    },
+    """SELECT o_orderpriority, bin, COUNT(*) AS n,
+              MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       FROM (SELECT o_orderpriority, o_totalprice,
+                    NTILE(10) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS bin
+             FROM orders) q
+       GROUP BY o_orderpriority, bin
+       ORDER BY o_orderpriority, bin""")
 
   /** Q45 — unpivot/melt (wide → long): four per-status contract sums
     * melted into (status, metric, v) rows via `Dataset.unpivot`. The

@@ -189,6 +189,27 @@ object PortableQueries {
           Cast(Fn("date_trunc", Seq(LitStr("month"), c("o_orderdate"))), "date")) -> "dom0")
       .orderBy("k" -> true)
 
+  /** The predicate vocabulary an Ibis user writes in the first lines
+    * of any pipeline: IN-list, BETWEEN, LIKE, and the NULLIF→COALESCE
+    * recoding idiom — one tree, three frontends.
+    */
+  val predicates: Rel =
+    table("orders")
+      .where(Bin("and",
+        InList(c("o_orderpriority"),
+          Seq(LitStr("1-URGENT"), LitStr("2-HIGH"), LitStr("3-MEDIUM"))),
+        Between(c("o_totalprice"), LitNum(50000), LitNum(250000))))
+      .where(Like(c("o_orderpriority"), "%-%"))
+      .select(
+        Fn("coalesce", Seq(
+          Fn("nullif", Seq(c("o_orderstatus"), LitStr("O"))),
+          LitStr("open"))) -> "status2",
+        c("o_orderpriority") -> "prio",
+        c("o_totalprice") -> "price")
+      .groupBy("status2", "prio")(
+        CountAll("n"), MoneySum("price", "rev"))
+      .orderBy("status2" -> true, "prio" -> true)
+
   val all: Seq[(String, Rel)] = Seq(
     "portable_ref_query" -> refQuery,
     "portable_join_agg" -> joinAgg,
@@ -201,6 +222,7 @@ object PortableQueries {
     "portable_case_isnull" -> caseIsNull,
     "portable_multikey_dates" -> multiKeyDates,
     "portable_scalar_fns2" -> scalarFns2,
+    "portable_predicates" -> predicates,
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -109,4 +109,41 @@ class PipelineSpec extends SparkSpec {
     assert(sub.exists(_.contains("etype=")))
     assert(Tables.read(spark, dir).count() == 1000)
   }
+
+  test("dynamic partition overwrite rewrites ONLY touched partitions") {
+    // The write side of merge-at-scale: a changelog touching one
+    // partition must not rewrite the other N-1. With
+    // partitionOverwriteMode=dynamic, Overwrite replaces exactly the
+    // partitions present in the incoming frame — untouched partition
+    // files (and their data) survive byte-for-byte.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dyn_part").toString + "/events"
+    val ev = Tables(spark, sf, "events")
+      .withColumn("etype", col("event_type"))
+    Sinks.exportPartitioned(ev, dir, Seq("etype"))
+    val before = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("etype=")).sorted
+    val untouched = before.filterNot(_.contains("etype=click")).head
+    val stamp = Files.getLastModifiedTime(
+      Files.list(Paths.get(untouched)).toArray.map(p => Paths.get(p.toString))
+        .filter(_.toString.endsWith(".parquet")).head)
+    val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrite just the 'click' partition with a filtered slice
+      ev.filter(col("etype") === "click").limit(10)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("etype").parquet(dir)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    val clickCount = Tables.read(spark, s"$dir/etype=click").count()
+    assert(clickCount == 10, s"overwritten partition must hold the new slice: $clickCount")
+    val stampAfter = Files.getLastModifiedTime(
+      Files.list(Paths.get(untouched)).toArray.map(p => Paths.get(p.toString))
+        .filter(_.toString.endsWith(".parquet")).head)
+    assert(stampAfter == stamp, "untouched partition files must not be rewritten")
+    // total = original minus replaced partition plus the new slice
+    val total = Tables.read(spark, dir).count()
+    val origClick = ev.filter(col("etype") === "click").count()
+    assert(total == 1000 - origClick + 10, s"unexpected total $total")
+  }
 }

@@ -35,4 +35,69 @@ class ScaleSpec extends SparkSpec {
     val expected = o.join(l, "o_orderkey").count()
     assert(joined.count() == expected)
   }
+
+  test("binned range join ≡ theta join, with an equi-join plan (no BNLJ)") {
+    import spark.implicits._
+    val orders = Tables(spark, sf, "orders")
+    // integer-bounded tiers so bin edges are exact in binary
+    val tiers = Seq(("T1", 0.0, 75000.0), ("T2", 75001.0, 150000.0),
+      ("T3", 150001.0, 300000.0), ("T4", 300001.0, 600000.0))
+      .toDF("tier", "lo", "hi")
+    val theta = orders.join(tiers,
+      col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+      .select("o_orderkey", "tier")
+    val binned = graft.operators.Scale
+      .binnedRangeJoin(orders, "o_totalprice", tiers, "lo", "hi", binWidth = 50000.0)
+      .select("o_orderkey", "tier")
+    assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty,
+      "binned range join must produce exactly the theta join's pairs")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned formulation must plan as an equi-join:\n$plan")
+  }
+
+  private def withConfs[T](confs: Map[String, String])(body: => T): T = {
+    val saved = confs.keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed shuffle partition at runtime") {
+    // The runtime complement to explicit salting: one hot key funnels
+    // most of the left side into one shuffle partition; with skew-join
+    // thresholds proportional to test scale, AQE detects the oversized
+    // partition at the exchange and splits it across tasks. At 100 TB
+    // the same mechanism (default thresholds) is what keeps one hot
+    // join key from serializing a 1000-executor stage on one task.
+    import spark.implicits._
+    withConfs(Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20000",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10000",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      // half a million rows, 50% piled on one key; the hash payload
+      // resists shuffle compression so the hot partition's COMPRESSED
+      // size (what skew detection measures) clears the threshold
+      val left = spark.range(500000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000).as("k"),
+          xxhash64(col("id")).as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k").groupBy().agg(count(lit(1)).as("n"))
+      // collect() drives THIS queryExecution (head() would plan a
+      // separate limited execution and leave this adaptive plan
+      // unfinalized)
+      val n = joined.collect()(0).getLong(0)
+      assert(n == 500000L, s"join row count wrong: $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skewed"),
+        s"expected AQE to mark/split a skewed partition:\n$finalPlan")
+    }
+  }
 }
