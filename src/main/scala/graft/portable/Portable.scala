@@ -82,6 +82,16 @@ object Portable {
     * in doubles, rule-3 ROUND(x, 4) on the output.
     */
   final case class StddevMoney4(col: String, alias: String) extends Agg
+  /** Conditional count — the SQL-standard `COUNT(*) FILTER (WHERE p)`
+    * (shared by Spark SQL and DuckDB); the DataFrame backend compiles
+    * the equivalent `count(when(p, 1))`. BIGINT on all frontends.
+    */
+  final case class CountIf(pred: Expr, alias: String) extends Agg
+  /** Conditional exact money sum (§2.4 decimal lane), COALESCEd to 0
+    * so a group with no matching rows is 0.0 — not NULL — on every
+    * frontend.
+    */
+  final case class MoneySumIf(col: String, pred: Expr, alias: String) extends Agg
 
   // --------------------------------------------------------------- windows
   /** Window-function vocabulary. Determinism contract: the window's
@@ -281,6 +291,10 @@ object Portable {
         val sumc = sum(cents).cast("double")
         val n = count(cents)
         round(sqrt((sumsq - sumc * sumc / n) / (n - lit(1))) / 100.0, 4).as(al)
+      case CountIf(p, al) => count(when(exprCol(p), lit(1))).as(al)
+      case MoneySumIf(cn, p, al) =>
+        coalesce(sum(when(exprCol(p), Canonical.dec(col(cn))))
+          .cast("double"), lit(0.0)).as(al)
     }
 
     // --------------------------------------------------------- sql text
@@ -302,7 +316,7 @@ object Portable {
         val cs = cols.map { case (e, a) => s"${exprSql(e, spark)} AS $a" }.mkString(", ")
         s"(SELECT $cs FROM ${relSql(in, spark)})"
       case GroupAgg(in, keys, aggs) =>
-        val sel = (keys ++ aggs.map(aggSql)).mkString(", ")
+        val sel = (keys ++ aggs.map(aggSql(_, spark))).mkString(", ")
         val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
         s"(SELECT $sel FROM ${relSql(in, spark)}$grp)"
       case Join(l, r, keys, how) =>
@@ -388,7 +402,7 @@ object Portable {
         s"(${exprSql(l, spark)} $o ${exprSql(r, spark)})"
     }
 
-    private def aggSql(a: Agg): String = a match {
+    private def aggSql(a: Agg, spark: Boolean): String = a match {
       case CountAll(al) => s"COUNT(*) AS $al"
       case CountDistinct(cn, al) => s"COUNT(DISTINCT $cn) AS $al"
       case MoneySum(cn, al) => s"${Canonical.moneySumSql(cn)} AS $al"
@@ -403,6 +417,10 @@ object Portable {
         s"""ROUND(SQRT((CAST(SUM($cts * $cts) AS DOUBLE)
            |  - CAST(SUM($cts) AS DOUBLE) * CAST(SUM($cts) AS DOUBLE) / COUNT($cts))
            | / (COUNT($cts) - 1)) / 100.0, 4) AS $al""".stripMargin.replaceAll("\n", " ")
+      case CountIf(p, al) =>
+        s"COUNT(*) FILTER (WHERE ${exprSql(p, spark)}) AS $al"
+      case MoneySumIf(cn, p, al) =>
+        s"COALESCE(CAST(SUM(${Canonical.decSql(cn)}) FILTER (WHERE ${exprSql(p, spark)}) AS DOUBLE), 0.0) AS $al"
     }
   }
 }

@@ -721,7 +721,7 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50
 
   /** Q48 — exact multi-percentile per group (percentile_disc without
     * the engine's percentile function, whose interpolation conventions
@@ -784,6 +784,38 @@ object Contract {
              FROM orders) q
        GROUP BY o_orderpriority, bin
        ORDER BY o_orderpriority, bin""")
+
+  /** Q50 — binned range join, hash-judged: orders matched to literal
+    * price tiers through [[graft.operators.Scale.binnedRangeJoin]] (the
+    * theta→equi rewrite — intervals explode into fixed-width bins,
+    * each point maps to ONE bin, residual filter applies the exact
+    * predicate), aggregated per tier. The oracle spells the plain
+    * BETWEEN theta join over the same literal tiers: two formulations,
+    * one answer — and the engine side's plan is a hash join, not the
+    * nested loop the theta spelling forces at scale (ScaleSpec asserts
+    * the plan shape; this query judges the values).
+    */
+  private val q50: (String, Q, String) = (
+    "q50_binned_range",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tiers = Seq(("T1", 0L, 75000L), ("T2", 75001L, 150000L),
+        ("T3", 150001L, 300000L), ("T4", 300001L, 600000L))
+        .toDF("tier", "lo", "hi")
+      graft.operators.Scale
+        .binnedRangeJoin(t(s, dir, "orders"), "o_totalprice", tiers,
+          "lo", "hi", binWidth = 50000.0)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
+        .orderBy("tier")
+    },
+    s"""WITH tiers AS (SELECT * FROM (VALUES
+         ('T1', 0, 75000), ('T2', 75001, 150000),
+         ('T3', 150001, 300000), ('T4', 300001, 600000)) t(tier, lo, hi))
+       SELECT tier, COUNT(*) AS n, ${Canonical.moneySumSql("o_totalprice")} AS rev
+       FROM orders JOIN tiers
+         ON o_totalprice >= lo AND o_totalprice <= hi
+       GROUP BY tier ORDER BY tier""")
 
   /** Q45 — unpivot/melt (wide → long): four per-status contract sums
     * melted into (status, metric, v) rows via `Dataset.unpivot`. The

@@ -134,6 +134,37 @@ object LlmOps {
                       ROUND(CAST(SUM(CASE WHEN tok IN (${graft.functions.TextFns.stopwordsSqlList}) THEN 1 ELSE 0 END) AS DOUBLE) / nt, 4) AS stop_ratio
                FROM toks GROUP BY doc_id, n_chars, nt ORDER BY doc_id""")),
 
+    // Intra-document repetition (Gopher-style quality signal): the
+    // fraction of word 3-grams that are repeats of an earlier 3-gram in
+    // the SAME document. Fully narrow — per-row array arithmetic off
+    // the scan, no explode, no shuffle: the cheapest possible shape for
+    // a per-document score at corpus scale.
+    ("text_repetition",
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            (size(col("toks")) - 2).cast("bigint").as("n3"),
+            size(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+              .cast("bigint").as("n3d"))
+          .select(col("doc_id"), col("n3"), col("n3d"),
+            round(lit(1.0) - col("n3d").cast("double") / col("n3"), 4)
+              .as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n3, n3d,
+                     ROUND(1.0 - CAST(n3d AS DOUBLE) / n3, 4) AS rep_ratio
+              FROM (SELECT doc_id,
+                           CAST(len(toks) - 2 AS BIGINT) AS n3,
+                           CAST(len(list_distinct(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS n3d
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents)
+                    WHERE len(toks) >= 3) q
+              ORDER BY doc_id""")),
+
     // Language ID: stopword-lexicon n-gram heuristic, argmax hits.
     ("text_langid",
       (s: SparkSession, dir: String) =>

@@ -210,6 +210,24 @@ object PortableQueries {
         CountAll("n"), MoneySum("price", "rev"))
       .orderBy("status2" -> true, "prio" -> true)
 
+  /** Conditional aggregation — the SQL-standard FILTER clause (DuckDB
+    * and Spark SQL spell it identically; the DataFrame backend compiles
+    * count(when)/sum(when)): per-priority totals alongside
+    * filtered sub-counts and a filtered money sum, from ONE pass.
+    * The relational idiom that replaces a self-join per condition.
+    */
+  val conditionalAgg: Rel =
+    table("orders")
+      .groupBy("o_orderpriority")(
+        CountAll("n"),
+        CountIf(Bin("=", c("o_orderstatus"), LitStr("F")), "n_f"),
+        CountIf(Bin("and",
+          Bin("=", c("o_orderstatus"), LitStr("O")),
+          Bin(">", c("o_totalprice"), LitNum(100000))), "n_o_big"),
+        MoneySumIf("o_totalprice",
+          Bin("=", c("o_orderstatus"), LitStr("P")), "rev_p"))
+      .orderBy("o_orderpriority" -> true)
+
   val all: Seq[(String, Rel)] = Seq(
     "portable_ref_query" -> refQuery,
     "portable_join_agg" -> joinAgg,
@@ -223,6 +241,7 @@ object PortableQueries {
     "portable_multikey_dates" -> multiKeyDates,
     "portable_scalar_fns2" -> scalarFns2,
     "portable_predicates" -> predicates,
+    "portable_conditional_agg" -> conditionalAgg,
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -58,6 +58,18 @@ object Streams {
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $within"))
       .drop(right(key))
 
+  /** Stream-static enrichment join: every micro-batch hash-joins
+    * against a STATIC dimension. Stateless by construction — no
+    * watermark, no state store, nothing buffered across batches (the
+    * dim is re-planned each batch, so slowly-refreshed dim snapshots
+    * are picked up). The explicit broadcast keeps the stream side
+    * shuffle-free: at 100 TB/day the fact stream never moves, only the
+    * (small) dim does. Mode-agnostic: on a batch frame it is the plain
+    * broadcast equi-join the spec cross-checks against.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
   // ------------------------------------------------------------ sinks
 
   /** Checkpointed file-to-file pipeline: directory source → transform →

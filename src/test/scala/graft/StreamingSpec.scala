@@ -256,4 +256,43 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got, s"stream and batch disagree: $batch vs $got")
     } finally q.stop()
   }
+
+  test("stream-static enrichment join: per-batch dim join, stateless, matches batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("enrich")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", LongType)))
+    def writeBatch(n: Int, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "v").coalesce(1).write.parquet(s"$root/in/b$n")
+    writeBatch(1, Seq((1L, 10L), (2L, 20L), (9L, 90L))) // 9 has no dim row
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("user_id", "segment")
+    val q = Streams.enrich(
+        spark.readStream.schema(schema).parquet(s"$root/in/b*"), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      writeBatch(2, Seq((2L, 21L), (3L, 30L)))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .as[(Long, Long, String)].collect().toSet
+      // inner join semantics: the dimension-less user drops; both
+      // micro-batches enriched against the same static snapshot
+      assert(got == Set((1L, 10L, "gold"), (2L, 20L, "silver"),
+        (2L, 21L, "silver"), (3L, 30L, "bronze")), s"got $got")
+      // stateless: a stream-static join holds NO state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate a state store")
+      // mode-agnostic: same operator on the materialized input agrees
+      val batch = Streams.enrich(spark.read.parquet(s"$root/in/b*"), dim, "user_id")
+        .as[(Long, Long, String)].collect().toSet
+      assert(batch == got, s"stream and batch disagree: $batch vs $got")
+      // and the batch plan broadcasts the dim (the stream side never shuffles)
+      val plan = Streams.enrich(spark.read.parquet(s"$root/in/b*"), dim, "user_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"dim must broadcast:\n$plan")
+    } finally q.stop()
+  }
 }
