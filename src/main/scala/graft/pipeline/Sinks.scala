@@ -36,6 +36,38 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
       .parquet(destDir)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each. The small-files problem is the classic
+    * slow killer of long-lived 100 TB tables — streaming sinks and
+    * per-batch writes accrete thousands of KB-sized files whose
+    * per-file open/footer/task overhead eventually dwarfs the data
+    * scan. Sizing from the CURRENT on-disk bytes (already compressed)
+    * avoids re-estimating compression; the rewrite is one shuffle-free
+    * coalesce when shrinking file count (the usual case), and the
+    * tmp-dir + atomic swap keeps readers from ever seeing a half
+    * state. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = Paths.get(dir)
+    val parts = Files.walk(root).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).toArray.map(_.toString)
+    val before = parts.length
+    val totalBytes = parts.map(p => Files.size(Paths.get(p))).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = root.resolveSibling(root.getFileName.toString + ".compact_tmp")
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = root.resolveSibling(root.getFileName.toString + ".compact_old")
+    Files.move(root, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(bak)
+    val after = Files.walk(root).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).toArray.length
+    (before, after)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).forEach(deleteRecursively)

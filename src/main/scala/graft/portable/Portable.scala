@@ -107,6 +107,12 @@ object Portable {
   final case class LagCol(col: String, n: Int) extends WinFn
   final case class LeadCol(col: String, n: Int) extends WinFn
   final case class RunningMoneySum(col: String) extends WinFn
+  /** Trailing moving average over an explicit `ROWS n PRECEDING →
+    * CURRENT ROW` frame, in the §2.4 decimal lane: exact decimal sum
+    * over the frame, one IEEE division by the frame's row count,
+    * rule-3 ROUND(x, 4) — hash-stable where a naive AVG() OVER is not.
+    */
+  final case class MovingAvg4(col: String, nPreceding: Int) extends WinFn
 
   // ------------------------------------------------------------------ rels
   sealed trait Rel
@@ -209,6 +215,10 @@ object Portable {
               sum(Canonical.dec(col(cn)))
                 .over(base.rowsBetween(W.unboundedPreceding, W.currentRow))
                 .cast("double")
+            case MovingAvg4(cn, n) =>
+              val frame = base.rowsBetween(-n.toLong, W.currentRow)
+              round(sum(Canonical.dec(col(cn))).over(frame).cast("double") /
+                count(col(cn)).over(frame), 4)
           }
           toDataFrame(spark, sfDir, in).withColumn(alias, c)
         case Sort(in, keys) =>
@@ -348,10 +358,15 @@ object Portable {
           case RunningMoneySum(cn) =>
             (s"CAST(SUM(${Canonical.decSql(cn)})",
               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+          case MovingAvg4(cn, n) =>
+            (cn, s" ROWS BETWEEN $n PRECEDING AND CURRENT ROW")
         }
         val over = s"OVER ($part" + s"ORDER BY $ord$frame)"
         val expr = fn match {
           case RunningMoneySum(_) => s"$fnSql $over AS DOUBLE) AS $alias"
+          case MovingAvg4(cn, _) =>
+            s"ROUND(CAST(SUM(${Canonical.decSql(cn)}) $over AS DOUBLE)" +
+              s" / COUNT($cn) $over, 4) AS $alias"
           case _ => s"$fnSql $over AS $alias"
         }
         s"(SELECT *, $expr FROM ${relSql(in, spark)})"

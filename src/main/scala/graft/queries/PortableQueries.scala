@@ -228,6 +228,20 @@ object PortableQueries {
           Bin("=", c("o_orderstatus"), LitStr("P")), "rev_p"))
       .orderBy("o_orderpriority" -> true)
 
+  /** Trailing moving average — the time-series smoothing idiom — over
+    * an EXPLICIT `ROWS 6 PRECEDING` frame in the decimal contract lane:
+    * per-priority 7-order trailing average of order value, partial
+    * frames at each partition head averaging over the rows that exist.
+    */
+  val movingAvg: Rel =
+    table("orders")
+      .where(Bin(">", c("o_totalprice"), LitNum(250000)))
+      .select(c("o_orderpriority") -> "prio",
+        c("o_orderkey") -> "okey", c("o_totalprice") -> "price")
+      .window(Seq("prio"), Seq("okey" -> true),
+        MovingAvg4("price", 6), "trail7")
+      .orderBy("prio" -> true, "okey" -> true)
+
   val all: Seq[(String, Rel)] = Seq(
     "portable_ref_query" -> refQuery,
     "portable_join_agg" -> joinAgg,
@@ -242,6 +256,7 @@ object PortableQueries {
     "portable_scalar_fns2" -> scalarFns2,
     "portable_predicates" -> predicates,
     "portable_conditional_agg" -> conditionalAgg,
+    "portable_moving_avg" -> movingAvg,
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

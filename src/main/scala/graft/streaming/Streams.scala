@@ -48,14 +48,22 @@ object Streams {
     * survives an infinite stream. Mode-agnostic: on batch frames it is
     * a plain range-predicate equi-join (how the spec cross-checks it).
     *
+    * `how = "left_outer"` additionally emits each unmatched left row
+    * (null right columns) — but only once the right watermark passes
+    * `left.ts + within`, the earliest moment "no match" is a fact
+    * rather than a race: outer results are late by exactly the
+    * watermark delay, the price of correctness on an unbounded stream.
+    *
     * @param within SQL interval string, e.g. "10 minutes"
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, within: String): DataFrame =
+      leftTs: String, rightTs: String, within: String,
+      how: String = "inner"): DataFrame =
     left.join(right,
       left(key) === right(key) &&
         right(rightTs) >= left(leftTs) &&
-        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $within"))
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $within"),
+      how)
       .drop(right(key))
 
   /** Stream-static enrichment join: every micro-batch hash-joins

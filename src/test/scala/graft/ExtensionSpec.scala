@@ -134,6 +134,27 @@ class ExtensionSpec extends SparkSpec {
       s"ORC pruning missing:\n$plan")
   }
 
+  test("schema evolution: mergeSchema unifies parquet generations; old rows null-fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    // generation 1: (id, v) — the table as originally written
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.parquet(s"$dir/g=1")
+    // generation 2: a column added upstream — (id, v, tag)
+    Seq((3L, 30.0, "new")).toDF("id", "v", "tag").write.parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "tag", "g"),
+      s"unified schema expected, got ${merged.columns.mkString(",")}")
+    val rows = merged.select("id", "tag")
+      .as[(Long, Option[String])].collect().toMap
+    // pre-evolution rows surface the new column as NULL; new rows carry it
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some("new")), s"got $rows")
+    // pushdown on a common column still reaches the scan across generations
+    val plan = merged.filter(col("id") > 1).select("id", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"),
+      s"pushdown must survive schema merge:\n$plan")
+  }
+
   test("cloud storage API shape: one reader path, connector-gated schemes") {
     // local filesystem resolves; object-store schemes need connector
     // jars that the offline build intentionally does not bundle

@@ -110,6 +110,21 @@ class PipelineSpec extends SparkSpec {
     assert(Tables.read(spark, dir).count() == 1000)
   }
 
+  test("compaction: many small files become few target-size files, data intact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("compact").toString + "/orders"
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    o.repartition(40).write.parquet(dir)
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey")), count(lit(1))).head
+    val (nb, na) = Sinks.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(nb >= 40, s"fragmented input expected, saw $nb files")
+    assert(na <= 2, s"compaction should emit ~1 file at this size, got $na")
+    val after = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey")), count(lit(1))).head
+    assert(after == checksumBefore, "compaction must not change the data")
+  }
+
   test("dynamic partition overwrite rewrites ONLY touched partitions") {
     // The write side of merge-at-scale: a changelog touching one
     // partition must not rewrite the other N-1. With

@@ -257,6 +257,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched rows emit nulls once watermark passes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream_loj")
+    def writeRows(sub: String, n: Int, rows: Seq[(Long, Long)], ts: String): Unit =
+      rows.toDF("ad_id", "eus")
+        .select(col("ad_id"), expr("timestamp_micros(eus)").as(ts))
+        .coalesce(1).write.parquet(s"$root/$sub/b$n")
+    def us(m: Int): Long = (24 * 3600L + m * 60L) * 1000000L
+    // ad 1 gets a click in-window; ad 2 never does
+    writeRows("imp", 1, Seq(1L -> us(0), 2L -> us(0)), "its")
+    writeRows("clk", 1, Seq(1L -> us(5)), "cts")
+    def src(sub: String, ts: String) = spark.readStream
+      .schema(StructType(Seq(
+        StructField("ad_id", LongType), StructField(ts, TimestampType))))
+      .option("pathGlobFilter", "*.parquet").parquet(s"$root/$sub/b*")
+      .withWatermark(ts, "1 minute")
+    val q = Streams.intervalJoin(src("imp", "its"), src("clk", "cts"),
+        "ad_id", "its", "cts", "10 minutes", how = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("loj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the outer row for ad 2 is NOT yet emitted: no-match only
+      // becomes a fact when the watermark clears its join window
+      val early = spark.table("loj_out")
+        .filter(col("cts").isNull).count()
+      assert(early == 0, "outer result must wait for the watermark")
+      // a much later event on each stream advances both watermarks
+      // past us(0) + 10 minutes + 1 minute delay → outer row emits
+      writeRows("imp", 2, Seq(9L -> us(120)), "its")
+      writeRows("clk", 2, Seq(9L -> us(240)), "cts")
+      q.processAllAvailable()
+      val got = spark.table("loj_out")
+        .select(col("ad_id"), expr("unix_micros(its)"),
+          expr("unix_micros(cts)"))
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got.contains((1L, us(0), Some(us(5)))), s"matched row missing: $got")
+      assert(got.contains((2L, us(0), None)), s"outer row missing: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: per-batch dim join, stateless, matches batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("enrich")
