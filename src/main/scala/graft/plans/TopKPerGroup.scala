@@ -118,8 +118,10 @@ final case class TopKPerGroupExec(
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(ApproxDistinctRule(_))
+  }
 }
 
 object TopK {

@@ -134,6 +134,29 @@ class ExtensionSpec extends SparkSpec {
       s"ORC pruning missing:\n$plan")
   }
 
+  test("optimizer rule: COUNT(DISTINCT) rewrites to HLL only under the opt-in flag") {
+    import graft.plans.ApproxDistinctRule
+    ApproxDistinctRule.install(spark)
+    val orders = Tables(spark, sf, "orders")
+    def q = orders.agg(countDistinct(col("o_custkey")).as("d"))
+    // flag off (default): exact semantics, no sketch in the plan
+    val exact = q.head.getLong(0)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
+      "rule must not fire without the flag")
+    spark.conf.set(ApproxDistinctRule.flag, "true")
+    try {
+      val rewritten = q
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("approx_count_distinct"),
+        s"expected the HLL rewrite in the optimized plan:\n$opt")
+      // same column name and type, estimate within the sketch's rsd
+      assert(rewritten.schema("d").dataType.typeName == "long")
+      val est = rewritten.head.getLong(0)
+      assert(math.abs(est - exact).toDouble / exact < 0.1,
+        s"estimate $est vs exact $exact")
+    } finally spark.conf.set(ApproxDistinctRule.flag, "false")
+  }
+
   test("schema evolution: mergeSchema unifies parquet generations; old rows null-fill") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
