@@ -721,7 +721,7 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50 :+ q51
 
   /** Q48 — exact multi-percentile per group (percentile_disc without
     * the engine's percentile function, whose interpolation conventions
@@ -878,6 +878,73 @@ object Contract {
        SELECT s.bucket, COALESCE(c.n, 0) AS n
        FROM series s LEFT JOIN counts c ON s.bucket = c.bucket
        ORDER BY s.bucket""")
+
+  /** Q51 — linear interpolation across series gaps (the resample
+    * companion to Q46's zero-fill): missing hourly buckets take
+    * `prev + (next − prev) · (t − t_prev) / (t_next − t_prev)`. The
+    * neighbor scan is `last/first(…, ignoreNulls)` over mirrored
+    * unbounded frames — one ordered window pass, no self-join per gap.
+    * Determinism: every term is an exact integer; ONE IEEE division,
+    * one multiply, one add, then rule-3 ROUND(x, 4) — spelled
+    * identically on both engines. Like Q46, the dense axis is one
+    * bounded series, so the global ordered window is fine; many-series
+    * data would add the series key to partitionBy and keep the same
+    * plan shape per series.
+    */
+  private val q51: (String, Q, String) = (
+    "q51_interpolate",
+    (s: SparkSession, dir: String) => {
+      val counts = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("bucket", expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        .groupBy("bucket").agg(count(lit(1)).as("v"))
+        // thin the series so real gaps exist at every SF
+        .filter(col("bucket") % 3 =!= 1)
+      val series = counts.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val j = series.join(counts, Seq("bucket"), "left")
+      val wPrev = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pb", last(when(col("v").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nb", first(when(col("v").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wNext))
+        .select(col("bucket"),
+          when(col("v").isNotNull, col("v").cast("double"))
+            .otherwise(round(col("pv") +
+              (col("nv") - col("pv")) * (col("bucket") - col("pb")) /
+                (col("nb") - col("pb")), 4)).as("vi"))
+        .orderBy("bucket")
+    },
+    """WITH counts AS (
+         SELECT bucket, v FROM (
+           SELECT epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY bucket)
+         WHERE bucket % 3 <> 1),
+       series AS (
+         SELECT unnest(generate_series((SELECT MIN(bucket) FROM counts),
+                                       (SELECT MAX(bucket) FROM counts))) AS bucket),
+       j AS (SELECT s.bucket, c.v FROM series s
+             LEFT JOIN counts c ON s.bucket = c.bucket),
+       w AS (SELECT bucket, v,
+               LAST_VALUE(v IGNORE NULLS) OVER
+                 (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+                 (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               FIRST_VALUE(v IGNORE NULLS) OVER
+                 (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+                 (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+             FROM j)
+       SELECT bucket,
+              CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                   ELSE ROUND(pv + (nv - pv) * (bucket - pb) / (nb - pb), 4)
+              END AS vi
+       FROM w ORDER BY bucket""")
 
   /** Q47 — histogram bucketing: fixed-width value bins with count and
     * contract sum per bin. The bin id is `FLOOR(value / 25.0)` — one

@@ -399,6 +399,48 @@ object LlmOps {
                SELECT s AS id, LEAST(s, MIN(d)) AS comp
                FROM reach GROUP BY s ORDER BY id""")),
 
+    // Triangle enumeration over the near-dup pair graph: how clique-y
+    // are the duplicate clusters? The classic distributed formulation —
+    // edges already oriented a<b, so each triangle a<b<c materializes
+    // exactly once from two equi-joins (wedge a–b, b–c, closed by a–c);
+    // no orientation/dedup pass, join keys shuffle-hash like any other.
+    // At corpus scale the pair graph is orders of magnitude smaller
+    // than the corpus, and the join degree is bounded by the near-dup
+    // cluster sizes the similarity threshold already caps.
+    ("graph_triangles",
+      (s: SparkSession, dir: String) => {
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
+          .select(col("a_id"), col("b_id"))
+        val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+        val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
+        val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
+        e1.join(e2, "b").join(e3, Seq("a", "c"))
+          .select("a", "b", "c")
+          .orderBy("a", "b", "c")
+      },
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
+               shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+               dfq AS (SELECT sh, COUNT(*) AS dfc FROM shd GROUP BY sh),
+               shp AS (SELECT shd.doc_id, shd.sh FROM shd
+                       JOIN dfq ON shd.sh = dfq.sh WHERE dfq.dfc <= 1000),
+               sizes AS (SELECT doc_id, COUNT(*) AS c FROM shp GROUP BY doc_id),
+               rawp AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+                 FROM shp a JOIN shp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+               pairs AS (
+                 SELECT a_id, b_id FROM rawp
+                 JOIN sizes ca ON ca.doc_id = a_id
+                 JOIN sizes cb ON cb.doc_id = b_id
+                 WHERE ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) >= 0.2)
+               SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+               FROM pairs e1
+               JOIN pairs e2 ON e1.b_id = e2.a_id
+               JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+               ORDER BY a, b, c""")),
+
     // Deterministic hash-based stratified sampling: row-keyed Lehmer
     // hash, reproducible on any partitioning / cluster / engine (RNG
     // sampling is not a contract at scale).
