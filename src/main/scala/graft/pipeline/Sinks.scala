@@ -46,15 +46,25 @@ object Sinks {
     * coalesce when shrinking file count (the usual case), and the
     * tmp-dir + atomic swap keeps readers from ever seeing a half
     * state. Returns (filesBefore, filesAfter).
+    *
+    * For an UNPARTITIONED directory. A hive-partitioned table compacts
+    * per partition directory (call this on each) — compacting the root
+    * would flatten partition columns into the data files and lose the
+    * directory pruning they exist for.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = Paths.get(dir)
-    val parts = Files.walk(root).filter(p =>
-      p.getFileName.toString.endsWith(".parquet")).toArray.map(_.toString)
+    def parquetFiles(): Array[Path] = {
+      val s = Files.walk(root)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toArray.map(o => o.asInstanceOf[Path])
+      finally s.close()
+    }
+    val parts = parquetFiles()
     val before = parts.length
-    val totalBytes = parts.map(p => Files.size(Paths.get(p))).sum
+    val totalBytes = parts.map(Files.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = root.resolveSibling(root.getFileName.toString + ".compact_tmp")
     spark.read.parquet(dir).coalesce(nOut)
@@ -63,9 +73,7 @@ object Sinks {
     Files.move(root, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(bak)
-    val after = Files.walk(root).filter(p =>
-      p.getFileName.toString.endsWith(".parquet")).toArray.length
-    (before, after)
+    (before, parquetFiles().length)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -409,9 +409,13 @@ object LlmOps {
     // cluster sizes the similarity threshold already caps.
     ("graph_triangles",
       (s: SparkSession, dir: String) => {
+        // the pair frame feeds THREE join inputs — persist it so the
+        // (expensive) similarity pipeline upstream executes once, not
+        // three times; bench/verify clear the cache between queries
         val pairs = graft.operators.Dedup
           .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
           .select(col("a_id"), col("b_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
         val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
         val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
