@@ -43,4 +43,28 @@ object Sampling {
     */
   def hashBucketSql(id: String): String =
     s"((((($id % $P) + $P) % $P) * $A) % $P) % 100"
+
+  /** Pseudo-random bucket in [0, k) — [[hashBucket]] with a caller
+    * resolution, for weight-proportional keep decisions.
+    */
+  def hashBucketK(id: Column, k: Int): Column =
+    pmod(pmod(pmod(id, lit(P)) * lit(A), lit(P)), lit(k))
+
+  /** Importance sampling: keep each row with probability
+    * `min(weight, maxWeight) / maxWeight`, decided by the row id —
+    * the deterministic form of weight-proportional corpus mixing
+    * (upweight long/high-quality documents, downweight boilerplate)
+    * that stays reproducible across partitionings, clusters, engines.
+    * One narrow filter; no shuffle, no RNG state.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+      maxWeight: Int): DataFrame = {
+    require(maxWeight > 0, "maxWeight must be positive")
+    df.filter(hashBucketK(col(idCol), maxWeight) <
+      least(col(weightCol), lit(maxWeight)))
+  }
+
+  /** Oracle-side spelling of the [[weightedHashSample]] predicate. */
+  def weightedSampleSql(id: String, w: String, maxWeight: Int): String =
+    s"((((($id % $P) + $P) % $P) * $A) % $P) % $maxWeight < LEAST($w, $maxWeight)"
 }

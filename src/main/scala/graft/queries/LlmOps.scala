@@ -399,6 +399,62 @@ object LlmOps {
                SELECT s AS id, LEAST(s, MIN(d)) AS comp
                FROM reach GROUP BY s ORDER BY id""")),
 
+    // Weight-proportional deterministic sampling (importance sampling):
+    // keep probability ∝ min(n_chars, 400)/400 — the corpus-mixing
+    // primitive (weight by length/quality score), reproducible on any
+    // partitioning or engine because the decision hashes the row id.
+    ("sample_weighted",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling
+          .weightedHashSample(docs(s, dir), "doc_id", "n_chars", maxWeight = 400)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, n_chars FROM documents
+               WHERE ${graft.operators.Sampling.weightedSampleSql("doc_id", "n_chars", 400)}
+               ORDER BY doc_id""")),
+
+    // Per-group z-score outliers (anomaly detection): events whose
+    // value sits > 2 sample standard deviations from their type's mean.
+    // Exact integer cents sums (the q27/StddevMoney4 contract shape)
+    // feed one IEEE formula spelled identically on both engines, so
+    // even the |z| > 2 boundary decision is bit-identical. Stats frame
+    // is groups-sized → broadcast back onto the events: two narrow
+    // passes, one shuffle (the group-by).
+    ("q52_outliers",
+      (s: SparkSession, dir: String) => {
+        val e = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("c", round(col("value") * 100).cast("decimal(18,0)"))
+        val stats = e.groupBy("event_type").agg(
+          sum(col("c")).cast("double").as("sc"),
+          sum(col("c") * col("c")).cast("double").as("ssq"),
+          count(lit(1)).as("n"))
+        e.join(stats, "event_type")
+          .withColumn("sd", sqrt((col("ssq") - col("sc") * col("sc") / col("n"))
+            / (col("n") - lit(1))))
+          .withColumn("z", round((col("c").cast("double") - col("sc") / col("n"))
+            / col("sd"), 4))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("event_id"), col("event_type"), col("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS DECIMAL(18,0)) AS c
+                FROM events WHERE value IS NOT NULL),
+              stats AS (
+                SELECT event_type, CAST(SUM(c) AS DOUBLE) AS sc,
+                       CAST(SUM(c * c) AS DOUBLE) AS ssq,
+                       COUNT(*) AS n
+                FROM e GROUP BY event_type)
+              SELECT event_id, e.event_type,
+                     ROUND((CAST(c AS DOUBLE) - sc / n) /
+                           SQRT((ssq - sc * sc / n) / (n - 1)), 4) AS z
+              FROM e JOIN stats ON e.event_type = stats.event_type
+              WHERE ABS(ROUND((CAST(c AS DOUBLE) - sc / n) /
+                              SQRT((ssq - sc * sc / n) / (n - 1)), 4)) > 2.0
+              ORDER BY event_id""")),
+
     // Triangle enumeration over the near-dup pair graph: how clique-y
     // are the duplicate clusters? The classic distributed formulation —
     // edges already oriented a<b, so each triangle a<b<c materializes

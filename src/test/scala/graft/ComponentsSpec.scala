@@ -74,4 +74,22 @@ class ComponentsSpec extends SparkSpec {
     assert(langs == Set("en"))
     assert(sampled.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("weighted sampling: partition-independent, keep-rate tracks the weight") {
+    val docs = Tables(spark, sf, "documents")
+    val w1 = Sampling.weightedHashSample(docs, "doc_id", "n_chars", 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w2 = Sampling.weightedHashSample(docs.repartition(7), "doc_id", "n_chars", 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(w1 == w2, "weighted sample must not depend on partitioning")
+    // rows at/above maxWeight are kept with probability 1
+    val heavy = docs.filter(col("n_chars") >= 400)
+    assert(Sampling.weightedHashSample(heavy, "doc_id", "n_chars", 400).count()
+      == heavy.count(), "weight ≥ max ⇒ always kept")
+    // keep-rate of the light stratum is below the heavy stratum's
+    val light = docs.filter(col("n_chars") < 200)
+    val lightRate = Sampling.weightedHashSample(light, "doc_id", "n_chars", 400)
+      .count().toDouble / math.max(1, light.count())
+    assert(lightRate < 0.75, s"light docs must be down-sampled, rate $lightRate")
+  }
 }
