@@ -200,6 +200,12 @@ object Portable {
           if (all) u else u.distinct()
         case WindowCol(in, pb, ob, fn, alias) =>
           import org.apache.spark.sql.expressions.{Window => W}
+          val inDf = toDataFrame(spark, sfDir, in)
+          // a duplicate alias would silently REPLACE here (withColumn)
+          // but APPEND in the SQL dialects (`SELECT *, … AS alias`) —
+          // reject loudly instead of letting the frontends diverge
+          require(!inDf.columns.contains(alias),
+            s"window alias '$alias' already exists in ${inDf.columns.mkString(",")}")
           val sortCols = ob.map { case (k, asc) =>
             if (asc) asc_nulls_first(k) else desc_nulls_last(k) }
           val base =
@@ -220,7 +226,7 @@ object Portable {
               round(sum(Canonical.dec(col(cn))).over(frame).cast("double") /
                 count(col(cn)).over(frame), 4)
           }
-          toDataFrame(spark, sfDir, in).withColumn(alias, c)
+          inDf.withColumn(alias, c)
         case Sort(in, keys) =>
           toDataFrame(spark, sfDir, in)
             .orderBy(keys.map { case (k, asc) =>

@@ -20,19 +20,37 @@ class PortablePropertySpec extends SparkSpec {
   // produced tree is well-formed
   private val baseCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
 
-  private def predGen: Gen[Expr] = for {
-    c0 <- Gen.oneOf("o_orderkey", "o_custkey", "o_totalprice")
-    op <- Gen.oneOf(">", "<", ">=", "<=")
-    v <- Gen.choose(0, 200000)
-  } yield Bin(op, c(c0), LitNum(v.toDouble))
+  private def predGen: Gen[Expr] = Gen.frequency(
+    4 -> (for {
+      c0 <- Gen.oneOf("o_orderkey", "o_custkey", "o_totalprice")
+      op <- Gen.oneOf(">", "<", ">=", "<=")
+      v <- Gen.choose(0, 200000)
+    } yield Bin(op, c(c0), LitNum(v.toDouble))),
+    // the round-3 predicate vocabulary: BETWEEN and IN-list
+    1 -> (for {
+      c0 <- Gen.oneOf("o_orderkey", "o_custkey")
+      lo <- Gen.choose(0, 5000)
+      w <- Gen.choose(1, 100000)
+    } yield Between(c(c0), LitNum(lo.toDouble), LitNum((lo + w).toDouble))),
+    1 -> (for {
+      vs <- Gen.listOfN(4, Gen.choose(1, 3000))
+    } yield InList(c("o_custkey"), vs.map(v => LitNum(v.toDouble)))),
+  )
 
-  private def stepGen(r: Rel): Gen[Rel] = Gen.frequency(
+  // window aliases must be FRESH per IR contract (the DataFrame
+  // compiler rejects duplicates) — a projection back to baseCols
+  // before each window step guarantees it
+  private def stepGen(r: Rel, i: Int): Gen[Rel] = Gen.frequency(
     4 -> predGen.map(p => r.where(p)),
     2 -> Gen.const(r.select(baseCols.map(n => (c(n): Expr) -> n): _*)),
     2 -> Gen.const(r.distinct),
     1 -> Gen.const(r.unionAll(r)),
-    1 -> Gen.const(r.window(Seq("o_custkey"),
-      Seq("o_totalprice" -> false, "o_orderkey" -> true), RowNum, "rn")),
+    1 -> Gen.const(r.select(baseCols.map(n => (c(n): Expr) -> n): _*)
+      .window(Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), RowNum, s"rn$i")),
+    1 -> Gen.const(r.select(baseCols.map(n => (c(n): Expr) -> n): _*)
+      .window(Seq("o_custkey"),
+        Seq("o_orderkey" -> true), MovingAvg4("o_totalprice", 3), s"ma$i")),
     1 -> Gen.choose(5, 200).map(n =>
       r.orderBy("o_orderkey" -> true).limit(n)),
   )
@@ -42,7 +60,7 @@ class PortablePropertySpec extends SparkSpec {
       .select(baseCols.map(n => (c(n): Expr) -> n): _*)
     def grow(r: Rel, depth: Int): Gen[Rel] =
       if (depth == 0) Gen.const(r)
-      else stepGen(r).flatMap(grow(_, depth - 1))
+      else stepGen(r, depth).flatMap(grow(_, depth - 1))
     Gen.choose(1, 4).flatMap(d => grow(base, d))
   }
 
