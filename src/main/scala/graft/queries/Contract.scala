@@ -721,7 +721,7 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50 :+ q51
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50 :+ q51 :+ q53 :+ q54
 
   /** Q48 — exact multi-percentile per group (percentile_disc without
     * the engine's percentile function, whose interpolation conventions
@@ -945,6 +945,95 @@ object Contract {
                    ELSE ROUND(pv + (nv - pv) * (bucket - pb) / (nb - pb), 4)
               END AS vi
        FROM w ORDER BY bucket""")
+
+  /** Q53 — least-squares regression per group (REGR_SLOPE/INTERCEPT
+    * without the engine's regr_* functions, whose accumulation orders
+    * differ): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) from EXACT
+    * integer sums — x is the integral quantity, y integer cents — each
+    * sum < 2⁵³ so the casts to double are exact, and the closed-form
+    * arithmetic is the same IEEE op sequence on both engines. Rule-3
+    * ROUND(x, 4) on the outputs.
+    */
+  private val q53: (String, Q, String) = (
+    "q53_regression",
+    (s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("x"),
+          round(col("l_extendedprice") * 100).cast("decimal(18,0)").as("y"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) / 100.0, 4)
+            .as("slope"),
+          round((col("sy") / col("n") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) *
+              (col("sx") / col("n"))) / 100.0, 4).as("icept"))
+        .orderBy("l_returnflag")
+    },
+    """WITH s AS (
+         SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                CAST(SUM(x * x) AS DOUBLE) AS sxx
+         FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                      CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0)) AS y
+               FROM lineitem)
+         GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 4) AS slope,
+              ROUND((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)) / 100.0, 4) AS icept
+       FROM s ORDER BY l_returnflag""")
+
+  /** Q54 — funnel analysis (ordered event-sequence matching): users who
+    * did view → click → purchase IN ORDER, each stage's timestamp at or
+    * after the previous stage's first occurrence. Three per-user min
+    * aggregations chained by semi-join-shaped inner joins — group sizes
+    * are per-user event counts, stage frames shrink monotonically; no
+    * window over the whole event stream, no cross join. The product-
+    * analytics op every event pipeline grows eventually.
+    */
+  private val q54: (String, Q, String) = (
+    "q54_funnel",
+    (s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("ta"))
+      val b = ev.filter(col("event_type") === "click")
+        .join(a, "user_id").filter(col("us") >= col("ta"))
+        .groupBy("user_id").agg(min(col("us")).as("tb"))
+      val c = ev.filter(col("event_type") === "purchase")
+        .join(b, "user_id").filter(col("us") >= col("tb"))
+        .groupBy("user_id").agg(min(col("us")).as("tc"))
+      a.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(b.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(c.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+        .orderBy("stage")
+    },
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       a AS (SELECT user_id, MIN(us) AS ta FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+       b AS (SELECT ev.user_id, MIN(us) AS tb FROM ev
+             JOIN a ON ev.user_id = a.user_id
+             WHERE event_type = 'click' AND us >= ta GROUP BY ev.user_id),
+       c AS (SELECT ev.user_id, MIN(us) AS tc FROM ev
+             JOIN b ON ev.user_id = b.user_id
+             WHERE event_type = 'purchase' AND us >= tb GROUP BY ev.user_id)
+       SELECT stage, COUNT(*) AS users FROM (
+         SELECT '1_view' AS stage, user_id FROM a
+         UNION ALL SELECT '2_click', user_id FROM b
+         UNION ALL SELECT '3_purchase', user_id FROM c)
+       GROUP BY stage ORDER BY stage""")
 
   /** Q47 — histogram bucketing: fixed-width value bins with count and
     * contract sum per bin. The bin id is `FLOOR(value / 25.0)` — one
