@@ -48,10 +48,10 @@ object Bench {
     // cold-start costs amortize across a real workload. A GC between
     // queries keeps one query's allocation debt from being collected
     // inside the next query's timed window, and clearCache() releases
-    // intermediates queries persist (76 queries × 2 executions in one
-    // JVM otherwise time GC and cache eviction, not plans). Per-query
-    // GC-time delta is recorded so a slow query can be attributed to
-    // collection pressure vs plan cost from the metrics line alone.
+    // intermediates queries persist (names.size queries × 2 executions
+    // in one JVM otherwise time GC and cache eviction, not plans).
+    // Per-query GC-time delta is recorded so a slow query can be
+    // attributed to collection pressure vs plan cost from the line alone.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
       exec(n)
@@ -71,21 +71,21 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     // Channels, most- to least-robust: a file (BENCH_OUT), stderr, and
-    // stdout BEFORE the Spark shutdown noise plus again as the very
-    // last line — the driver's stdout tail-parse has failed two rounds
-    // running ("parsed": null), so the line is emitted everywhere a
-    // parser could plausibly look.
+    // stdout. The line lands on stdout EXACTLY ONCE — after
+    // spark.stop(), so no shutdown logging interleaves and it is the
+    // last line this main emits (a parser that requires a unique match
+    // or takes the final JSON-shaped line both find the same value;
+    // round-3 printed it twice, which an all-occurrences parser could
+    // double-count).
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(line)
-    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     spark.stop()
     println(line)
     System.out.flush()
-    System.err.println(line)
-    System.err.flush()
   }
 }

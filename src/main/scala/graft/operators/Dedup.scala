@@ -73,11 +73,12 @@ object Dedup {
     // branches both read it, so the (expensive) upstream shingle
     // pipeline executes exactly once. Callers that materialize the
     // result (bench/verify) clear the cache between queries.
-    val byShingle = shingled.groupBy(col(shCol))
-      .agg(sort_array(collect_set(col(docCol))).as("ds"))
-      .filter(maxDocFreq.fold(lit(true))(cap => size(col("ds")) <= cap))
-      .select("ds")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byShingle = graft.CacheTracker.track(
+      shingled.groupBy(col(shCol))
+        .agg(sort_array(collect_set(col(docCol))).as("ds"))
+        .filter(maxDocFreq.fold(lit(true))(cap => size(col("ds")) <= cap))
+        .select("ds")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = byShingle.select(explode(col("ds")).as("__doc"))
       .groupBy("__doc").agg(count(lit(1)).as("__c"))
     // Two-level pair generation: posexplode picks the anchor, a second

@@ -46,7 +46,9 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
     * re-executes stages 1..N-1, multiplying pipeline cost by the stage
     * count. MEMORY_AND_DISK: spills instead of evicting at scale; on a
     * cluster a reliable checkpoint would also cut the lineage itself.
-    * Everything is unpersisted at the end of [[run]].
+    * Everything is unpersisted at the end of [[run]] — the staged
+    * frames here AND operator-internal persists (the near-dup stage's
+    * inverted index) via [[graft.CacheTracker.unpersistAll]].
     */
   private def note(stage: String, df: DataFrame): DataFrame = {
     readsCache(stage) =
@@ -108,6 +110,10 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
     report("exported") = out.count()
     staged.foreach(_.unpersist(blocking = false))
     staged.clear()
+    // operator-internal persists (e.g. ngramJaccardPairs' inverted
+    // index) register with CacheTracker — release them too, so a
+    // long-lived app can call run() repeatedly without accreting blocks
+    graft.CacheTracker.unpersistAll()
     reportPath.foreach(writeReport)
     out
   }

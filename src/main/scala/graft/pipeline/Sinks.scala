@@ -43,9 +43,15 @@ object Sinks {
     * per-file open/footer/task overhead eventually dwarfs the data
     * scan. Sizing from the CURRENT on-disk bytes (already compressed)
     * avoids re-estimating compression; the rewrite is one shuffle-free
-    * coalesce when shrinking file count (the usual case), and the
-    * tmp-dir + atomic swap keeps readers from ever seeing a half
-    * state. Returns (filesBefore, filesAfter).
+    * coalesce when shrinking file count (the usual case). The swap is
+    * BEST-EFFORT local semantics, not a transaction: it is two
+    * directory moves (old→.compact_old, tmp→dir), so there is a window
+    * where the directory does not exist, and ATOMIC_MOVE on a
+    * directory is filesystem-dependent — this assumes a single writer
+    * and no concurrent readers (a table format with a commit log is
+    * the real fix on shared storage). On failure between the moves the
+    * original directory is restored from `.compact_old`. Returns
+    * (filesBefore, filesAfter).
     *
     * For an UNPARTITIONED directory. A hive-partitioned table compacts
     * per partition directory (call this on each) — compacting the root
@@ -71,7 +77,14 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = root.resolveSibling(root.getFileName.toString + ".compact_old")
     Files.move(root, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // the table vanished for the failed second move — put it back
+      // rather than stranding it at .compact_old
+      Files.move(bak, root, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(tmp)
+      throw e
+    }
     deleteRecursively(bak)
     (before, parquetFiles().length)
   }

@@ -190,10 +190,25 @@ object Portable {
             case "anti" => "left_anti"
             case h => h
           }
+          val ldf = toDataFrame(spark, sfDir, l)
+          val rdf = toDataFrame(spark, sfDir, r)
+          // the Join doc REQUIRES key names to differ across sides
+          // (rename in a Project first); enforce it — a same-named key
+          // would resolve `col(lk) === col(rk)` ambiguously (or
+          // trivially true) here and be ambiguous in the SQL dialects'
+          // bare `lk = rk` — mirror of the duplicate-window-alias check
+          val lcols = ldf.columns.toSet
+          val rcols = rdf.columns.toSet
+          keys.foreach { case (lk, rk) =>
+            require(lk != rk, s"join key '$lk' used on both sides — rename one in a Project first")
+            require(lcols.contains(lk) && !rcols.contains(lk),
+              s"left join key '$lk' must exist on the left side only (left=${lcols.mkString(",")}, right=${rcols.mkString(",")})")
+            require(rcols.contains(rk) && !lcols.contains(rk),
+              s"right join key '$rk' must exist on the right side only (left=${lcols.mkString(",")}, right=${rcols.mkString(",")})")
+          }
           val cond = keys.map { case (lk, rk) => col(lk) === col(rk) }
             .reduce(_ && _)
-          toDataFrame(spark, sfDir, l)
-            .join(toDataFrame(spark, sfDir, r), cond, sparkHow)
+          ldf.join(rdf, cond, sparkHow)
         case Distinct(in) => toDataFrame(spark, sfDir, in).distinct()
         case Union(l, r, all) =>
           val u = toDataFrame(spark, sfDir, l).union(toDataFrame(spark, sfDir, r))

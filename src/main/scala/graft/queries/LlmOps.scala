@@ -467,11 +467,12 @@ object LlmOps {
       (s: SparkSession, dir: String) => {
         // the pair frame feeds THREE join inputs — persist it so the
         // (expensive) similarity pipeline upstream executes once, not
-        // three times; bench/verify clear the cache between queries
-        val pairs = graft.operators.Dedup
+        // three times; tracked so CorpusPipeline.run / CacheTracker
+        // .unpersistAll() can release it (bench/verify clearCache too)
+        val pairs = graft.CacheTracker.track(graft.operators.Dedup
           .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
           .select(col("a_id"), col("b_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
         val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
         val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
