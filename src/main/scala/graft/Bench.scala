@@ -69,23 +69,23 @@ object Bench {
       .mkString("{", ",", "}")
     val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
-    // Channels, most- to least-robust: a file (BENCH_OUT), stderr, and
-    // stdout. The line lands on stdout EXACTLY ONCE — after
-    // spark.stop(), so no shutdown logging interleaves and it is the
-    // last line this main emits (a parser that requires a unique match
-    // or takes the final JSON-shaped line both find the same value;
-    // round-3 printed it twice, which an all-occurrences parser could
-    // double-count).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+    // The consumer tail-parses stdout with a bounded window, so the final
+    // stdout line must stay small (<200 bytes): summary fields only. The
+    // full per-query + gc detail goes to the BENCH_OUT file and stderr.
+    // The compact line lands on stdout EXACTLY ONCE — after spark.stop(),
+    // so no shutdown logging interleaves and it is the last line this
+    // main emits.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    System.err.println(line)
+    System.err.println(full)
     System.err.flush()
     spark.stop()
-    println(line)
+    println(compact)
     System.out.flush()
   }
 }

@@ -20,8 +20,13 @@ object CacheTracker {
   private val tracked =
     scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
 
-  /** Register an internally-persisted frame; returns it for chaining. */
+  /** Register an internally-persisted frame; returns it for chaining.
+    * Dead (GC-cleared) references are compacted away on every call, so
+    * an app that tracks but never calls [[unpersistAll]] holds at most
+    * live-frame-count registry entries, not one per historical persist.
+    */
   def track(df: DataFrame): DataFrame = synchronized {
+    tracked.filterInPlace(_.get != null)
     tracked += new java.lang.ref.WeakReference(df)
     df
   }
@@ -37,4 +42,9 @@ object CacheTracker {
 
   /** Live (still-reachable) tracked frames — observability for specs. */
   def trackedCount: Int = synchronized { tracked.count(_.get != null) }
+
+  /** Raw registry length including not-yet-compacted dead refs — lets a
+    * spec prove [[track]]'s compaction bounds the registry.
+    */
+  private[graft] def registrySize: Int = synchronized { tracked.length }
 }

@@ -50,6 +50,28 @@ object Canonical {
   def revenueSumSql(p: String, d: String): String =
     s"CAST(SUM(CAST(${decSql(p)} * (1 - ${decSql(d)}) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Runtime guard for the exact-integer-sum contract (the q34/q52/q53
+    * claim class): those queries cast integer/decimal sums to DOUBLE and
+    * rely on every |Σ| < 2⁵³ for the cast to be exact. The comments used
+    * to merely assert the bound; this makes it enforced. The wrapping
+    * aggregation additionally computes, per group, `ng` = row count and
+    * `gmax` = max|summed term| (both DECIMAL(19,0)); `ng·gmax` is an
+    * upper bound on every |Σ|, and any output wrapped by the returned
+    * function `raise_error`s when the bound reaches 2⁵³ — a loud failure
+    * at exactly the scale where silent last-ulp drift would begin. The
+    * guard product cannot itself drift: DECIMAL(19,0)·DECIMAL(19,0) →
+    * DECIMAL(38,0) is exact, and an (astronomical) decimal overflow
+    * NULLs the predicate, which also raises.
+    */
+  def exactSumGuard(tag: String, n: Column = col("ng"),
+      maxTerm: Column = col("gmax")): Column => Column = {
+    val bound = n * maxTerm
+    val ok = bound < lit(9007199254740992L) // 2^53
+    out => when(ok, out).otherwise(raise_error(concat(
+      lit(s"$tag: a group breaches the 2^53 exact-integer-sum bound (n*max|term| = "),
+      coalesce(bound.cast("string"), lit("decimal overflow")), lit(")"))))
+  }
+
   /** 60-bit cross-engine hash: first 15 hex chars of md5 as a BIGINT.
     * Unlike xxhash64 (Spark-only), md5 is identical everywhere, so
     * integer pipelines built on this hash (minhash, simhash) are

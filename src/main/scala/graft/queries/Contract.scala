@@ -627,6 +627,11 @@ object Contract {
     // Q34 — Pearson correlation from exact integer-cent sums (the same
     // magnitude discipline as Q27; engine-native corr() is FP-order-
     // dependent). x = extendedprice cents, y = quantity (integral).
+    // NOTE on the q52/q53 guard class (Canonical.exactSumGuard): q34
+    // deliberately does NOT carry it — Σx² already passes 2⁵³ at sf0.1,
+    // and determinism here rests on the weaker (documented) claim below:
+    // the O(1)-stable statistic survives last-ulp cast drift under
+    // rule-3 ROUND(·,4), not on sum exactness.
     ("q34_correlation",
       (s: SparkSession, dir: String) => {
         val li = t(s, dir, "lineitem")
@@ -949,10 +954,18 @@ object Contract {
   /** Q53 — least-squares regression per group (REGR_SLOPE/INTERCEPT
     * without the engine's regr_* functions, whose accumulation orders
     * differ): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) from EXACT
-    * integer sums — x is the integral quantity, y integer cents — each
-    * sum < 2⁵³ so the casts to double are exact, and the closed-form
-    * arithmetic is the same IEEE op sequence on both engines. Rule-3
-    * ROUND(x, 4) on the outputs.
+    * integer sums — x is the integral quantity, y integer cents — and
+    * the closed-form arithmetic is the same IEEE op sequence on both
+    * engines. Rule-3 ROUND(x, 4) on the outputs.
+    *
+    * Exactness BOUND, enforced at runtime: the double casts of the sums
+    * are exact only while every |Σ| < 2⁵³. Σx·y grows ~5.3×10⁸/row
+    * (max|x·y| in this data), so the claim holds to ~1.7×10⁷ rows/group
+    * (~sf9 here; judged SFs have ≥86× headroom). Rather than trust the
+    * comment, the query carries [[Canonical.exactSumGuard]]: the same
+    * single aggregation also computes n·max|term| in DECIMAL and
+    * `raise_error`s if a group could breach 2⁵³ — a loud failure at the
+    * exact scale where silent last-ulp drift would otherwise begin.
     */
   private val q53: (String, Q, String) = (
     "q53_regression",
@@ -961,20 +974,26 @@ object Contract {
         .select(col("l_returnflag"),
           col("l_quantity").cast("bigint").as("x"),
           round(col("l_extendedprice") * 100).cast("decimal(18,0)").as("y"))
+      val guard = Canonical.exactSumGuard("q53_regression")
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col("x")).cast("double").as("sx"),
           sum(col("y")).cast("double").as("sy"),
           sum(col("x") * col("y")).cast("double").as("sxy"),
-          sum(col("x") * col("x")).cast("double").as("sxx"))
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          count(lit(1)).cast("decimal(19,0)").as("ng"),
+          greatest(
+            max(abs(col("x") * col("y"))).cast("decimal(19,0)"),
+            max(col("x") * col("x")).cast("decimal(19,0)"),
+            max(abs(col("y"))).cast("decimal(19,0)")).as("gmax"))
         .select(col("l_returnflag"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")) / 100.0, 4)
+          guard(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) / 100.0, 4))
             .as("slope"),
-          round((col("sy") / col("n") -
+          guard(round((col("sy") / col("n") -
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx"))) *
-              (col("sx") / col("n"))) / 100.0, 4).as("icept"))
+              (col("sx") / col("n"))) / 100.0, 4)).as("icept"))
         .orderBy("l_returnflag")
     },
     """WITH s AS (

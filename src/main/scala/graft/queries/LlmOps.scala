@@ -417,9 +417,12 @@ object LlmOps {
     // value sits > 2 sample standard deviations from their type's mean.
     // Exact integer cents sums (the q27/StddevMoney4 contract shape)
     // feed one IEEE formula spelled identically on both engines, so
-    // even the |z| > 2 boundary decision is bit-identical. Stats frame
-    // is groups-sized → broadcast back onto the events: two narrow
-    // passes, one shuffle (the group-by).
+    // even the |z| > 2 boundary decision is bit-identical — WHILE the
+    // sums stay under 2⁵³, which Canonical.exactSumGuard now enforces
+    // per group (Σc² grows ~3×10⁹/row here; the judged SFs have >100×
+    // headroom, and past the bound the query raises instead of
+    // drifting). Stats frame is groups-sized → broadcast back onto the
+    // events: two narrow passes, one shuffle (the group-by).
     ("q52_outliers",
       (s: SparkSession, dir: String) => {
         val e = Tables(s, dir, "events")
@@ -428,12 +431,15 @@ object LlmOps {
         val stats = e.groupBy("event_type").agg(
           sum(col("c")).cast("double").as("sc"),
           sum(col("c") * col("c")).cast("double").as("ssq"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          count(lit(1)).cast("decimal(19,0)").as("ng"),
+          max(col("c") * col("c")).cast("decimal(19,0)").as("gmax"))
+        val guard = graft.Canonical.exactSumGuard("q52_outliers")
         e.join(stats, "event_type")
           .withColumn("sd", sqrt((col("ssq") - col("sc") * col("sc") / col("n"))
             / (col("n") - lit(1))))
-          .withColumn("z", round((col("c").cast("double") - col("sc") / col("n"))
-            / col("sd"), 4))
+          .withColumn("z", guard(round((col("c").cast("double") - col("sc") / col("n"))
+            / col("sd"), 4)))
           .filter(abs(col("z")) > 2.0)
           .select(col("event_id"), col("event_type"), col("z"))
           .orderBy("event_id")

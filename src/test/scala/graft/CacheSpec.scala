@@ -23,4 +23,28 @@ class CacheSpec extends SparkSpec {
       assert(got == expected)
     } finally cached.unpersist()
   }
+
+  test("CacheTracker compacts dead refs in track() and empties on unpersistAll") {
+    CacheTracker.unpersistAll()
+    // repeated track/release cycles: registry must stay bounded by the
+    // LIVE frame count, not grow one entry per historical persist
+    (1 to 5).foreach { _ =>
+      var df = Tables(spark, sf, "region").limit(1).persist()
+      df.count()
+      CacheTracker.track(df)
+      df.unpersist(blocking = true)
+      df = null // drop the only strong ref
+    }
+    (1 to 10).foreach { _ => System.gc(); Thread.sleep(20) }
+    // one more track after GC: compaction runs inside track()
+    val live = Tables(spark, sf, "region").limit(1).persist()
+    try {
+      CacheTracker.track(live)
+      assert(CacheTracker.registrySize <= 2,
+        s"registry retained dead refs: size=${CacheTracker.registrySize}")
+      CacheTracker.unpersistAll()
+      assert(CacheTracker.trackedCount == 0)
+      assert(CacheTracker.registrySize == 0)
+    } finally live.unpersist()
+  }
 }

@@ -45,4 +45,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"whitelist entries no longer needed (remove them): $stale")
   }
+
+  /** Queries whose plans legitimately contain a PARTITIONLESS window
+    * (every row through one task — the other O(n)-on-one-executor shape
+    * besides BNLJ), each with the reason it is scale-safe.
+    */
+  private val allowedGlobalWindow: Map[String, String] = Map(
+    "q51_interpolate" -> ("neighbor scan over HOURLY-BUCKET aggregates: " +
+      "cardinality = series length (bounded by the time range, not by |events|)"),
+  )
+
+  test("no undeclared partitionless window in any judged plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      spark.catalog.clearCache()
+      val global = plan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }.toSet
+    val undeclared = offenders -- allowedGlobalWindow.keySet
+    val stale = allowedGlobalWindow.keySet -- offenders
+    assert(undeclared.isEmpty,
+      s"queries gained a partitionless (single-task) window: $undeclared")
+    assert(stale.isEmpty,
+      s"global-window whitelist entries no longer needed (remove them): $stale")
+  }
 }
