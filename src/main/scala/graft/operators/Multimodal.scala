@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.2 L3): media as opaque `binary`
   * columns with typed metadata structs, processed per-partition in typed
-  * Datasets. Container HEADERS are parsed for real — PNG IHDR
-  * (CRC32-verified) and canonical PCM WAV, pure JVM — while pixel/
-  * sample decode remains stubbed (this container ships no codecs) with
-  * a deterministic fake keyed off the bytes. The Spark-side shape is
+  * Datasets. The decode path is REAL end-to-end for the two formats the
+  * JDK can handle without codec libs: PNG pixels via `javax.imageio`
+  * ([[decodePixels]], [[resize]]) and PCM WAV samples via direct LE-16
+  * reads ([[decodeWavSamples]]); container headers (PNG IHDR
+  * CRC32-verified, RIFF/fmt/data) are parsed byte-level. Only formats
+  * the JDK has no decoder for (video containers) fall back to a
+  * deterministic size-derived stub. The Spark-side shape is
   * production-real throughout: binary column schema, partition-parallel
   * decode, typed output rows, batch-friendly iteration (decode state
   * initialized once per partition, the same pattern a JNI codec or
@@ -123,29 +126,81 @@ object Multimodal {
       else None
     } else None
 
-  /** A minimal VALID PNG header (signature + IHDR with a correct
-    * CRC32): 33 bytes, parseable by any PNG reader up to the missing
-    * pixel data.
-    */
-  private[graft] def pngBytes(w: Int, h: Int): Array[Byte] = {
-    val ihdr = java.nio.ByteBuffer.allocate(13)
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      .putInt(crc.getValue.toInt).array()
+  }
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def ihdrData(w: Int, h: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h)
       .put(8.toByte)  // bit depth
       .put(2.toByte)  // color type: truecolor
       .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
       .array()
-    val crc = new java.util.zip.CRC32
-    crc.update("IHDR".getBytes("US-ASCII"))
-    crc.update(ihdr)
-    java.nio.ByteBuffer.allocate(33)
-      .put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-      .putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr)
-      .putInt(crc.getValue.toInt)
-      .array()
+
+  /** A minimal VALID PNG header (signature + IHDR with a correct
+    * CRC32): 33 bytes, parseable by any PNG reader up to the missing
+    * pixel data — kept for the header-parse / corrupt-CRC tests.
+    */
+  private[graft] def pngBytes(w: Int, h: Int): Array[Byte] =
+    pngSig ++ pngChunk("IHDR", ihdrData(w, h))
+
+  /** The deterministic RGB test pattern a synthesized image carries at
+    * (x, y): pure integer arithmetic, so specs can re-derive expected
+    * pixels without going through the encoder.
+    */
+  private[graft] def patternRgb(x: Int, y: Int, seed: Int): (Int, Int, Int) =
+    ((x + y + seed) & 0xff,
+      (2 * x + 3 * y + 5 * seed) & 0xff,
+      (7 * x + 11 * y + 13 * seed) & 0xff)
+
+  /** A COMPLETE valid PNG — signature, IHDR, deflate-compressed IDAT
+    * (filter-0 scanlines of [[patternRgb]]), IEND — decodable by any
+    * PNG reader, `javax.imageio` included. Pure JVM (`Deflater` +
+    * `CRC32`), no codec libs.
+    */
+  private[graft] def pngFullBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // filter type: None
+      i += 1
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = patternRgb(x, y, seed)
+        raw(i) = r.toByte; raw(i + 1) = g.toByte; raw(i + 2) = b.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    pngSig ++ pngChunk("IHDR", ihdrData(w, h)) ++
+      pngChunk("IDAT", zbuf.toByteArray) ++ pngChunk("IEND", Array.empty)
   }
 
-  /** A complete canonical 16-bit PCM WAV file (44-byte header + silent
-    * sample data) — valid input for any WAV reader.
+  /** The deterministic int16 test tone a synthesized WAV carries at
+    * sample index i: integer sawtooth, re-derivable by specs without
+    * the encoder.
+    */
+  private[graft] def toneSample(i: Int, seed: Int): Short =
+    (((i * 37 + seed * 101) % 4096) - 2048).toShort
+
+  /** A complete canonical 16-bit PCM WAV file (44-byte header +
+    * [[toneSample]] data, seeded by the sample rate) — valid input for
+    * any WAV reader, with non-trivial samples for [[decodeWavSamples]].
     */
   private[graft] def wavBytes(sampleRate: Int, channels: Int,
       nFrames: Int): Array[Byte] = {
@@ -162,21 +217,29 @@ object Multimodal {
       .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
       .putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames * channels) {
+      buf.putShort(toneSample(i, sampleRate))
+      i += 1
+    }
     buf.array()
   }
 
-  /** Media table with REAL payloads: image rows carry a valid PNG
-    * header (dimensions derived from doc_id), audio rows a complete
-    * PCM WAV, video rows the raw text bytes (no cross-engine container
-    * is synthesizable pure-JVM). [[decodeMeta]] parses these back —
-    * byte-level proof the harness decodes real formats, not echoes.
+  /** Media table with REAL payloads: image rows carry a COMPLETE
+    * decodable PNG (deterministic [[patternRgb]] pixels, dimensions
+    * derived from doc_id), audio rows a complete PCM WAV, video rows
+    * the raw text bytes (no cross-engine video container is
+    * synthesizable pure-JVM). [[decodeMeta]]/[[decodePixels]] parse
+    * these back — byte-level proof the harness decodes real formats,
+    * not echoes.
     */
   def synthesizeMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     fromDocuments(docs).as[MediaRow].map { r =>
       r.media_type match {
         case "image" =>
-          r.copy(media = pngBytes(1 + (r.doc_id % 640).toInt, 1 + (r.doc_id % 480).toInt))
+          r.copy(media = pngFullBytes(1 + (r.doc_id % 64).toInt,
+            1 + (r.doc_id % 48).toInt, (r.doc_id % 251).toInt))
         case "audio" =>
           r.copy(media = wavBytes(8000 + (r.doc_id % 8).toInt * 1000,
             1 + (r.doc_id % 2).toInt, 1 + (r.doc_id % 50).toInt))
@@ -185,23 +248,127 @@ object Multimodal {
     }
   }
 
-  /** STUB resize for `image` rows: a real deployment decodes, scales,
-    * re-encodes; the stub deterministically truncates/pads the payload
-    * to the target "pixel" budget so schema and partition shape are
-    * production-real.
+  /** Per-image pixel statistics from a REAL decode (`javax.imageio`,
+    * ships in the JDK): dimensions from the decoded raster (not the
+    * header), color-component count, a CRC32 over the row-major RGB
+    * byte stream, and the integer sum of all RGB components — both
+    * exact-integer, so any partitioning of the input produces
+    * bit-identical rows. Rows whose payload the JDK cannot decode
+    * (audio/video here) are dropped — callers union [[decodeMeta]] for
+    * the header-level view of every row.
+    */
+  def decodePixels(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init point (ImageIO caches plugin lookups per JVM)
+      rows.flatMap { r =>
+        decodeImage(r.media).map { img =>
+          val (crc, sum) = pixelChecksum(img)
+          PixelStats(r.doc_id, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, crc, sum)
+        }
+      }
+    }
+  }
+
+  case class PixelStats(doc_id: Long, width: Int, height: Int,
+      channels: Int, pixel_crc: Long, rgb_sum: Long)
+
+  private def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  private[graft] def pixelChecksum(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val crc = new java.util.zip.CRC32
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        crc.update(r); crc.update(g); crc.update(b)
+        sum += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    (crc.getValue, sum)
+  }
+
+  /** REAL resize for decodable `image` rows: `javax.imageio` decode →
+    * nearest-neighbor resample (pure integer source indexing — no
+    * Graphics2D, so the output pixels are a deterministic function of
+    * the input pixels on any JVM) → PNG re-encode. Payloads the JDK
+    * cannot decode (audio/video rows in a mixed frame) keep the
+    * deterministic byte-budget placeholder so the operator stays total
+    * over the whole media table.
     */
   def resize(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import spark.implicits._
     val budget = targetW * targetH
     media.as[MediaRow].map { r =>
-      // ??? real codec resize — stub keeps a deterministic byte budget
-      val out =
-        if (r.media.length >= budget) r.media.take(budget)
-        else r.media ++ Array.fill[Byte](budget - r.media.length)(0)
-      r.copy(media = out)
+      decodeImage(r.media) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * img.getHeight / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              out.setRGB(x, y,
+                img.getRGB((x.toLong * img.getWidth / targetW).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(media = bos.toByteArray)
+        case None =>
+          val b =
+            if (r.media.length >= budget) r.media.take(budget)
+            else r.media ++ Array.fill[Byte](budget - r.media.length)(0)
+          r.copy(media = b)
+      }
     }
   }
+
+  /** REAL PCM sample decode for canonical 16-bit WAV rows: reads the
+    * `data` chunk as little-endian int16, emitting exact-integer sample
+    * statistics (CRC32 over the LE byte stream, Σ|sample|, peak). Rows
+    * that are not canonical PCM WAV are dropped.
+    */
+  def decodeWavSamples(spark: SparkSession, media: DataFrame): Dataset[WavStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWav(r.media).map { case (sr, ch, frames) =>
+          val n = math.min((r.media.length - 44) / 2, frames * ch)
+          val crc = new java.util.zip.CRC32
+          var sumAbs = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val lo = r.media(44 + 2 * i) & 0xff
+            val hi = r.media(45 + 2 * i)
+            val s = (hi << 8) | lo // sign from hi byte
+            crc.update(lo); crc.update(hi & 0xff)
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          WavStats(r.doc_id, sr, ch, n / math.max(ch, 1), crc.getValue, sumAbs, peak)
+        }
+      }
+    }
+  }
+
+  case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, sample_crc: Long, abs_sum: Long, peak: Int)
 
   /** STUB frame sampling for `video` rows: n evenly-spaced byte-slice
     * "frames" per payload — the real op would decode container frames;
