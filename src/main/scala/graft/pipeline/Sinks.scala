@@ -94,4 +94,91 @@ object Sinks {
       Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+
+  /** Export a (small) result frame as ONE Arrow IPC file — the
+    * Python/pandas handoff the reference gets for free by returning
+    * pandas frames from every analysis asset (`taxi_pipeline_native.py
+    * :130,171`): downstream Python reads it with
+    * `pyarrow.ipc.open_file(...)` / `.read_pandas()`, no Py4J, no JVM.
+    * Driver-side single-file semantics like [[exportSingleParquet]]
+    * (`toLocalIterator` streams one partition at a time, so the driver
+    * holds one batch, not the frame). Supported column types are the
+    * contract's result-surface types (bool/int/long/float/double/
+    * decimal/string/binary — judged queries emit time as epoch micros
+    * per SURVEY §2.4, so no timestamp mapping is needed); anything else
+    * fails loudly rather than writing a lossy guess.
+    * Returns the file size in bytes.
+    */
+  def toArrowFile(df: DataFrame, destFile: String,
+      batchRows: Int = 4096): Long = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+
+    require(batchRows > 0, "batchRows must be positive")
+    val sparkFields = df.schema.fields
+    val arrowFields: Seq[Field] = sparkFields.toSeq.map { f =>
+      val at: ArrowType = f.dataType match {
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case IntegerType => new ArrowType.Int(32, true)
+        case LongType => new ArrowType.Int(64, true)
+        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+        case StringType => ArrowType.Utf8.INSTANCE
+        case BinaryType => ArrowType.Binary.INSTANCE
+        case other => throw new IllegalArgumentException(
+          s"toArrowFile: unsupported type $other for column ${f.name} — cast it first")
+      }
+      new Field(f.name, new FieldType(f.nullable, at, null), null)
+    }
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(new ArrowSchema(arrowFields.asJava), alloc)
+    val out = new java.io.FileOutputStream(destFile)
+    val writer = new ArrowFileWriter(root, null, out.getChannel)
+    try {
+      writer.start()
+      val rows = df.toLocalIterator()
+      while (rows.hasNext) {
+        root.allocateNew()
+        var n = 0
+        while (n < batchRows && rows.hasNext) {
+          val row = rows.next()
+          var c = 0
+          while (c < sparkFields.length) {
+            val v = root.getVector(c)
+            if (row.isNullAt(c)) v.asInstanceOf[FieldVector] match {
+              case fv: BaseFixedWidthVector => fv.setNull(n)
+              case fv: BaseVariableWidthVector => fv.setNull(n)
+              case fv => throw new IllegalStateException(s"null into $fv")
+            } else v match {
+              case b: BitVector => b.setSafe(n, if (row.getBoolean(c)) 1 else 0)
+              case i: IntVector => i.setSafe(n, row.getInt(c))
+              case l: BigIntVector => l.setSafe(n, row.getLong(c))
+              case f4: Float4Vector => f4.setSafe(n, row.getFloat(c))
+              case f8: Float8Vector => f8.setSafe(n, row.getDouble(c))
+              case d: DecimalVector => d.setSafe(n,
+                row.getDecimal(c).setScale(d.getScale))
+              case s: VarCharVector => s.setSafe(n,
+                row.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              case b: VarBinaryVector => b.setSafe(n, row.getAs[Array[Byte]](c))
+              case other => throw new IllegalStateException(s"unmapped vector $other")
+            }
+            c += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      writer.close(); out.close(); root.close(); alloc.close()
+    }
+    Files.size(Paths.get(destFile))
+  }
 }

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
-import graft.operators.{Layout, Merge}
+import graft.{Canonical, Tables}
+import graft.operators.{Layout, Merge, Scale}
 import graft.queries.Contract.Q
 
 /** Engine-mutation and storage-layout queries: changelog MERGE
@@ -96,6 +96,49 @@ object EngineOps {
                       event_id % 65536 AS zy,
                       ${Layout.zorderKeySql("(user_id % 65536)", "(event_id % 65536)")} AS zkey
                FROM events ORDER BY event_id""")),
+
+    // Dynamic partition pruning, end-to-end: orders is re-laid-out
+    // hive-partitioned by year (write-once per source generation —
+    // Scale.hivePartitionedCopy), then joined on the PARTITION column
+    // against a filtered dim small enough to broadcast. Catalyst's DPP
+    // rule turns the broadcast into a partition filter on the fact scan
+    // (dynamicpruningexpression — asserted in DppSpec, which also
+    // checks the scan's numPartitions metric reads 3 of the 7 year
+    // partitions: 1995/1998/2001 of 1995-2001), so at
+    // 100 TB the scan touches only the dim-selected partitions instead
+    // of every file. The result itself is hash-judged against a plain
+    // join on the unpartitioned table — same rows, pruned scan.
+    ("dpp_partitioned_join",
+      (s: SparkSession, dir: String) => {
+        val o = orders(s, dir)
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        val path = Scale.hivePartitionedCopy(
+          o, s"$dir/orders.parquet", "orders_by_year", "o_year")
+        val fact = s.read.parquet(path)
+        // dim lives in parquet, not memory: a Filter over a file scan is
+        // the selective predicate the DPP rule latches onto (over a
+        // LocalRelation it constant-folds away and no pruning happens)
+        val dimPath = Scale.writeOnceParquet(
+          s.createDataFrame((1995 to 2001).map(y => (y, y % 3)))
+            .toDF("d_year", "tier"),
+          s"$dir/orders.parquet", "year_dim", contentTag = "years_1995_2001_mod3")
+        val dim = s.read.parquet(dimPath)
+        fact.join(broadcast(dim.filter(col("tier") === 0)),
+            col("o_year") === col("d_year"))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("o_totalprice")).as("sum_price"))
+          .select(col("o_year").cast("bigint").as("o_year"),
+            col("n"), col("sum_price"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                      COUNT(*) AS n,
+                      ${Canonical.moneySumSql("o_totalprice")} AS sum_price
+               FROM orders
+               JOIN (VALUES (1995), (1998), (2001)) AS d(d_year)
+                 ON EXTRACT(year FROM o_orderdate) = d.d_year
+               GROUP BY 1 ORDER BY o_year""")),
   )
 
   def queries: Map[String, Q] =
