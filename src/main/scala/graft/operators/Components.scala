@@ -6,16 +6,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.CacheTracker
+
 /** Connected components over a near-dup pair graph — the step that
   * turns pairwise similarity (minhash/simhash/Jaccard output) into
   * dedup GROUPS: every document labeled with the min doc id of its
   * component, so "keep one per component" is a trivial filter.
   *
-  * Algorithm: hash-min label propagation with pointer jumping — each
-  * round every node adopts the minimum label among itself and its
-  * neighbors, then follows one extra hop through the label table
-  * (comp ← label[comp]), so the remaining diameter HALVES per round:
-  * O(log d) rounds for diameter d.
+  * SIZE-ADAPTIVE, like AQE's size-based join choice: an edge set at or
+  * under `smallGraphEdges` is labeled by ONE union-find pass inside a
+  * single executor task (a few MB of longs — paying O(log d) rounds of
+  * scheduler barriers for it is pure overhead, and measurably noisy);
+  * anything larger runs the distributed algorithm: hash-min label
+  * propagation with pointer jumping — each round every node adopts the
+  * minimum label among itself and its neighbors, then follows one
+  * extra hop through the label table (comp ← label[comp]), so the
+  * remaining diameter HALVES per round: O(log d) rounds for diameter
+  * d. Both paths produce the identical min-id labeling (spec-pinned).
   *
   * The loop itself runs on the RDD layer — the one place in this
   * engine where that is the right call (SURVEY §4: "RDDs only for
@@ -42,10 +49,19 @@ object Components {
     else rdd.localCheckpoint()
 
   /** @param pairs (aCol, bCol) undirected edges
+    * @param smallGraphEdges at or below this edge count the component
+    *   labeling collapses to ONE union-find pass inside a single task
+    *   (executor-side `mapPartitions`, NOT a driver collect): a graph
+    *   that fits one task's memory should not pay O(log d) rounds of
+    *   job-scheduling barriers — the same size-based plan choice AQE
+    *   makes between broadcast and shuffle joins. 2²⁰ edges ≈ 16 MB of
+    *   long pairs, far under any executor's headroom. Above it, the
+    *   partitioner-retaining iterative loop below is the 100 TB path.
     * @return (id, component) — component = min node id reachable
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 25,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     // materialize the edge set ONCE — the pair graph may be the output
     // of an expensive similarity query, and the loop touches it every
@@ -64,6 +80,17 @@ object Components {
     // label frame shrinks fast and per-round task-launch overhead
     // dominates thin graphs; a billion-edge graph still fans out wide
     val nEdges = edges0.count()
+    if (nEdges <= smallGraphEdges) {
+      val lab = edges0.coalesce(1).mapPartitions(unionFindPartition)
+        .toDF("id", "comp")
+      // materialize before releasing the inputs the lineage reads
+      val out = lab.persist(StorageLevel.MEMORY_AND_DISK)
+      CacheTracker.track(out)
+      out.count()
+      edges0.unpersist(blocking = false)
+      pairsP.unpersist(blocking = false)
+      return out
+    }
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
     val part = new HashPartitioner(parts)
@@ -112,6 +139,34 @@ object Components {
     require(done,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     lab.toDF("id", "comp")
+  }
+
+  /** Single-task min-label union-find over an edge iterator (the
+    * small-graph fast path): roots are kept at the smaller id on every
+    * union, so each set's root IS its minimum member — exactly the
+    * labeling the iterative loop converges to, in one pass.
+    */
+  private def unionFindPartition(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val ids = parent.keysIterator.toArray // snapshot: find() mutates the map
+    ids.iterator.map(id => (id, find(id)))
   }
 
   /** Dedup grouping: one row per multi-document component with its

@@ -37,11 +37,64 @@ object Pipeline {
   }
 
   /** Write [[runReportJson]] to `path` (parent dirs created). */
-  def writeRunReport(results: Seq[AssetResult], path: String): Unit = {
+  def writeRunReport(results: Seq[AssetResult], path: String): Unit =
+    writeFile(path, runReportJson(results) + "\n")
+
+  /** Self-contained static HTML run browser — the no-server counterpart
+    * of the reference's `dagster dev` run pane (`justfile:7-8`): one
+    * file, zero scripts/deps (renders anywhere, zero-egress safe), one
+    * row per asset in materialization order with deps, status,
+    * wall-clock, and a proportional duration bar.
+    */
+  def htmlRunReport(results: Seq[AssetResult],
+      deps: Map[String, Seq[String]] = Map.empty): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val maxSec = math.max(results.map(_.seconds).maxOption.getOrElse(0.0), 1e-9)
+    val rows = results.map { r =>
+      val pct = math.max(1, math.round(100 * r.seconds / maxSec))
+      val (cls, label) =
+        if (r.error.isEmpty) ("ok", "ok") else ("failed", "FAILED")
+      val err = r.error.map(e => s"<div class=err>${esc(e.toString)}</div>")
+        .getOrElse("")
+      s"""<tr class=$cls><td>${esc(r.name)}</td>
+         |<td>${deps.getOrElse(r.name, Nil).map(esc).mkString(", ")}</td>
+         |<td class=$cls>$label</td><td class=num>${f"${r.seconds}%.3f"}</td>
+         |<td><div class=bar style="width:$pct%"></div>$err</td></tr>"""
+        .stripMargin.replace("\n", "")
+    }.mkString("\n")
+    val total = results.map(_.seconds).sum
+    val failed = results.count(_.error.nonEmpty)
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft run report</title>
+       |<style>
+       | body{font:14px system-ui,sans-serif;margin:2em;color:#222}
+       | table{border-collapse:collapse;min-width:48em}
+       | th,td{padding:.4em .8em;border-bottom:1px solid #ddd;text-align:left}
+       | td.num{text-align:right;font-variant-numeric:tabular-nums}
+       | td.ok{color:#0a7d32} td.failed{color:#b3261e;font-weight:600}
+       | .bar{height:.7em;background:#6b8cc7;border-radius:2px;min-width:2px}
+       | .err{color:#b3261e;font-size:12px;margin-top:.3em}
+       | .summary{margin:.5em 0 1.5em;color:#555}
+       |</style></head><body>
+       |<h1>graft pipeline run</h1>
+       |<div class=summary>${results.size} assets &middot; $failed failed &middot;
+       | total ${f"$total%.3f"} s</div>
+       |<table><tr><th>asset</th><th>deps</th><th>status</th><th>seconds</th><th></th></tr>
+       |$rows
+       |</table></body></html>
+       |""".stripMargin
+  }
+
+  /** Write [[htmlRunReport]] to `path` (parent dirs created). */
+  def writeHtmlReport(results: Seq[AssetResult], path: String,
+      deps: Map[String, Seq[String]] = Map.empty): Unit =
+    writeFile(path, htmlRunReport(results, deps))
+
+  private def writeFile(path: String, content: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
-      (runReportJson(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 
@@ -77,7 +130,8 @@ final class Pipeline(val assets: Seq[Asset]) {
     * failed asset appears with its error).
     */
   def materialize(spark: SparkSession,
-      reportPath: Option[String] = None): Seq[AssetResult] = {
+      reportPath: Option[String] = None,
+      htmlReportPath: Option[String] = None): Seq[AssetResult] = {
     val results = collection.mutable.ArrayBuffer.empty[AssetResult]
     try {
       topoOrder.foreach { a =>
@@ -95,7 +149,11 @@ final class Pipeline(val assets: Seq[Asset]) {
             throw e
         }
       }
-    } finally reportPath.foreach(Pipeline.writeRunReport(results.toSeq, _))
+    } finally {
+      reportPath.foreach(Pipeline.writeRunReport(results.toSeq, _))
+      htmlReportPath.foreach(Pipeline.writeHtmlReport(results.toSeq, _,
+        assets.map(a => a.name -> a.deps).toMap))
+    }
     results.toSeq
   }
 }

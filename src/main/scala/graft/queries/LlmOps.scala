@@ -361,9 +361,10 @@ object LlmOps {
               WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""")),
 
     // Connected components over the near-dup pair graph: pairwise
-    // similarity → dedup groups (min-id labeling). Engine: hash-min
-    // label propagation (one join+agg per round); oracle: transitive
-    // closure by recursive CTE — two utterly different algorithms, one
+    // similarity → dedup groups (min-id labeling). Engine: size-adaptive
+    // Components (single-task union-find under the edge threshold, the
+    // case here; hash-min label propagation above it); oracle:
+    // transitive closure by recursive CTE — different algorithms, one
     // answer.
     ("dedup_components",
       (s: SparkSession, dir: String) => {
@@ -600,6 +601,84 @@ object LlmOps {
                                           ORDER BY tf.tf DESC, df.df, tf.tok) AS rn
                 FROM tf JOIN df ON tf.tok = df.tok) q
               WHERE rn = 1 ORDER BY doc_id""")),
+
+    // BM25 relevance scoring (Robertson/Sparck-Jones, the retrieval
+    // scorer behind corpus search and training-data curation): score
+    // every document against a fixed 3-term query, top-50. Shape: tf
+    // per term via narrow array `filter` off the scan (NO explode —
+    // per-doc work is O(|toks|·terms)), one corpus-stats aggregate
+    // (N, avgdl, df per term) broadcast back as a single-row cross
+    // join (the q11/q24 whitelisted pattern), then one IEEE formula.
+    // Determinism: every input to the formula is an exact integer
+    // (tf, dl, df, N) or one exact-int division (avgdl); the ONE
+    // libm call (ln — not correctly rounded, differs across engines,
+    // the text_top_term finding) is rounded to 6 dp IMMEDIATELY, which
+    // absorbs last-ulp ln drift unless the true value sits within
+    // ~1e-10 of a 6-dp boundary (3 idf values per run; verified green
+    // at all three judged SFs by the soak). After that the op sequence
+    // is identical add/mul/div (correctly rounded everywhere) + rule-3
+    // ROUND(·,4), ordered with a doc_id tiebreak.
+    ("text_bm25",
+      (s: SparkSession, dir: String) => {
+        val terms = Seq("spark", "vector", "merge")
+        val d0 = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val d = d0.select(
+          col("doc_id") +: size(col("toks")).cast("bigint").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(expr(s"filter(toks, t -> t = '$t')"))
+                .cast("bigint").as(s"tf${i + 1}")
+            }: _*)
+        val statCols =
+          count(lit(1)).cast("bigint").as("n_docs") +:
+            (sum(col("dl")).cast("double") /
+              count(lit(1)).cast("double")).as("avgdl") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf${i + 1}") > 0, 1).otherwise(0))
+                .cast("bigint").as(s"df${i + 1}"))
+        val stats = d.agg(statCols.head, statCols.tail: _*)
+        def idf(i: Int) = round(
+          log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+            (col(s"df$i") + lit(0.5)) + lit(1.0)), 6)
+        def part(i: Int) =
+          idf(i) * col(s"tf$i").cast("double") * lit(2.2) /
+            (col(s"tf$i").cast("double") +
+              lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl").cast("double") / col("avgdl")))
+        d.crossJoin(stats)
+          .select(col("doc_id"), col("dl"),
+            col("tf1").as("tf_spark"), col("tf2").as("tf_vector"),
+            col("tf3").as("tf_merge"),
+            round(part(1) + part(2) + part(3), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT) AS tf1,
+                       CAST(len(list_filter(toks, t -> t = 'vector')) AS BIGINT) AS tf2,
+                       CAST(len(list_filter(toks, t -> t = 'merge')) AS BIGINT) AS tf3
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+              s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                       CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                       CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+                FROM d)
+              SELECT doc_id, dl, tf1 AS tf_spark, tf2 AS tf_vector, tf3 AS tf_merge,
+                     ROUND(
+                       ROUND(LN((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+                         * CAST(tf1 AS DOUBLE) * 2.2
+                         / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                     + ROUND(LN((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+                         * CAST(tf2 AS DOUBLE) * 2.2
+                         / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                     + ROUND(LN((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0), 6)
+                         * CAST(tf3 AS DOUBLE) * 2.2
+                         / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 4) AS bm25
+              FROM d, s
+              ORDER BY bm25 DESC, doc_id LIMIT 50""")),
   )
 
   def queries: Map[String, Q] =

@@ -20,12 +20,28 @@ class ComponentsSpec extends SparkSpec {
     assert(groups == Map(1L -> 4L, 10L -> 3L, 20L -> 2L))
   }
 
-  test("long path converges (diameter > a few rounds)") {
+  test("long path converges (diameter > a few rounds; loop path forced)") {
     val path = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("a_id", "b_id")
-    val got = Components.connectedComponents(spark, path, "a_id", "b_id", maxIter = 50)
+    val got = Components.connectedComponents(spark, path, "a_id", "b_id",
+        maxIter = 50, smallGraphEdges = 0)
       .collect().map(r => r.getLong(1)).distinct
     assert(got.sameElements(Array(1L)))
+  }
+
+  test("small-graph union-find path ≡ iterative loop path") {
+    // chain + triangle + pair + a larger random-ish component mix
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)) ++
+      (0L until 300L).map(i => (100L + i * 7 % 97, 100L + (i * 13 + 5) % 97)))
+      .toDF("a_id", "b_id")
+    val fast = Components.connectedComponents(spark, pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Components.connectedComponents(spark, pairs, "a_id", "b_id",
+        smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop,
+      "the two paths must produce identical min-id labelings")
   }
 
   test("reliable checkpoint path: same labels with a checkpoint dir set") {
@@ -36,7 +52,9 @@ class ComponentsSpec extends SparkSpec {
     val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
     try {
-      val got = Components.connectedComponents(spark, pairs, "a_id", "b_id")
+      // force the loop: the small-graph path never checkpoints
+      val got = Components.connectedComponents(spark, pairs, "a_id", "b_id",
+          smallGraphEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected)
       // the reliable path must actually have written checkpoint data

@@ -100,6 +100,23 @@ class PipelineSpec extends SparkSpec {
     assert(err.contains("kaput"))
   }
 
+  test("HTML run browser: self-contained artifact, deps/status/failure rendered") {
+    val htmlPath = Files.createTempDirectory("runrep3").resolve("run.html").toString
+    val boom = new Pipeline(Seq(Asset("ingest")(_ => ()),
+      Asset("crunch<x>", Seq("ingest"))(_ => throw new RuntimeException("kaput"))))
+    intercept[RuntimeException] {
+      boom.materialize(spark, htmlReportPath = Some(htmlPath))
+    }
+    val html = new String(Files.readAllBytes(java.nio.file.Paths.get(htmlPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(html.contains("ingest") && html.contains("FAILED"))
+    assert(html.contains("kaput"))
+    assert(html.contains("crunch&lt;x&gt;") && !html.contains("crunch<x>"),
+      "asset names must be HTML-escaped")
+    assert(!html.toLowerCase.contains("<script"), "artifact must be script-free")
+    assert(html.contains("2 assets") && html.contains("1 failed"))
+  }
+
   test("partitioned export writes hive-style dirs (the 100 TB path)") {
     val dir = Files.createTempDirectory("part_out").toString + "/events"
     Sinks.exportPartitioned(

@@ -41,4 +41,29 @@ class SketchSpec extends SparkSpec {
         s"group ${r.getString(0)}: $est vs $exact")
     }
   }
+
+  test("quantile sketch (approx_percentile): rank-error bound holds on ANY partitioning") {
+    val li = Tables(spark, sf, "lineitem").select("l_extendedprice")
+    val acc = 1000 // accuracy knob: rank error <= n/acc per merge level
+    def quantiles(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.select(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(acc)).as("q"))
+        .head.getSeq[Double](0).toSeq
+    // Greenwald-Khanna partials ARE order-dependent (unlike HLL union,
+    // whose merge is exactly deterministic — see above): different
+    // partitionings may return different elements. The contract that
+    // makes per-partition partials safe at 100 TB is that every merge
+    // result stays within the rank-error bound — assert it for three
+    // different layouts rather than a bit-equality no sketch promises.
+    val n = li.count()
+    val sorted = li.orderBy("l_extendedprice").collect().map(_.getDouble(0))
+    val layouts = Seq(li, li.repartition(13), li.repartition(3, col("l_extendedprice")))
+    layouts.foreach { df =>
+      Seq(0.25, 0.5, 0.9).zip(quantiles(df)).foreach { case (p, est) =>
+        val rank = sorted.indexWhere(_ >= est)
+        assert(math.abs(rank - p * n) <= n.toDouble / acc * 2 + 1,
+          s"p$p: estimate $est at rank $rank of $n rows")
+      }
+    }
+  }
 }
