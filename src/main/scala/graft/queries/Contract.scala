@@ -726,7 +726,8 @@ object Contract {
         s.sql(subquerySql)
       },
       subquerySql),
-  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50 :+ q51 :+ q53 :+ q54
+  ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50 :+ q51 :+ q53 :+ q54 :+
+    q55 :+ q56 :+ q57 :+ q58 :+ q59 :+ q60 :+ q61
 
   /** Q48 — exact multi-percentile per group (percentile_disc without
     * the engine's percentile function, whose interpolation conventions
@@ -1245,6 +1246,218 @@ object Contract {
           AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           AND c_acctbal > (SELECT ${avg4Sql("c_acctbal")} FROM customer)
         ORDER BY c_custkey"""
+
+  /** Q55 — VARIANT semi-structured ingestion (new engine type in Spark
+    * 4): `props` JSON is parsed ONCE to a VARIANT value, then fields
+    * come out through typed `variant_get` (error-on-mismatch) and
+    * `try_variant_get` (NULL on absent path). Unlike Q21's per-path
+    * `get_json_object` string re-parse, the VARIANT path parses each
+    * document a single time into a binary form that downstream
+    * extractions share — the representation a wide-schema 100 TB event
+    * store wants (parse cost paid once per row, not once per path).
+    * The oracle reads the same JSON relationally; an absent path is
+    * NULL on both engines, so COUNT(absent) pins the NULL semantics.
+    */
+  private val q55: (String, Q, String) = (
+    "q55_variant",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'int')").as("absent"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sumk"),
+          count(col("absent")).as("n_absent"),
+          min(col("k")).as("mink"), max(col("k")).as("maxk"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(k) AS BIGINT) AS sumk,
+          COUNT(absent) AS n_absent,
+          MIN(k) AS mink, MAX(k) AS maxk
+       FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                    CAST(json_extract_string(props, '$.absent') AS INT) AS absent
+             FROM events) q
+       GROUP BY event_type ORDER BY event_type""")
+
+  /** Shared ANSI text for Q56 — the correlated LATERAL subquery is
+    * valid in both Spark 4 SQL and DuckDB. Per-segment top-2 orders:
+    * Spark decorrelates the LATERAL into a ranked window join (no
+    * per-row re-execution — the rewrite is what makes the construct
+    * usable at scale), which PlanAuditSpec's no-undeclared-BNLJ gate
+    * keeps honest. Deterministic: price ties broken by o_orderkey.
+    */
+  private lazy val lateralSql: String =
+    """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+       FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+       LATERAL (SELECT o_orderkey, o_totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = c.c_mktsegment
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+       ORDER BY c_mktsegment, o_orderkey"""
+
+  private val q56: (String, Q, String) = (
+    "q56_lateral",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(lateralSql)
+    },
+    lateralSql)
+
+  /** Q57 — the NATIVE `session_window` operator in batch mode (the
+    * same expression Streams.scala runs under a watermark), hash-judged
+    * against a gaps-and-islands oracle. Boundary semantics verified
+    * empirically before freezing the oracle: events exactly `gap`
+    * apart MERGE (split only when the gap is strictly exceeded), so
+    * the oracle's island break is `eus - prev > gap`, matching Q23's
+    * convention; window end = last event + gap. Scale shape: one
+    * hash-partition by user_id then per-partition sort-merge of
+    * windows — no global sort, no all-pairs.
+    */
+  private val q57: (String, Q, String) = (
+    "q57_session_window",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(cast(w.start as timestamp))").as("start_us"),
+          expr("unix_micros(cast(w.end as timestamp))").as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS eus FROM events),
+       s AS (SELECT user_id, event_id, eus,
+                    CASE WHEN LAG(eus) OVER w IS NULL
+                              OR eus - LAG(eus) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS newsess
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
+       t AS (SELECT user_id, eus,
+                    SUM(newsess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM s),
+       g AS (SELECT user_id, MIN(eus) AS start_us,
+                    MAX(eus) + 1800000000 AS end_us, COUNT(*) AS n_events
+             FROM t GROUP BY user_id, sid)
+       SELECT user_id, start_us, end_us, n_events FROM g
+       ORDER BY user_id, start_us""")
+
+  /** Q58 — recursive CTE (new in Spark 4): per-row ancestor chain over
+    * the implicit binary-tree hierarchy `parent(k) = k div 2`, i.e.
+    * each customer key walks k → k/2 → … → 0, emitting depth and the
+    * exact integer sum of keys along the path. Real iteration (depth
+    * ~log₂(maxkey), ~14 at sf0.1), not unrollable by a fixed join
+    * chain, and every per-step value is exact BIGINT arithmetic. The
+    * two texts differ ONLY in the integer-division spelling (Spark
+    * `DIV`, DuckDB `//`). The recursion's working set SHRINKS each
+    * step (rows whose cur hit 0 drop out), so the distributed plan is
+    * log-depth × narrow — the same shape as Components' pointer
+    * jumping.
+    */
+  private def recursiveSql(intDiv: String): String =
+    s"""WITH RECURSIVE anc(node, cur, depth, path_sum) AS (
+          SELECT c_custkey, c_custkey, 0, CAST(c_custkey AS BIGINT)
+          FROM customer
+          UNION ALL
+          SELECT node, cur $intDiv 2, depth + 1,
+                 path_sum + CAST(cur $intDiv 2 AS BIGINT)
+          FROM anc WHERE cur > 0)
+        SELECT node, MAX(depth) AS depth, MAX(path_sum) AS path_sum
+        FROM anc GROUP BY node ORDER BY node"""
+
+  private val q58: (String, Q, String) = (
+    "q58_recursive",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(recursiveSql("DIV"))
+    },
+    recursiveSql("//"))
+
+  /** Q59 — `approx_top_k` heavy-hitters sketch (Spark 4), judged under
+    * an EXACTNESS contract: with `maxItemsTracked` (default 10⁴) ≥ the
+    * column's true NDV the sketch degenerates to exact counts — the
+    * same design as the HLL/quantile specs, but here the exactness
+    * window makes it hash-judgeable against a plain GROUP BY oracle.
+    * Re-ordered by item so the sketch's internal tie order never
+    * matters. k=64 ≫ NDV(event_type); the estimate-is-exact premise is
+    * what the oracle verifies.
+    */
+  private val q59: (String, Q, String) = (
+    "q59_approx_topk",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .agg(expr("approx_top_k(event_type, 64)").as("tk"))
+        .select(explode(col("tk")).as("x"))
+        .select(col("x.item").as("item"),
+          col("x.count").cast("long").as("cnt"))
+        .orderBy("item")
+    },
+    """SELECT event_type AS item, COUNT(*) AS cnt FROM events
+       GROUP BY event_type ORDER BY item""")
+
+  /** Q60 — SQL pipe syntax (Spark 4 `|>` operator chaining): the same
+    * filter → aggregate → order contract query expressed as a linear
+    * pipeline instead of nested SELECT. Purely a FRONTEND surface —
+    * the parser lowers `|>` stages onto the identical logical plan, so
+    * Catalyst optimizes it like any other query (same pushdown, same
+    * partial agg); the oracle is the plain-ANSI spelling. NOTE: the
+    * pipe text must never pass through `stripMargin` (the leading `|>`
+    * would be eaten) — only oracle strings are stripped, and this
+    * oracle is pipe-free.
+    */
+  private val q60: (String, Q, String) = (
+    "q60_pipe_syntax",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        s"""FROM lineitem
+            |> WHERE l_quantity >= 30
+            |> AGGREGATE COUNT(*) AS n, ${moneySumSql("l_extendedprice")} AS sumv
+               GROUP BY l_returnflag, l_linestatus
+            |> ORDER BY l_returnflag, l_linestatus""")
+    },
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          ${moneySumSql("l_extendedprice")} AS sumv
+        FROM lineitem WHERE l_quantity >= 30
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+
+  /** Q61 — string collation (Spark 4 COLLATE): grouping under
+    * UTF8_LCASE folds case variants into ONE group at comparison time
+    * — no lower() materialized, the collator lives in the comparator,
+    * which is what lets a 100 TB shuffle avoid rewriting every key.
+    * Case diversity is synthesized deterministically (even keys upper,
+    * odd lower), and the output key is re-normalized through LOWER so
+    * the group's arbitrary case representative can't leak into the
+    * hash (MIN/MAX over collated strings tie on case-equal values and
+    * are NOT deterministic — deliberately excluded). The oracle groups
+    * by LOWER(); if Spark's collation semantics drifted from plain
+    * case-folding for this ASCII domain, counts would diverge.
+    */
+  private val q61: (String, Q, String) = (
+    "q61_collation",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT LOWER(seg) AS seg_lc, COUNT(*) AS n,
+                  COUNT(DISTINCT c_nationkey) AS n_nations
+           FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                             ELSE LOWER(c_mktsegment)
+                        END COLLATE UTF8_LCASE AS seg,
+                        c_nationkey
+                 FROM customer) q
+           GROUP BY seg ORDER BY seg_lc""")
+    },
+    """SELECT LOWER(seg) AS seg_lc, COUNT(*) AS n,
+          CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+       FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                         ELSE LOWER(c_mktsegment) END AS seg,
+                    c_nationkey
+             FROM customer) q
+       GROUP BY LOWER(seg) ORDER BY seg_lc""")
 
   def queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the engine-level semantics the round-5 judged queries froze
+  * into their oracles (q55–q59), so a Spark upgrade that shifts any of
+  * these breaks HERE with a named reason instead of as an opaque hash
+  * mismatch in the driver gate:
+  *
+  *   - `session_window` gap boundary (merge at exactly `gap`, split
+  *     only strictly beyond) — q57's oracle encodes `>`;
+  *   - recursive-CTE iteration count (k → k div 2 chain depth);
+  *   - VARIANT typed extraction + absent-path NULL semantics;
+  *   - `approx_top_k` exactness window (k and maxItemsTracked ≥ NDV ⇒
+  *     counts are exact) — the premise that makes q59 hash-judgeable.
+  *
+  * Plus the native XML source (new built-in in Spark 4) write→read
+  * round-trip, the one file format in sources/ not previously covered.
+  */
+class Spark4FeaturesSpec extends SparkSpec {
+
+  test("session_window merges at exactly the gap and splits just beyond it") {
+    import spark.implicits._
+    val gapUs = 1800000000L // 30 min
+    val df = Seq(
+      (1L, 0L), (1L, gapUs),     // exactly gap apart -> ONE session
+      (2L, 0L), (2L, gapUs + 1L) // 1 µs beyond       -> TWO sessions
+    ).toDF("user_id", "eus")
+      .withColumn("ts", expr("cast(timestamp_micros(eus) as timestamp_ntz)"))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(1L) == 1L,
+      s"events exactly gap apart must merge (got ${sessions(1L)} sessions) — q57's oracle breaks islands on STRICTLY greater")
+    assert(sessions(2L) == 2L,
+      s"events gap+1µs apart must split (got ${sessions(2L)} sessions)")
+  }
+
+  test("recursive CTE halving chain has depth floor(log2(k))+1") {
+    import spark.implicits._
+    Seq(1L, 12L, 1024L, 1500L).toDF("c_custkey")
+      .createOrReplaceTempView("customer")
+    val got = spark.sql(
+      """WITH RECURSIVE anc(node, cur, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           UNION ALL
+           SELECT node, cur DIV 2, depth + 1 FROM anc WHERE cur > 0)
+         SELECT node, MAX(depth) AS depth FROM anc GROUP BY node""")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def expected(k: Long) = (63 - java.lang.Long.numberOfLeadingZeros(k)) + 1
+    Seq(1L, 12L, 1024L, 1500L).foreach { k =>
+      assert(got(k) == expected(k),
+        s"chain depth for $k: got ${got(k)}, want ${expected(k)}")
+    }
+    spark.catalog.dropTempView("customer")
+  }
+
+  test("VARIANT typed extraction matches string-path JSON; absent path is NULL") {
+    import spark.implicits._
+    val df = Seq("""{"k": 7, "s": "x"}""", """{"k": -3}""", """{"s": "y"}""")
+      .toDF("js")
+      .withColumn("v", parse_json(col("js")))
+    val rows = df.select(
+      expr("variant_get(v, '$.k', 'int')").as("vk"),
+      get_json_object(col("js"), "$.k").cast("int").as("jk"),
+      expr("try_variant_get(v, '$.absent', 'int')").as("va"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"variant_get vs get_json_object: $r")
+      assert(r.isNullAt(2), s"absent path must be NULL: $r")
+    }
+  }
+
+  test("approx_top_k is exact when k and maxItemsTracked cover the NDV") {
+    val ev = Tables(spark, sf, "events")
+    val ndv = ev.select(countDistinct(col("event_type"))).head.getLong(0)
+    assert(ndv < 64,
+      s"q59's exactness premise: NDV(event_type)=$ndv must stay < k=64")
+    val sketch = ev.agg(expr("approx_top_k(event_type, 64)").as("tk"))
+      .select(explode(col("tk")).as("x"))
+      .select(col("x.item"), col("x.count").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact,
+      s"sketch must be exact below maxItemsTracked: $sketch vs $exact")
+  }
+
+  test("named-parameter SQL binds literals without string splicing") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_p")
+    val param = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders_p WHERE o_totalprice > :thr",
+      Map("thr" -> 400000)).head.getLong(0)
+    val literal = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders_p WHERE o_totalprice > 400000")
+      .head.getLong(0)
+    assert(param == literal && param > 0)
+    spark.catalog.dropTempView("orders_p")
+  }
+
+  test("native XML source round-trips typed rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val out = s"$dir/events_xml"
+    val src = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(200)
+    src.write.mode("overwrite")
+      .option("rootTag", "events").option("rowTag", "event")
+      .format("xml").save(out)
+    val back = spark.read.option("rowTag", "event").format("xml").load(out)
+      .select(col("event_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+    assert(back.count() == 200)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "XML write -> read must preserve rows and values")
+  }
+}
