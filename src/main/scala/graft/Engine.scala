@@ -28,6 +28,13 @@ object Engine {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",
+    // recursive CTEs (q58): the default cteRecursionRowLimit (1M
+    // CUMULATIVE result rows) is a single-node debugging guard that a
+    // legitimate large input blows through on the first levels — at sf1
+    // the halving chain alone produces ~3M rows. Lift it and keep
+    // cteRecursionLevelLimit (100) as the runaway backstop: depth, not
+    // volume, is what distinguishes a diverging recursion.
+    "spark.sql.cteRecursionRowLimit" -> "-1",
   )
 
   /** Local-mode session for tests/bench; `cores` also sizes shuffle

@@ -81,6 +81,10 @@ object Multimodal {
         MediaMeta(r.doc_id, r.media_type, n, width = 0, height = 0,
           n_frames = frames, sample_rate = sr, channels = ch)
       })
+      .orElse(parseAvi(r.media).map { case (w, h, frames, _) =>
+        MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = frames,
+          sample_rate = 0, channels = 0)
+      })
       // unknown container: deterministic size-derived stub dimensions
       .getOrElse(MediaMeta(r.doc_id, r.media_type, n,
         width = 1 + n % 640, height = 1 + n % 480, n_frames = 1 + n % 10,
@@ -225,13 +229,13 @@ object Multimodal {
     buf.array()
   }
 
-  /** Media table with REAL payloads: image rows carry a COMPLETE
-    * decodable PNG (deterministic [[patternRgb]] pixels, dimensions
-    * derived from doc_id), audio rows a complete PCM WAV, video rows
-    * the raw text bytes (no cross-engine video container is
-    * synthesizable pure-JVM). [[decodeMeta]]/[[decodePixels]] parse
-    * these back — byte-level proof the harness decodes real formats,
-    * not echoes.
+  /** Media table with REAL payloads for all three modalities: image
+    * rows carry a COMPLETE decodable PNG (deterministic [[patternRgb]]
+    * pixels, dimensions derived from doc_id), audio rows a complete
+    * PCM WAV, video rows a complete RIFF AVI with uncompressed DIB
+    * frames ([[aviBytes]]). [[decodeMeta]]/[[decodePixels]]/
+    * [[sampleAviFrames]] parse these back — byte-level proof the
+    * harness decodes real formats, not echoes.
     */
   def synthesizeMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -243,7 +247,10 @@ object Multimodal {
         case "audio" =>
           r.copy(media = wavBytes(8000 + (r.doc_id % 8).toInt * 1000,
             1 + (r.doc_id % 2).toInt, 1 + (r.doc_id % 50).toInt))
-        case _ => r
+        case _ =>
+          r.copy(media = aviBytes(3 + (r.doc_id % 10).toInt,
+            2 + (r.doc_id % 7).toInt, 1 + (r.doc_id % 6).toInt,
+            (r.doc_id % 251).toInt))
       }
     }
   }
@@ -370,9 +377,161 @@ object Multimodal {
   case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,
       n_frames: Int, sample_crc: Long, abs_sum: Long, peak: Int)
 
+  // ------------------------------------------------- video (RIFF AVI)
+
+  /** Minimal-but-valid AVI container (RIFF 'AVI ': hdrl with avih +
+    * one 'vids'/'DIB ' stream, movi with uncompressed '00db' frames —
+    * bottom-up BGR rows, 4-byte-aligned stride, the standard DIB
+    * layout). Frame f carries [[patternRgb]] pixels seeded by
+    * `seed + 17·f`, so specs re-derive per-frame stats without either
+    * the encoder or the parser. Pure JVM — same class of synthesis as
+    * [[pngFullBytes]]/[[wavBytes]], completing the third modality.
+    */
+  private[graft] def aviBytes(w: Int, h: Int, nFrames: Int,
+      seed: Int): Array[Byte] = {
+    val stride = (3 * w + 3) & ~3
+    val frameSize = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val d = new Array[Byte](frameSize)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = patternRgb(x, y, seed + 17 * f)
+          d(row + 3 * x) = b.toByte     // BGR order
+          d(row + 3 * x + 1) = g.toByte
+          d(row + 3 * x + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      d
+    }
+    def u32s(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+      typ.getBytes("US-ASCII") ++ u32s(data.length) ++ data
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih", u32s(
+      40000, frameSize * 25, 0, 0,        // µs/frame, bytes/s, pad, flags
+      nFrames, 0, 1, frameSize,           // totalFrames, initial, streams, buf
+      w, h, 0, 0, 0, 0))                  // width, height, reserved×4
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        u32s(0, 0, 0,                     // flags, prio+lang, initialFrames
+          1, 25, 0, nFrames,              // scale, rate, start, length
+          frameSize, 0, 0) ++             // bufSize, quality, sampleSize
+        u32s(0, (h << 16) | w))           // rcFrame (l,t),(r,b) as int16×4
+    val strf = chunk("strf", u32s(
+      40, w, h, (24 << 16) | 1,           // biSize, w, h, planes|bitcount
+      0, frameSize, 0, 0, 0, 0))          // compression, sizeImage, rest
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      (0 until nFrames).toArray.flatMap(f => chunk("00db", frame(f))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32s(body.length) ++ body
+  }
+
+  /** RIFF 'AVI ' → (width, height, total_frames, µs_per_frame) from the
+    * avih main header; malformed containers fall through to None (the
+    * stub), never to garbage dimensions.
+    */
+  private[graft] def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ") {
+      var off = 12
+      while (off + 8 <= b.length) {
+        val t = tag(b, off)
+        val sz = le32(b, off + 4)
+        if (t == "LIST" && off + 12 <= b.length && tag(b, off + 8) == "hdrl") {
+          val a = off + 12 // first hdrl child must be avih
+          if (a + 8 <= b.length && tag(b, a) == "avih" &&
+              le32(b, a + 4) >= 40 && a + 8 + 40 <= b.length) {
+            val d = a + 8
+            return Some((le32(b, d + 32), le32(b, d + 36),
+              le32(b, d + 16), le32(b, d)))
+          }
+          return None
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      None
+    } else None
+
+  case class FrameStats(doc_id: Long, frame_no: Int, src_frame: Int,
+      n_bytes: Int, frame_crc: Long, rgb_sum: Long)
+
+  /** REAL frame sampling for AVI rows: walk the movi list's '00db'
+    * chunks, pick `n` evenly-spaced source frames (`i·total/n` — the
+    * same spacing rule as the byte-slice stub), and decode each DIB
+    * frame (bottom-up BGR, padded stride) into row-major-RGB
+    * exact-integer stats — CRC32 + component sum, partition-invariant
+    * by construction. Non-AVI rows are dropped; [[sampleFrames]] stays
+    * the shape-stub for payloads with no parseable container.
+    */
+  def sampleAviFrames(spark: SparkSession, media: DataFrame,
+      n: Int): Dataset[FrameStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseAvi(r.media).toSeq.flatMap { case (w, h, total, _) =>
+          val offs = aviFrameOffsets(r.media)
+          val stride = (3 * w + 3) & ~3
+          (0 until n).flatMap { i =>
+            val src = (i.toLong * total / n).toInt
+            offs.lift(src).map { o =>
+              val crc = new java.util.zip.CRC32
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                val row = o + (h - 1 - y) * stride
+                var x = 0
+                while (x < w) {
+                  val bl = r.media(row + 3 * x) & 0xff
+                  val g = r.media(row + 3 * x + 1) & 0xff
+                  val rd = r.media(row + 3 * x + 2) & 0xff
+                  crc.update(rd); crc.update(g); crc.update(bl)
+                  sum += rd + g + bl
+                  x += 1
+                }
+                y += 1
+              }
+              FrameStats(r.doc_id, i, src, stride * h, crc.getValue, sum)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Byte offsets of each '00db' frame's DATA inside the movi list. */
+  private def aviFrameOffsets(b: Array[Byte]): IndexedSeq[Int] = {
+    var off = 12
+    while (off + 12 <= b.length) {
+      if (tag(b, off) == "LIST" && tag(b, off + 8) == "movi") {
+        val end = math.min(b.length, off + 8 + le32(b, off + 4))
+        val out = IndexedSeq.newBuilder[Int]
+        var c = off + 12
+        while (c + 8 <= end) {
+          val sz = le32(b, c + 4)
+          if (tag(b, c) == "00db") out += c + 8
+          c += 8 + sz + (sz & 1)
+        }
+        return out.result()
+      }
+      off += 8 + le32(b, off + 4) + (le32(b, off + 4) & 1)
+    }
+    IndexedSeq.empty
+  }
+
   /** STUB frame sampling for `video` rows: n evenly-spaced byte-slice
-    * "frames" per payload — the real op would decode container frames;
-    * the partitioning/explode shape is the same.
+    * "frames" per payload — kept for payloads with no parseable
+    * container; AVI rows get the REAL decode in [[sampleAviFrames]].
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): DataFrame = {
     import spark.implicits._

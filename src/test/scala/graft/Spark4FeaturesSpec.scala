@@ -57,6 +57,23 @@ class Spark4FeaturesSpec extends SparkSpec {
     spark.catalog.dropTempView("customer")
   }
 
+  test("recursive CTE survives >1M cumulative rows (the sf1 shape)") {
+    // default spark.sql.cteRecursionRowLimit=1M kills any legitimately
+    // large recursion on volume alone; Engine lifts it (level limit
+    // stays as the runaway backstop). 120k keys × ~17 levels ≈ 2M
+    // cumulative rows — past the default limit, fine under ours.
+    spark.range(1, 120001).selectExpr("id AS k")
+      .createOrReplaceTempView("rec_big")
+    val n = spark.sql(
+      """WITH RECURSIVE anc(node, cur) AS (
+           SELECT k, k FROM rec_big
+           UNION ALL
+           SELECT node, cur DIV 2 FROM anc WHERE cur > 0)
+         SELECT COUNT(DISTINCT node) AS n FROM anc""").head.getLong(0)
+    assert(n == 120000L)
+    spark.catalog.dropTempView("rec_big")
+  }
+
   test("VARIANT typed extraction matches string-path JSON; absent path is NULL") {
     import spark.implicits._
     val df = Seq("""{"k": 7, "s": "x"}""", """{"k": -3}""", """{"s": "y"}""")
