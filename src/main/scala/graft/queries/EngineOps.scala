@@ -139,6 +139,36 @@ object EngineOps {
                JOIN (VALUES (1995), (1998), (2001)) AS d(d_year)
                  ON EXTRACT(year FROM o_orderdate) = d.d_year
                GROUP BY 1 ORDER BY o_year""")),
+
+    // Custom DataSource V2 connector, judged end-to-end: the graftgen
+    // synthetic table (graft.sources.GenSource — column pruning + exact
+    // id-bound pushdown + partition pruning, all plan-asserted in
+    // GenSourceSpec) aggregated per device over a pushed id window. The
+    // oracle REGENERATES the same table from range() because every cell
+    // is a pure integer function of id — two engines, two generators,
+    // one answer. The id bounds prune 4 of 8 input partitions before
+    // any row is produced.
+    ("dsv2_gen_agg",
+      (s: SparkSession, dir: String) =>
+        s.read.format("graftgen")
+          .option("rows", "100000").option("partitions", "8").load()
+          .filter(col("id") >= 20000L && col("id") < 60000L)
+          .groupBy("device")
+          .agg(count(lit(1)).as("n"),
+            sum(col("reading")).as("sum_r"),
+            min(col("reading")).as("min_r"),
+            max(col("reading")).as("max_r"),
+            min(col("ts_us")).as("first_ts"))
+          .orderBy("device"),
+      Some("""SELECT 'd' || CAST(id % 50 AS VARCHAR) AS device,
+                     COUNT(*) AS n,
+                     CAST(SUM((id * 2654435761) % 10000) AS BIGINT) AS sum_r,
+                     MIN((id * 2654435761) % 10000) AS min_r,
+                     MAX((id * 2654435761) % 10000) AS max_r,
+                     MIN(1700000000000000 + id * 1000000) AS first_ts
+              FROM (SELECT range AS id FROM range(100000))
+              WHERE id >= 20000 AND id < 60000
+              GROUP BY device ORDER BY device""")),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.GenSource
+
+/** The DSv2 connector, end to end: values match the generator
+  * formulas, column pruning reaches the scan's readSchema, id-range
+  * filters are consumed exactly (pushed AND pruning whole partitions),
+  * and non-id predicates stay residual without losing rows.
+  */
+class GenSourceSpec extends SparkSpec {
+
+  private def gen(rows: Long, parts: Int = 8) =
+    spark.read.format("graftgen")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+      .load()
+
+  // sparkPlan, not executedPlan: AQE wraps aggregates in an adaptive
+  // root whose children are hidden until execution
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }.head
+
+  test("generated values match the formulas; short name resolves") {
+    val df = gen(1000)
+    assert(df.count() == 1000)
+    val r = df.filter(col("id") === 123L).head
+    assert(r.getLong(r.fieldIndex("ts_us")) == GenSource.tsOf(123))
+    assert(r.getString(r.fieldIndex("device")) == "d23")
+    assert(r.getLong(r.fieldIndex("reading")) == GenSource.readingOf(123))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = gen(1000).select(sum(col("reading")).as("s"))
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.sameElements(Array("reading")),
+      s"scan must materialize only 'reading', got ${scan.scan.readSchema()}")
+    assert(df.head.getLong(0) ==
+      (0L until 1000L).map(GenSource.readingOf).sum)
+  }
+
+  test("id bounds push down and prune whole partitions") {
+    val df = gen(100000, parts = 8).filter(col("id") >= 75000L)
+    val scan = scanOf(df)
+    // partitions 0..5 ([0,75000)) must never be planned
+    assert(scan.inputRDD.getNumPartitions == 2,
+      s"expected 2 surviving partitions, got ${scan.inputRDD.getNumPartitions}")
+    assert(scan.scan.description().contains("GreaterThanOrEqual(id,75000)"),
+      s"filter not pushed: ${scan.scan.description()}")
+    assert(df.count() == 25000)
+    // no residual Filter node: the bound was consumed exactly
+    val hasFilter = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.FilterExec => true
+      case _ => false
+    }
+    assert(!hasFilter, "id-only bound must be fully consumed by the source")
+  }
+
+  test("non-id predicates stay residual and lose no rows") {
+    val df = gen(10000).filter(col("reading") > 5000L)
+    val expected = (0L until 10000L).count(i => GenSource.readingOf(i) > 5000L)
+    assert(df.count() == expected.toLong)
+    val hasFilter = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.FilterExec => true
+      case _ => false
+    }
+    assert(hasFilter, "reading predicate must be evaluated by Spark")
+  }
+}
