@@ -9,9 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -78,12 +83,14 @@ private[sources] class GenTable(rows: Long, parts: Int)
 
 private[sources] class GenScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = GenSource.schema
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
+  private var aggs: Option[Array[String]] = None
 
   private def num(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue)
@@ -108,19 +115,82 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private var topNPartial = false
+
+  /** LIMIT consumed COMPLETELY: LIMIT n without a sort accepts ANY n
+    * rows, and the first `n` ids of the bounded range are exactly n
+    * rows — bounds shrink, Spark drops its own Limit node.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  /** ORDER BY id [ASC|DESC] LIMIT n: the generator keeps exactly the
+    * right candidate SET (low end of the range for ascending, high end
+    * for descending) but always emits ascending — so this is reported
+    * PARTIAL and Spark's TopN re-sorts the ≤n surviving rows (O(n),
+    * not O(rows)). The scan itself still shrinks to n ids.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) => o.expression() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array("id")) =>
+          if (o.direction() == SortDirection.ASCENDING) hi = math.min(hi, lo + limit)
+          else lo = math.max(lo, hi - limit)
+          topNPartial = true
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  // complete for plain LIMIT (order-free), partial for TopN (see above)
+  override def isPartiallyPushed(): Boolean = topNPartial
+
+  /** Global (no GROUP BY) COUNT(*)/MIN(id)/MAX(id) are CLOSED FORM on
+    * an id-range generator: each partition answers from its bounds
+    * without producing a single row — a count over a trillion-row
+    * synthetic table costs O(partitions). Partial pushdown: Spark
+    * still merges the per-partition rows.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames().sameElements(Array("id"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val kinds = aggregation.aggregateExpressions().map {
+      case _: CountStar => "count"
+      case m: Min if isId(m.column()) => "min_id"
+      case m: Max if isId(m.column()) => "max_id"
+      case _ => return false
+    }
+    aggs = Some(kinds)
+    true
+  }
+
   override def build(): Scan =
-    new GenScan(rows, parts, lo, hi, required, pushed.map(_.toString))
+    new GenScan(rows, parts, lo, hi, required, pushed.map(_.toString), aggs)
 }
 
 private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
-    required: StructType, pushedDesc: Array[String]) extends Scan with Batch {
+    required: StructType, pushedDesc: Array[String],
+    aggs: Option[Array[String]]) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggs match {
+    // positional contract: one LongType field per pushed agg func
+    case Some(ks) => StructType(ks.zipWithIndex.map { case (k, i) =>
+      StructField(s"${k}_$i", LongType, nullable = false) })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graftgen rows=$rows bounds=[$lo,$hi) " +
       s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      aggs.map(ks => s"PushedAggregates: [${ks.mkString(", ")}], ").getOrElse("") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   /** Even id-range splits of [0, rows), intersected with the pushed
     * bounds — fully-excluded partitions are never planned.
@@ -133,7 +203,33 @@ private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
     }.filter(p => p.start < p.end).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenReaderFactory(required.fieldNames)
+    aggs match {
+      case Some(ks) => new GenAggReaderFactory(ks)
+      case None => new GenReaderFactory(required.fieldNames)
+    }
+}
+
+/** Closed-form per-partition aggregate answers: one row per partition,
+  * zero rows generated.
+  */
+private[sources] class GenAggReaderFactory(kinds: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = kinds.map {
+          case "count" => java.lang.Long.valueOf(p.end - p.start)
+          case "min_id" => java.lang.Long.valueOf(p.start)
+          case "max_id" => java.lang.Long.valueOf(p.end - 1)
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class GenInputPartition(start: Long, end: Long)

@@ -57,6 +57,34 @@ class GenSourceSpec extends SparkSpec {
     assert(!hasFilter, "id-only bound must be fully consumed by the source")
   }
 
+  test("LIMIT and ORDER BY id LIMIT shrink the generated range") {
+    // plain LIMIT: complete pushdown — bounds collapse to n ids
+    val lim = gen(1000000000L).limit(5)
+    assert(scanOf(lim).scan.description().contains("bounds=[0,5)"))
+    assert(lim.collect().map(_.getLong(0)).sorted.sameElements(0L until 5L))
+    // descending TopN: high end of the range survives, order correct
+    val top = gen(1000000000L).orderBy(col("id").desc).limit(3)
+    assert(scanOf(top).scan.description()
+      .contains("bounds=[999999997,1000000000)"))
+    assert(top.collect().map(_.getLong(0))
+      .sameElements(Seq(999999999L, 999999998L, 999999997L)))
+  }
+
+  test("global COUNT/MIN/MAX answer closed-form — zero rows generated") {
+    // a trillion-row table: only per-partition arithmetic can answer this
+    val df = gen(1000000000000L, parts = 8)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedAggregates: [count, min_id, max_id]"),
+      s"aggregates not pushed: ${scan.scan.description()}")
+    val r = df.head
+    assert(r.getLong(0) == 1000000000000L && r.getLong(1) == 0L &&
+      r.getLong(2) == 999999999999L)
+    // pushed bounds compose: count under an id filter stays closed-form
+    val filtered = gen(1000000000000L).filter(col("id") >= 100L).count()
+    assert(filtered == 999999999900L)
+  }
+
   test("non-id predicates stay residual and lose no rows") {
     val df = gen(10000).filter(col("reading") > 5000L)
     val expected = (0L until 10000L).count(i => GenSource.readingOf(i) > 5000L)
