@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.{Canonical, Tables}
 import graft.Canonical.{avg4, avg4Sql, dec, decSql, moneySum, moneySumSql}
 
-/** The declared query inventory Q01–Q26 (SURVEY §2.4) — the t2 correctness
+/** The declared query inventory Q01–Q61 (SURVEY §2.4) — the t2 correctness
   * contract. Each query has (a) a Spark DataFrame formulation and (b) an
   * equivalent DuckDB SQL oracle over the same parquet tables.
   *

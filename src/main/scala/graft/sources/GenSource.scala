@@ -76,12 +76,14 @@ private[sources] class GenTable(rows: Long, parts: Int)
   override def name(): String = s"graftgen($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, parts)
+    new GenScanBuilder(rows, parts,
+      Option(options.get("batchRows")).map(_.toLong).getOrElse(100L))
 }
 
-private[sources] class GenScanBuilder(rows: Long, parts: Int)
+private[sources] class GenScanBuilder(rows: Long, parts: Int,
+    batchRows: Long = 100L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -172,12 +174,42 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int)
   }
 
   override def build(): Scan =
-    new GenScan(rows, parts, lo, hi, required, pushed.map(_.toString), aggs)
+    new GenScan(rows, parts, lo, hi, required, pushed.map(_.toString), aggs,
+      batchRows)
 }
 
 private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, pushedDesc: Array[String],
-    aggs: Option[Array[String]]) extends Scan with Batch {
+    aggs: Option[Array[String]], batchRows: Long = 100L)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Streaming read: the same bounded id range drained `batchRows` ids
+    * per trigger — a deterministic, FINITE rate source (offsets are
+    * plain positions in [lo, hi), checkpoint-restorable from their
+    * JSON). Pushed id-filters and column pruning apply to the stream
+    * exactly as to the batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, required.fieldNames, batchRows)
+
+  /** EXACT post-pushdown statistics (the generator knows its
+    * cardinality): row count = surviving id range, bytes ≈ 8 per LONG
+    * + 4 per short string, per MATERIALIZED (pruned) column. Feeding
+    * the planner exact numbers is what lets a small generated dim
+    * auto-broadcast without a hint — spec-asserted.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val n = math.max(0L, hi - lo)
+      private val rowBytes = math.max(8L, readSchema().fields.map(f =>
+        if (f.dataType == LongType) 8L else 4L).sum)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * rowBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
 
   override def readSchema(): StructType = aggs match {
     // positional contract: one LongType field per pushed agg func
@@ -207,6 +239,44 @@ private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
       case Some(ks) => new GenAggReaderFactory(ks)
       case None => new GenReaderFactory(required.fieldNames)
     }
+}
+
+private[sources] case class GenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
+    fields: Array[String], batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  // available watermark advances one batch per trigger until the range
+  // is drained; restart recovers from the committed offset's json
+  private var available = lo
+
+  override def initialOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset = GenOffset(lo)
+  override def latestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    available = math.min(hi, available + batchRows)
+    GenOffset(available)
+  }
+  override def deserializeOffset(json: String):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    GenOffset(json.toLong)
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].pos
+    val e = end.asInstanceOf[GenOffset].pos
+    if (s >= e) Array.empty
+    else Array(GenInputPartition(s, e))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(fields)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Closed-form per-partition aggregate answers: one row per partition,

@@ -85,6 +85,36 @@ class GenSourceSpec extends SparkSpec {
     assert(filtered == 999999999900L)
   }
 
+  test("exact reported statistics let a small generated dim auto-broadcast") {
+    val dim = gen(100, parts = 2).select(col("id").as("d_id"), col("device"))
+    val fact = gen(100000, parts = 8).select(col("id"), col("reading"))
+    val joined = fact.join(dim, col("id") % 100L === col("d_id"))
+    val hasBroadcast = joined.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(hasBroadcast,
+      "planner must pick broadcast from the connector's reported stats, no hint:\n" +
+        joined.queryExecution.sparkPlan)
+    assert(joined.count() == 100000L)
+  }
+
+  test("streaming read drains the range in batchRows-sized microbatches") {
+    val q = spark.readStream.format("graftgen")
+      .option("rows", "1000").option("batchRows", "400").load()
+      .filter(col("id") >= 200L) // pushdown applies to the stream too
+      .writeStream.format("memory").queryName("graftgen_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graftgen_stream")
+    assert(got.count() == 800)
+    assert(got.agg(min(col("id")), max(col("id"))).head match {
+      case r => r.getLong(0) == 200L && r.getLong(1) == 999L
+    })
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 2, s"expected multiple microbatches, got ${batches.toSeq}")
+  }
+
   test("non-id predicates stay residual and lose no rows") {
     val df = gen(10000).filter(col("reading") > 5000L)
     val expected = (0L until 10000L).count(i => GenSource.readingOf(i) > 5000L)
