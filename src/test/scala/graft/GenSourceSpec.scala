@@ -115,6 +115,20 @@ class GenSourceSpec extends SparkSpec {
     assert(batches.length >= 2, s"expected multiple microbatches, got ${batches.toSeq}")
   }
 
+  test("graftsink write commits exact rows/bytes and a partition-proof checksum") {
+    import graft.sources.SinkSource
+    val df = gen(50000).select(col("id"), col("reading"))
+    df.write.format("graftsink").option("tag", "t1").mode("append").save()
+    val (rows, bytes, sum) = SinkSource.results("t1")
+    assert(rows == 50000L && bytes == 50000L * 16)
+    val expected = (0L until 50000L).foldLeft(0L)((a, i) => a ^ SinkSource.hash(i))
+    assert(sum == expected, "checksum must fold every id exactly once")
+    // radically different partitioning, same commit result
+    df.repartition(13).write.format("graftsink").option("tag", "t2")
+      .mode("append").save()
+    assert(SinkSource.results("t2") == ((rows, bytes, sum)))
+  }
+
   test("non-id predicates stay residual and lose no rows") {
     val df = gen(10000).filter(col("reading") > 5000L)
     val expected = (0L until 10000L).count(i => GenSource.readingOf(i) > 5000L)
