@@ -248,7 +248,10 @@ private[sources] case class GenOffset(pos: Long)
 
 private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
     fields: Array[String], batchRows: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   // available watermark advances one batch per trigger until the range
   // is drained; restart recovers from the committed offset's json
@@ -261,6 +264,30 @@ private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
     available = math.min(hi, available + batchRows)
     GenOffset(available)
   }
+
+  // ---- admission control: the engine proposes a rate (ReadLimit),
+  // the source enforces it against what exists. Trigger.AvailableNow
+  // snapshots "everything so far" via prepareForTriggerAvailableNow —
+  // for a bounded generator `hi` IS that static snapshot, so the
+  // prepare is a no-op and the drain still proceeds in rate-limited
+  // batches until the offset stops advancing (then self-terminates).
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val s = start.asInstanceOf[GenOffset].pos
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => batchRows
+    }
+    available = math.min(hi, s + step)
+    GenOffset(available)
+  }
+  override def reportLatestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset = GenOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
   override def deserializeOffset(json: String):
       org.apache.spark.sql.connector.read.streaming.Offset =
     GenOffset(json.toLong)

@@ -115,6 +115,19 @@ class GenSourceSpec extends SparkSpec {
     assert(batches.length >= 2, s"expected multiple microbatches, got ${batches.toSeq}")
   }
 
+  test("Trigger.AvailableNow drains the bounded stream and self-terminates") {
+    val q = spark.readStream.format("graftgen")
+      .option("rows", "1000").option("batchRows", "300").load()
+      .writeStream.format("memory").queryName("graftgen_avail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(60000), "AvailableNow query must stop itself")
+    assert(spark.table("graftgen_avail").count() == 1000)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length == 4 && batches.forall(_ <= 300),
+      s"admission control must bound batches to 300 rows: ${batches.toSeq}")
+  }
+
   test("graftsink write commits exact rows/bytes and a partition-proof checksum") {
     import graft.sources.SinkSource
     val df = gen(50000).select(col("id"), col("reading"))
