@@ -117,6 +117,79 @@ class Spark4FeaturesSpec extends SparkSpec {
     spark.catalog.dropTempView("orders_p")
   }
 
+  test("EXECUTE IMMEDIATE binds positional params like the literal query") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_ei")
+    val ei = spark.sql(
+      "EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM orders_ei WHERE o_totalprice > ?' USING 400000")
+      .head.getLong(0)
+    val lit0 = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders_ei WHERE o_totalprice > 400000")
+      .head.getLong(0)
+    assert(ei == lit0 && ei > 0)
+    spark.catalog.dropTempView("orders_ei")
+  }
+
+  test("SQL scripting: BEGIN/DECLARE/SET block computes and returns") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_sc")
+    val key = "spark.sql.scripting.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val n = spark.sql(
+        """BEGIN
+             DECLARE total BIGINT DEFAULT 0;
+             SET total = (SELECT COUNT(*) FROM orders_sc);
+             SELECT total AS n;
+           END""").head.getLong(0)
+      assert(n == Tables(spark, sf, "orders").count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.dropTempView("orders_sc")
+    }
+  }
+
+  test("_metadata columns surface file lineage on file scans") {
+    val rows = Tables.read(spark, s"$sf/orders.parquet")
+      .select(col("_metadata.file_path").as("fp"),
+        col("_metadata.file_size").as("fs"), col("o_orderkey"))
+      .limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).endsWith(".parquet"), s"file_path: ${r.getString(0)}")
+      assert(r.getLong(1) > 0, "file_size must be positive")
+    }
+  }
+
+  test("VARIANT survives a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-variant").toString
+    spark.sql(
+      """SELECT id, parse_json(concat('{"a": ', id, ', "s": "x"}')) AS v
+         FROM range(100)""")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .selectExpr("id", "variant_get(v, '$.a', 'long') AS a",
+        "variant_get(v, '$.s', 'string') AS s")
+      .collect()
+    assert(back.length == 100)
+    back.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getString(2) == "x")
+    }
+  }
+
+  test("Observation metrics ride the job — no second pass over the data") {
+    val obs = new org.apache.spark.sql.Observation("graft_obs")
+    val df = Tables(spark, sf, "orders")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("o_totalprice")).as("sumv"))
+    val n = df.count()
+    val m = obs.get
+    assert(m("rows") == n, s"observed ${m("rows")} vs action $n")
+    assert(m("sumv").asInstanceOf[Double] > 0)
+  }
+
   test("native XML source round-trips typed rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
     val out = s"$dir/events_xml"
