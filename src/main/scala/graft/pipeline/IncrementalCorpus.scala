@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.queries.LlmOps
+
+/** INCREMENTAL corpus ingestion — the streaming-shaped complement of
+  * the one-shot [[CorpusPipeline]]: new document batches are accepted
+  * into a persistent corpus WITHOUT ever recomputing pairs over the
+  * accumulated history. This is the shape a 100 TB training corpus
+  * actually grows in: the accepted set is petabytes, the daily batch
+  * is gigabytes, and the only affordable join is batch × state-index.
+  *
+  * Persistent state under `stateDir` (plain parquet, appended per
+  * batch):
+  *   - `accepted/` — the accepted docs (+ `text_md5`);
+  *   - `sigs/`     — minhash signatures of every exact-surviving doc
+  *     EVER SEEN (accepted or near-rejected). Indexing seen, not just
+  *     accepted, buys two properties: re-ingesting a batch is a
+  *     guaranteed no-op (every sig-bearing doc self-matches at
+  *     est = 1.0), and a future doc similar only to a REJECTED member
+  *     of an earlier cluster is still caught (transitive-chain
+  *     robustness — rejected members' lookalikes don't resurrect).
+  *     Cost: the sig index grows with seen, not accepted, volume —
+  *     signatures are ~(numHashes·8)B/doc, so at 32 hashes that is
+  *     256 B per seen doc, dwarfed by the accepted text itself.
+  *
+  * Per-batch algorithm (each step one bounded shuffle, nothing
+  * all-pairs, history touched only through equi-joins):
+  *   1. within-batch EXACT dedup — min doc_id per text_md5;
+  *   2. cross-batch EXACT dedup — anti-join on the state's md5 set
+  *      (makes re-ingesting any batch an exact no-op);
+  *   3. cross-batch NEAR dedup — minhash signatures for survivors,
+  *      banded keys joined against the STATE's seen-sig band keys
+  *      (only colliding candidates get their signatures compared;
+  *      est ≥ tau rejects the new doc — first-seen-wins);
+  *   4. within-batch NEAR dedup — banded pairs among the remaining
+  *      batch docs, connected components, keep each component's min
+  *      doc_id (same cluster semantics as [[CorpusPipeline]]);
+  *   5. append survivors + their signatures to the state.
+  *
+  * Docs under 3 tokens produce no shingles, hence no signature: they
+  * are exact-deduped only (documented, mirrors [[LlmOps.shinglesRaw]]).
+  * Estimates use the unbiased n_agree/numHashes Jaccard estimator on
+  * the SAME signature function as the judged minhash query, so the
+  * incremental decisions are reproducible from state alone.
+  */
+final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
+    bands: Int = 8, tau: Double = 0.7) {
+
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  private val r = numHashes / bands
+  private def acceptedPath = s"$stateDir/accepted"
+  private def sigsPath = s"$stateDir/sigs"
+
+  case class IngestStats(batchRows: Long, afterExact: Long, acceptedNew: Long)
+
+  private def exists(p: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+
+  /** The accepted corpus so far (None before the first batch). */
+  def accepted(spark: SparkSession): Option[DataFrame] =
+    if (exists(acceptedPath)) Some(spark.read.parquet(acceptedPath)) else None
+
+  private def sigsState(spark: SparkSession): Option[DataFrame] =
+    if (exists(sigsPath)) Some(spark.read.parquet(sigsPath)) else None
+
+  /** (id, bk) band-key rows of a signature frame — the SAME key shape
+    * as [[Dedup.minhashPairs]] (band index + raw r-tuple, exact
+    * equality, no second-level hashing).
+    */
+  private def bandKeyRows(sigs: DataFrame): DataFrame = {
+    val keys = (0 until bands).map { j =>
+      struct((lit(j).as("band") +:
+        (0 until r).map(i => col("sig")(j * r + i).as(s"v$i"))): _*)
+    }
+    sigs.select(col("doc_id").as("id"), explode(array(keys: _*)).as("bk"))
+  }
+
+  private val nAgree = aggregate(
+    zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+    lit(0L), (acc, v) => acc + v)
+
+  /** Ingest one batch; returns the funnel counts. Batch schema must
+    * include (doc_id, text); all other columns ride along into state.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame): IngestStats = {
+    val n0 = batch.count()
+    val withMd5 = batch.withColumn("text_md5", md5(col("text")))
+
+    // 1+2: exact dedup, within batch then against state
+    val inBatch = withMd5
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("text_md5").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val exactDeduped = accepted(spark) match {
+      case Some(acc) =>
+        inBatch.join(acc.select("text_md5"), Seq("text_md5"), "left_anti")
+      case None => inBatch
+    }
+    val exactSurvivors = graft.CacheTracker.track(
+      exactDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n1 = exactSurvivors.count()
+
+    // 3: near-dup vs the accepted state's band-key index
+    val sigs = graft.CacheTracker.track(
+      Dedup.minhashSignatures(
+        LlmOps.shinglesRaw(exactSurvivors), "doc_id", "sh", numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newKeys = bandKeyRows(sigs)
+    val rejectedVsState: DataFrame = sigsState(spark) match {
+      case Some(oldSigs) =>
+        val oldKeys = bandKeyRows(oldSigs).toDF("old_id", "bk")
+        val cand = newKeys.toDF("new_id", "bk")
+          .join(oldKeys, "bk").select("new_id", "old_id").distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sa")), "new_id")
+          .join(oldSigs.select(col("doc_id").as("old_id"), col("sig").as("sb")), "old_id")
+          .filter(nAgree.cast("double") / numHashes >= tau)
+          .select(col("new_id").as("doc_id")).distinct()
+      case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+    }
+    val vsStateKept = exactSurvivors
+      .join(rejectedVsState, Seq("doc_id"), "left_anti")
+
+    // 4: near-dup within the batch — banded pairs + components,
+    // min-id representative survives (CorpusPipeline cluster rule)
+    val keptSigs = sigs.join(vsStateKept.select("doc_id"), "doc_id")
+    val a = bandKeyRows(keptSigs).toDF("a_id", "bk")
+    val b = bandKeyRows(keptSigs).toDF("b_id", "bk")
+    val pairs = a.join(b, "bk").filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(keptSigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(keptSigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .filter(nAgree.cast("double") / numHashes >= tau)
+      .select("a_id", "b_id")
+    val comps = graft.operators.Components
+      .connectedComponents(spark, pairs, "a_id", "b_id")
+    val newAccepted = vsStateKept
+      .join(comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+
+    // 5: append survivors + signatures to state. MATERIALIZE FIRST:
+    // newAccepted's plan anti-joins against the state parquet, so any
+    // re-execution after the append would see the freshly-appended rows
+    // and silently collapse to empty (state corruption for the sigs
+    // append, garbage stats). persist + count pins the result before
+    // the state mutates; subsequent actions read the cache.
+    val pinned = graft.CacheTracker.track(
+      newAccepted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n2 = pinned.count()
+    sigs.count() // sigs of ALL exact-survivors: materialize pre-append
+    pinned.write.mode("append").parquet(acceptedPath)
+    sigs.write.mode("append").parquet(sigsPath)
+    graft.CacheTracker.unpersistAll()
+    IngestStats(n0, n1, n2)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.pipeline.IncrementalCorpus
+import graft.queries.LlmOps
+
+/** Incremental ingestion vs a transparent driver-side reference with
+  * IDENTICAL semantics (exact md5 first-wins; LSH band-collision
+  * candidates; est ≥ tau; within-batch components keep min id). The
+  * distributed version must accept exactly the same doc set across two
+  * batches containing exact copies, near copies, and novel docs — and
+  * re-ingesting a batch must be a complete no-op.
+  */
+class IncrementalCorpusSpec extends SparkSpec {
+
+  private val numHashes = 32
+  private val bands = 8
+  private val rr = numHashes / bands
+  private val tau = 0.7
+
+  test("two-batch ingest ≡ greedy reference; re-ingest is a no-op") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = docs.filter(col("doc_id") < 250)
+    // near/exact copies come from the LONGEST b1 docs so shingle
+    // overlap stays high for the near variants
+    val longest = b1.orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(40).collect()
+    val exactCopies = longest.take(20).zipWithIndex.map { case (r0, i) =>
+      (10000L + i, r0.getString(1), r0.getString(2), r0.getString(3), r0.getLong(4))
+    }
+    val nearCopies = longest.drop(20).zipWithIndex.map { case (r0, i) =>
+      (20000L + i, r0.getString(1) + " zz qq trailing marker tokens",
+        r0.getString(2), r0.getString(3), r0.getLong(4))
+    }
+    val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+      .unionByName((exactCopies ++ nearCopies).toSeq
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-inc-corpus").toString
+    val inc = new IncrementalCorpus(stateDir, numHashes, bands, tau)
+    val s1 = inc.ingest(spark, b1)
+    val s2 = inc.ingest(spark, b2)
+    val got = inc.accepted(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // ---- driver-side greedy reference (same rules, transparent code)
+    val allDocs = b1.unionByName(b2)
+    val sigOf = Dedup.minhashSignatures(
+      LlmOps.shinglesRaw(allDocs), "doc_id", "sh", numHashes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def bandsOf(s: Array[Long]): Set[Seq[Long]] =
+      (0 until bands).map(j => (j.toLong +: (0 until rr)
+        .map(i => s(j * rr + i))).toSeq).toSet
+    def est(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / numHashes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    var acceptedIds = Vector.empty[Long]
+    var seenSigIds = Vector.empty[Long] // sig index = every exact-survivor
+    var seenMd5 = Set.empty[String]
+    for (batch <- Seq(b1, b2)) {
+      val rows = batch.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // exact: within batch + vs state
+      var batchMd5 = Set.empty[String]
+      val exactOk = rows.filter { case (_, t) =>
+        val m = md5hex(t)
+        val fresh = !seenMd5.contains(m) && !batchMd5.contains(m)
+        batchMd5 += m
+        fresh
+      }
+      // near vs state: band-collision candidates against every SEEN
+      // sig (accepted or rejected), est >= tau rejects
+      val vsStateOk = exactOk.filter { case (id, _) =>
+        sigOf.get(id) match {
+          case None => true // <3 tokens: no signature, exact-only
+          case Some(sig) =>
+            val bk = bandsOf(sig)
+            !seenSigIds.exists(a => sigOf.get(a).exists(as =>
+              bandsOf(as).intersect(bk).nonEmpty && est(as, sig) >= tau))
+        }
+      }
+      // near within batch: components over band-collision est-edges
+      val ids = vsStateOk.map(_._1)
+      val parent = collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (i <- ids; j <- ids if i < j) {
+        (sigOf.get(i), sigOf.get(j)) match {
+          case (Some(si), Some(sj))
+            if bandsOf(si).intersect(bandsOf(sj)).nonEmpty && est(si, sj) >= tau =>
+            parent(find(math.max(i, j))) = find(math.min(i, j))
+          case _ =>
+        }
+      }
+      val keep = ids.filter(i => find(i) == i)
+      acceptedIds ++= keep
+      seenSigIds ++= exactOk.map(_._1).filter(sigOf.contains)
+      // only ACCEPTED texts' md5s enter state (rejected near-dups are
+      // caught again via their seen sigs, exact dups via the kept copy)
+      seenMd5 ++= keep.map(k => md5hex(rows.find(_._1 == k).get._2))
+    }
+    assert(got == acceptedIds.toSet,
+      s"incremental vs reference: only-got=${(got -- acceptedIds.toSet).take(5)} " +
+        s"only-ref=${(acceptedIds.toSet -- got).take(5)}")
+
+    // the copy paths actually fired
+    assert(exactCopies.forall(c => !got.contains(c._1)), "exact copies must be rejected")
+    assert(s2.afterExact < s2.batchRows, "cross-batch exact dedup must drop rows")
+    assert(s2.acceptedNew < s2.afterExact, "near-dup rejection must drop rows")
+    assert(s1.acceptedNew > 0 && s2.acceptedNew > 0)
+
+    // idempotence: re-ingesting b2 accepts nothing
+    val s3 = inc.ingest(spark, b2)
+    assert(s3.acceptedNew == 0, s"re-ingest must be a no-op, accepted ${s3.acceptedNew}")
+  }
+}
