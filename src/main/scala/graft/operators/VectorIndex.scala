@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{idot, quant, sumsq}
+
+/** Persistent IVF vector index — the similarity-search counterpart of
+  * [[graft.pipeline.IncrementalCorpus]]: build once, APPEND new
+  * vectors, search forever, never recompute history. The ANN queries
+  * (`ann_ivf_topk` et al.) are one-shot operators; a 100 TB embedding
+  * store needs the index as persistent STATE (centroids learned once,
+  * vectors assigned on arrival, probes touching nprobe cells of the
+  * accumulated corpus).
+  *
+  * State under `stateDir` (plain parquet):
+  *   - `centroids/` — (cell, cm: quantized-int component means, cn)
+  *   - `vectors/`   — (vec_id, cell, qa: quantized vector, qn)
+  *
+  * Everything follows the exact-integer contract of
+  * [[Similarity.ivfTopKExact]]: vectors quantize to µ-unit BIGINTs,
+  * k-means centroids are floored means of exact integer sums, and the
+  * one cosine division is a single IEEE op — so `build` is
+  * bit-deterministic (same data ⇒ byte-identical centroids, any
+  * partitioning) and decisions are reproducible from state alone.
+  * K-means: seeds are the `nCells` lowest `xxhash64(vec_id)` vectors
+  * (deterministic, data-dependent spread), a fixed `iters` Lloyd
+  * rounds, cosine assignment with (ccos, cell) tiebreak; empty cells
+  * drop out. All shuffles are bounded: assignment is a broadcast
+  * cross-join against ≤`nCells` centroids, means are one hash
+  * aggregation per round.
+  */
+final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
+
+  private def centroidsPath = s"$stateDir/centroids"
+  private def vectorsPath = s"$stateDir/vectors"
+
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quant(col("embedding")).as("qa"))
+      .withColumn("qn", sumsq(col("qa")))
+
+  /** Cosine of quantized arrays — the single-IEEE-op contract. */
+  private def qcos(a: String, an: String, b: String, bn: String) =
+    idot(col(a), col(b)).cast("double") /
+      sqrt(col(an).cast("double") * col(bn).cast("double"))
+
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos("qa", "qn", "cm", "cn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("qa"), col("qn"))
+  }
+
+  private def means(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("qa")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("cm"))
+      .withColumn("cn", sumsq(col("cm")))
+
+  /** Learn centroids and assign the initial corpus. Overwrites state. */
+  def build(spark: SparkSession, emb: DataFrame): Unit = {
+    val v = graft.CacheTracker.track(quantized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    v.count()
+    // deterministic data-dependent seeds: lowest-hash vectors. The
+    // partitionless window below numbers the ≤nCells seed rows AFTER
+    // the limit — bounded by the centroid count (small by definition),
+    // never by data volume, so the single-task sort is fine at any SF
+    var cents = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+      .withColumn("cell", row_number().over(
+        Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))).cast("int"))
+      .select(col("cell"), col("qa").as("cm"), col("qn").as("cn"))
+    var i = 0
+    while (i < iters) {
+      cents = means(assign(v, cents))
+      i += 1
+    }
+    val finalCents = graft.CacheTracker.track(cents
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    finalCents.count()
+    val assigned = graft.CacheTracker.track(assign(v, finalCents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assigned.count()
+    finalCents.write.mode("overwrite").parquet(centroidsPath)
+    assigned.write.mode("overwrite").parquet(vectorsPath)
+    graft.CacheTracker.unpersistAll()
+  }
+
+  def centroids(spark: SparkSession): DataFrame =
+    spark.read.parquet(centroidsPath)
+
+  def vectors(spark: SparkSession): DataFrame =
+    spark.read.parquet(vectorsPath)
+
+  /** Assign new vectors to the FROZEN centroids and append — history
+    * is never touched, the index never re-trains (re-train = `build`).
+    */
+  def add(spark: SparkSession, emb: DataFrame): Long = {
+    val assigned = graft.CacheTracker.track(
+      assign(quantized(emb), centroids(spark))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = assigned.count() // pin BEFORE appending to the read path
+    assigned.write.mode("append").parquet(vectorsPath)
+    graft.CacheTracker.unpersistAll()
+    n
+  }
+
+  /** nprobe-cell search against state: queries rank cells by centroid
+    * cosine, candidates come only from probed cells. Self-matches stay
+    * (an indexed vector queried by itself returns rank 1, cos 1).
+    */
+  def search(spark: SparkSession, queries: DataFrame, k: Int,
+      nprobe: Int = 3): DataFrame = {
+    val q = queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
+      .withColumn("qn", sumsq(col("qa")))
+    val cents = centroids(spark)
+    val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos("qa", "qn", "cm", "cn"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qa").as("q_qa"), col("qn").as("q_qn"), col("cell"))
+    val cand = vectors(spark)
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", idot(col("q_qa"), col("qa")).cast("double") /
+        sqrt(col("q_qn").cast("double") * col("qn").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+}
