@@ -448,6 +448,7 @@ object Multimodal {
       while (off + 8 <= b.length) {
         val t = tag(b, off)
         val sz = le32(b, off + 4)
+        if (sz < 0) return None // malformed size: bail, never spin
         if (t == "LIST" && off + 12 <= b.length && tag(b, off + 8) == "hdrl") {
           val a = off + 12 // first hdrl child must be avih
           if (a + 8 <= b.length && tag(b, a) == "avih" &&
@@ -484,7 +485,12 @@ object Multimodal {
           val stride = (3 * w + 3) & ~3
           (0 until n).flatMap { i =>
             val src = (i.toLong * total / n).toInt
-            offs.lift(src).map { o =>
+            // truncated/short frames are dropped, not decoded out of
+            // bounds: the chunk must declare AND physically hold a
+            // full stride*h frame
+            offs.lift(src).filter { case (o, sz) =>
+              sz >= stride * h && o.toLong + stride.toLong * h <= r.media.length
+            }.map { case (o, _) =>
               val crc = new java.util.zip.CRC32
               var sum = 0L
               var y = 0
@@ -509,22 +515,28 @@ object Multimodal {
     }
   }
 
-  /** Byte offsets of each '00db' frame's DATA inside the movi list. */
-  private def aviFrameOffsets(b: Array[Byte]): IndexedSeq[Int] = {
+  /** (offset, declared size) of each '00db' frame's DATA inside the
+    * movi list. Negative chunk sizes abort the walk (malformed input
+    * must terminate, not spin the executor task).
+    */
+  private def aviFrameOffsets(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
     var off = 12
     while (off + 12 <= b.length) {
+      val osz = le32(b, off + 4)
+      if (osz < 0) return IndexedSeq.empty
       if (tag(b, off) == "LIST" && tag(b, off + 8) == "movi") {
-        val end = math.min(b.length, off + 8 + le32(b, off + 4))
-        val out = IndexedSeq.newBuilder[Int]
+        val end = math.min(b.length, off + 8 + osz)
+        val out = IndexedSeq.newBuilder[(Int, Int)]
         var c = off + 12
         while (c + 8 <= end) {
           val sz = le32(b, c + 4)
-          if (tag(b, c) == "00db") out += c + 8
+          if (sz < 0) return out.result()
+          if (tag(b, c) == "00db") out += ((c + 8, sz))
           c += 8 + sz + (sz & 1)
         }
         return out.result()
       }
-      off += 8 + le32(b, off + 4) + (le32(b, off + 4) & 1)
+      off += 8 + osz + (osz & 1)
     }
     IndexedSeq.empty
   }

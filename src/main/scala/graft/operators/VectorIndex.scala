@@ -57,8 +57,13 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
   private def means(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("qa")))
       .groupBy("cell", "pos")
-      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
-      .withColumn("m", floor(col("sx").cast("double") / col("cnt")).cast("long"))
+      // DECIMAL(38,0) sums + pure integer floor-division: exact at any
+      // cell size (a double-cast floor would silently lose ulps once a
+      // component sum passes 2^53 - the q52/q53 failure class)
+      .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sx"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m",
+        ((col("sx") - pmod(col("sx"), col("cnt"))) / col("cnt")).cast("long"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), expr("transform(pm, x -> x.m)").as("cm"))
@@ -90,7 +95,9 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
     assigned.count()
     finalCents.write.mode("overwrite").parquet(centroidsPath)
     assigned.write.mode("overwrite").parquet(vectorsPath)
-    graft.CacheTracker.unpersistAll()
+    // release LOCALLY: a global unpersistAll could race another
+    // operator's pin-before-append window in the same JVM
+    Seq(v, finalCents, assigned).foreach(_.unpersist(blocking = false))
   }
 
   def centroids(spark: SparkSession): DataFrame =
@@ -108,7 +115,7 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = assigned.count() // pin BEFORE appending to the read path
     assigned.write.mode("append").parquet(vectorsPath)
-    graft.CacheTracker.unpersistAll()
+    assigned.unpersist(blocking = false)
     n
   }
 

@@ -101,6 +101,9 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
         inBatch.join(acc.select("text_md5"), Seq("text_md5"), "left_anti")
       case None => inBatch
     }
+    // caches are released LOCALLY at the end of this method — a global
+    // CacheTracker.unpersistAll() here could race a concurrent
+    // operator's pin-before-append window (and vice versa)
     val exactSurvivors = graft.CacheTracker.track(
       exactDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n1 = exactSurvivors.count()
@@ -126,15 +129,21 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     val vsStateKept = exactSurvivors
       .join(rejectedVsState, Seq("doc_id"), "left_anti")
 
-    // 4: near-dup within the batch — banded pairs + components,
-    // min-id representative survives (CorpusPipeline cluster rule)
-    val keptSigs = sigs.join(vsStateKept.select("doc_id"), "doc_id")
-    val a = bandKeyRows(keptSigs).toDF("a_id", "bk")
-    val b = bandKeyRows(keptSigs).toDF("b_id", "bk")
+    // 4: near-dup within the batch — banded pairs + components over
+    // ALL exact-survivors (including state-rejected docs), min-id
+    // representative survives (CorpusPipeline cluster rule). Building
+    // the graph over all survivors, not just state-kept ones, keeps
+    // decisions BATCH-BOUNDARY-INVARIANT: a lookalike of a
+    // state-rejected batch-mate is dropped now exactly as it would be
+    // next batch against that doc's seen sig (clusters whose min id
+    // was itself state-rejected die entirely — same outcome as the
+    // sequential order)
+    val a = bandKeyRows(sigs).toDF("a_id", "bk")
+    val b = bandKeyRows(sigs).toDF("b_id", "bk")
     val pairs = a.join(b, "bk").filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .join(keptSigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-      .join(keptSigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
       .filter(nAgree.cast("double") / numHashes >= tau)
       .select("a_id", "b_id")
     val comps = graft.operators.Components
@@ -155,7 +164,7 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     sigs.count() // sigs of ALL exact-survivors: materialize pre-append
     pinned.write.mode("append").parquet(acceptedPath)
     sigs.write.mode("append").parquet(sigsPath)
-    graft.CacheTracker.unpersistAll()
+    Seq(exactSurvivors, sigs, pinned).foreach(_.unpersist(blocking = false))
     IngestStats(n0, n1, n2)
   }
 }

@@ -58,8 +58,13 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  // EXACT normalized-path match: substring matching would let a rollup
+  // for /data/orders silently answer queries over /data/orders_returns
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
   private def descriptorFor(paths: Seq[String]): Option[Descriptor] =
-    registry.values.find(d => paths.exists(_.contains(d.baseTag)))
+    registry.values.find(d =>
+      paths.exists(p => normalize(p) == normalize(d.baseTag)))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!spark.conf.get(flag, "false").toBoolean) plan
@@ -118,7 +123,8 @@ object MaterializedRollup {
   /** Session conf gating the rewrite; default off. */
   val flag = "spark.graft.rollupRewrite"
 
-  /** @param baseTag substring identifying the base table's file path
+  /** @param baseTag the base table's file path (matched EXACTLY after
+    *        URI normalization — never by substring)
     * @param mvPath  rollup location (parquet)
     * @param groupKeys rollup grouping columns
     * @param sumCols  base columns with a `sum_<col>` partial in the MV

@@ -99,14 +99,19 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int,
     case _ => None
   }
 
+  // saturating successor: a bound at Long.MaxValue must not wrap to
+  // MinValue and silently empty a tautological filter
+  private def succ(n: Long): Long =
+    if (n == Long.MaxValue) Long.MaxValue else n + 1
+
   /** Consume id-bound predicates exactly; everything else is residual. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
-      case EqualTo("id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n + 1); true }
-      case GreaterThan("id", v) => num(v).exists { n => lo = math.max(lo, n + 1); true }
+      case EqualTo("id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, succ(n)); true }
+      case GreaterThan("id", v) => num(v).exists { n => lo = math.max(lo, succ(n)); true }
       case GreaterThanOrEqual("id", v) => num(v).exists { n => lo = math.max(lo, n); true }
       case LessThan("id", v) => num(v).exists { n => hi = math.min(hi, n); true }
-      case LessThanOrEqual("id", v) => num(v).exists { n => hi = math.min(hi, n + 1); true }
+      case LessThanOrEqual("id", v) => num(v).exists { n => hi = math.min(hi, succ(n)); true }
       case _ => false
     }
     pushed = handled
@@ -124,7 +129,7 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int,
     * rows — bounds shrink, Spark drops its own Limit node.
     */
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, lo + limit)
+    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
     true
   }
 
@@ -163,6 +168,10 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int,
         case _ => false
       }
     if (aggregation.groupByExpressions().nonEmpty) return false
+    // empty surviving range: zero partitions would be planned, Spark's
+    // final Sum over the partial counts would yield NULL instead of
+    // COUNT(*)=0 - fall back to (trivially empty) row generation
+    if (hi <= lo) return false
     val kinds = aggregation.aggregateExpressions().map {
       case _: CountStar => "count"
       case m: Min if isId(m.column()) => "min_id"

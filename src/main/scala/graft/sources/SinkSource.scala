@@ -10,8 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
-  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write,
-  WriteBuilder, WriterCommitMessage}
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,7 +62,11 @@ private[sources] class SinkTable(writeSchema: StructType, tag: String)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // the advertised TRUNCATE capability needs a builder that can
+      // build it; truncating a blackhole is a no-op, which makes
+      // mode("overwrite") equivalent to append here
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new SinkBatchWrite(tag, info.schema())
       }

@@ -128,6 +128,24 @@ class GenSourceSpec extends SparkSpec {
       s"admission control must bound batches to 300 rows: ${batches.toSeq}")
   }
 
+  test("empty pushed range still counts 0; boundary literals don't overflow") {
+    // COUNT(*) over a fully-filtered range: the agg pushdown must
+    // refuse (zero planned partitions would sum partials to NULL)
+    assert(gen(1000).filter(col("id") >= 1000L).count() == 0L)
+    assert(gen(1000).filter(col("id") >= 1000L)
+      .agg(count(lit(1))).head.getLong(0) == 0L)
+    // Long.MaxValue bounds must saturate, not wrap to an empty scan
+    assert(gen(1000).filter(col("id") <= Long.MaxValue).count() == 1000L)
+    assert(gen(1000).filter(col("id") > Long.MaxValue).count() == 0L)
+  }
+
+  test("graftsink overwrite mode works via the truncate builder") {
+    import graft.sources.SinkSource
+    gen(100).select(col("id")).write.format("graftsink")
+      .option("tag", "ow").mode("overwrite").save()
+    assert(SinkSource.results("ow")._1 == 100L)
+  }
+
   test("graftsink write commits exact rows/bytes and a partition-proof checksum") {
     import graft.sources.SinkSource
     val df = gen(50000).select(col("id"), col("reading"))

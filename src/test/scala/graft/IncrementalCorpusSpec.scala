@@ -88,19 +88,20 @@ class IncrementalCorpusSpec extends SparkSpec {
         }
       }
       // near within batch: components over band-collision est-edges
-      val ids = vsStateOk.map(_._1)
-      val parent = collection.mutable.Map(ids.map(i => i -> i): _*)
+      // among ALL sig-bearing exact-survivors (state-rejected docs
+      // included — batch-boundary invariance); kept = state-surviving
+      // docs that are their own component root
+      val allIds = exactOk.map(_._1).filter(sigOf.contains)
+      val parent = collection.mutable.Map(allIds.map(i => i -> i): _*)
       def find(x: Long): Long =
         if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-      for (i <- ids; j <- ids if i < j) {
-        (sigOf.get(i), sigOf.get(j)) match {
-          case (Some(si), Some(sj))
-            if bandsOf(si).intersect(bandsOf(sj)).nonEmpty && est(si, sj) >= tau =>
-            parent(find(math.max(i, j))) = find(math.min(i, j))
-          case _ =>
-        }
+      for (i <- allIds; j <- allIds if i < j) {
+        val (si, sj) = (sigOf(i), sigOf(j))
+        if (bandsOf(si).intersect(bandsOf(sj)).nonEmpty && est(si, sj) >= tau)
+          parent(find(math.max(i, j))) = find(math.min(i, j))
       }
-      val keep = ids.filter(i => find(i) == i)
+      val keep = vsStateOk.map(_._1)
+        .filter(i => !sigOf.contains(i) || find(i) == i)
       acceptedIds ++= keep
       seenSigIds ++= exactOk.map(_._1).filter(sigOf.contains)
       // only ACCEPTED texts' md5s enter state (rejected near-dups are

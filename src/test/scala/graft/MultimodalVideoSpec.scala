@@ -48,6 +48,23 @@ class MultimodalVideoSpec extends SparkSpec {
     assert(Multimodal.parseAvi(avi).contains((6, 4, 3, 40000)))
     val bad = avi.clone(); bad(8) = 'X'.toByte // break the 'AVI ' fourcc
     assert(Multimodal.parseAvi(bad).isEmpty)
+    // negative declared chunk size must TERMINATE (not spin the task)
+    val neg = avi.clone()
+    neg(16) = 0xff.toByte; neg(17) = 0xff.toByte
+    neg(18) = 0xff.toByte; neg(19) = 0xff.toByte // hdrl LIST size = -1
+    assert(Multimodal.parseAvi(neg).isEmpty)
+  }
+
+  test("truncated frames are dropped, never decoded out of bounds") {
+    import spark.implicits._
+    val whole = Multimodal.aviBytes(6, 4, 3, 9)
+    val cut = whole.dropRight(10) // last frame physically short
+    val rows = Seq(Multimodal.MediaRow(1L, "video", cut)).toDS().toDF()
+    val stats = Multimodal.sampleAviFrames(spark, rows, n = 3).collect()
+    // frames 0 and 1 decode; the truncated frame 2 is skipped, no crash
+    assert(stats.map(_.src_frame).toSet.subsetOf(Set(0, 1, 2)))
+    assert(!stats.exists(_.src_frame == 2), "short frame must be dropped")
+    assert(stats.nonEmpty)
   }
 
   test("sampleAviFrames decodes exactly the encoded pattern frames") {

@@ -22,7 +22,7 @@ class RollupRewriteSpec extends SparkSpec {
     MaterializedRollup.install(spark)
     val mvDir = java.nio.file.Files.createTempDirectory("graft-mv").toString
     val base = Tables.read(spark, s"$sf/orders.parquet")
-    MaterializedRollup.create(spark, base, baseTag = "orders.parquet",
+    MaterializedRollup.create(spark, base, baseTag = s"$sf/orders.parquet",
       groupKeys = Seq("o_orderpriority", "o_orderstatus"),
       sumCols = Seq("o_custkey"), mvPath = s"$mvDir/mv")
     def q() = Tables.read(spark, s"$sf/orders.parquet")
@@ -45,7 +45,7 @@ class RollupRewriteSpec extends SparkSpec {
         q().schema.map(f => (f.name, f.dataType)))
     } finally {
       spark.conf.set(MaterializedRollup.flag, "false")
-      MaterializedRollup.drop("orders.parquet")
+      MaterializedRollup.drop(s"$sf/orders.parquet")
     }
   }
 
@@ -53,7 +53,7 @@ class RollupRewriteSpec extends SparkSpec {
     MaterializedRollup.install(spark)
     val mvDir = java.nio.file.Files.createTempDirectory("graft-mv2").toString
     val base = Tables.read(spark, s"$sf/orders.parquet")
-    MaterializedRollup.create(spark, base, baseTag = "orders.parquet",
+    MaterializedRollup.create(spark, base, baseTag = s"$sf/orders.parquet",
       groupKeys = Seq("o_orderpriority"), sumCols = Seq("o_custkey"),
       mvPath = s"$mvDir/mv")
     try {
@@ -79,7 +79,34 @@ class RollupRewriteSpec extends SparkSpec {
         "filtered queries must not rewrite (predicate not in the MV)")
     } finally {
       spark.conf.set(MaterializedRollup.flag, "false")
-      MaterializedRollup.drop("orders.parquet")
+      MaterializedRollup.drop(s"$sf/orders.parquet")
+    }
+  }
+
+  test("a table whose path merely CONTAINS the base path never rewrites") {
+    MaterializedRollup.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv3").toString
+    // two same-schema tables; the second's path contains the first's name
+    val base = Tables.read(spark, s"$sf/orders.parquet")
+    base.write.mode("overwrite").parquet(s"$dir/orders")
+    base.withColumn("o_custkey", col("o_custkey") * 2)
+      .write.mode("overwrite").parquet(s"$dir/orders_returns")
+    MaterializedRollup.create(spark, spark.read.parquet(s"$dir/orders"),
+      baseTag = s"$dir/orders", groupKeys = Seq("o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = s"$dir/mv")
+    spark.conf.set(MaterializedRollup.flag, "true")
+    try {
+      val other = spark.read.parquet(s"$dir/orders_returns")
+        .groupBy("o_orderpriority").agg(sum(col("o_custkey")).as("s"))
+      assert(scannedPaths(other).exists(_.contains("orders_returns")),
+        "similarly-named table must stay on its own data")
+      val own = spark.read.parquet(s"$dir/orders")
+        .groupBy("o_orderpriority").agg(sum(col("o_custkey")).as("s"))
+      assert(scannedPaths(own).exists(_.contains("/mv")),
+        "the registered table itself must still rewrite")
+    } finally {
+      spark.conf.set(MaterializedRollup.flag, "false")
+      MaterializedRollup.drop(s"$dir/orders")
     }
   }
 }
