@@ -59,9 +59,12 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   // EXACT normalized-path match: substring matching would let a rollup
-  // for /data/orders silently answer queries over /data/orders_returns
+  // for /data/orders silently answer queries over /data/orders_returns.
+  // Strip the URI scheme, then absolutize so a descriptor registered
+  // with a relative path still matches the scan's file:/abs form.
   private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+    new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+      .getAbsolutePath
   private def descriptorFor(paths: Seq[String]): Option[Descriptor] =
     registry.values.find(d =>
       paths.exists(p => normalize(p) == normalize(d.baseTag)))

@@ -169,6 +169,36 @@ object EngineOps {
               FROM (SELECT range AS id FROM range(100000))
               WHERE id >= 20000 AND id < 60000
               GROUP BY device ORDER BY device""")),
+
+    // Materialized-view rewrite, judged END-TO-END: the query below is
+    // optimized by RollupRewriteRule into a scan of the pre-aggregated
+    // rollup (RollupRewriteSpec asserts the plan swap on this exact
+    // query), while the oracle computes from the BASE table — so the
+    // hash gate proves the rewrite answer-preserving, not just
+    // plan-shaped. The base is a write-once COPY of orders at its own
+    // path so the registered descriptor can never touch the shared
+    // orders scans of other queries; the flag stays on (exact-path
+    // matching confines the rule to the copy).
+    ("mv_rollup_rewrite",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.read(s, s"$dir/orders.parquet")
+        val basePath = Scale.writeOnceParquet(
+          base, s"$dir/orders.parquet", "orders_mv_base", contentTag = "mv_v1")
+        graft.plans.MaterializedRollup.install(s)
+        graft.plans.MaterializedRollup.create(s, s.read.parquet(basePath),
+          baseTag = basePath,
+          groupKeys = Seq("o_orderpriority", "o_orderstatus"),
+          sumCols = Seq("o_custkey"), mvPath = s"$basePath-rollup")
+        s.conf.set(graft.plans.MaterializedRollup.flag, "true")
+        s.read.parquet(basePath)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sumc"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(o_custkey) AS BIGINT) AS sumc
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
   )
 
   def queries: Map[String, Q] =

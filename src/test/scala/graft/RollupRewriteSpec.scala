@@ -83,6 +83,13 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the judged mv_rollup_rewrite query really scans the rollup") {
+    val df = SparkEntry.queries("mv_rollup_rewrite")(spark, sf)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.endsWith("-rollup")),
+      s"judged MV query must scan ONLY the rollup, got $paths:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("a table whose path merely CONTAINS the base path never rewrites") {
     MaterializedRollup.install(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft-mv3").toString
