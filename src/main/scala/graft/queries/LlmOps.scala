@@ -679,6 +679,85 @@ object LlmOps {
                          / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 4) AS bm25
               FROM d, s
               ORDER BY bm25 DESC, doc_id LIMIT 50""")),
+
+    // Context-window chunking with overlap (the splitting step of every
+    // LLM ingestion pipeline): window W=128 tokens, stride S=64 (50%
+    // overlap). Chunk i covers tokens [i·S, i·S+W); docs with ≤W tokens
+    // yield exactly one chunk; chunk count 1+⌈(n−W)/S⌉ otherwise —
+    // spelled as the integer ceil-div 1+(n−65) div 64 on both engines.
+    // Shape: narrow per-row arithmetic off the scan, then ONE explode
+    // whose output is the deliverable itself (rows ≈ docs·n/S) — no
+    // shuffle at all in production (the ORDER BY is gate-only). Slice
+    // end-clamping is Spark's `slice` semantics = DuckDB's inclusive
+    // list slice, so the last short chunk matches textually.
+    ("text_chunk",
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+          .withColumn("nchunks",
+            when(col("n") <= 128, lit(1))
+              .otherwise(expr("cast(1 + (n - 65) div 64 as int)")))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(expr("sequence(0, nchunks - 1)")).as("cid"))
+          .select(
+            col("doc_id"),
+            col("cid").as("chunk_id"),
+            (col("cid") * 64).as("tok_start"),
+            least(col("cid") * 64 + 128, col("n")).as("tok_end"),
+            expr("concat_ws(' ', slice(toks, cid * 64 + 1, 128))").as("chunk"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+               k AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM d),
+               c AS (SELECT doc_id, toks, n,
+                            CASE WHEN n <= 128 THEN 1
+                                 ELSE 1 + (n - 65) // 64 END AS nchunks
+                     FROM k),
+               e AS (SELECT doc_id, toks, n, unnest(range(nchunks)) AS cid0 FROM c)
+               SELECT doc_id, CAST(cid0 AS INT) AS chunk_id,
+                      CAST(cid0 * 64 AS INT) AS tok_start,
+                      CAST(LEAST(cid0 * 64 + 128, n) AS INT) AS tok_end,
+                      array_to_string(toks[CAST(cid0 * 64 + 1 AS INT) : CAST(LEAST(cid0 * 64 + 128, n) AS INT)], ' ') AS chunk
+               FROM e ORDER BY doc_id, chunk_id""")),
+
+    // Sequence-packing manifest (concat-and-split, the GPT-pretraining
+    // packing scheme): within each shard, documents concatenate in
+    // doc_id order and split at fixed 2048-token context boundaries.
+    // Per doc: its token offset in the shard stream, the first/last
+    // context window it lands in, and its position inside the first —
+    // everything a loader needs to assemble batches, all exact integer
+    // window arithmetic (running sum over the PRECEDING frame). Shards
+    // here are the `source` column so the oracle stays relational; at
+    // 100 TB you'd shard by hash(doc_id) % K with K ≫ cores — the plan
+    // (one hash exchange + per-partition sort, no global funnel) is
+    // identical either way.
+    ("text_pack",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("nt"))
+          .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
+          .select(col("source"), col("doc_id"), col("nt"), col("off"),
+            expr("off div 2048").as("pack_first"),
+            expr("(off + nt - 1) div 2048").as("pack_last"),
+            (col("off") % 2048).as("pos_in_pack"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents),
+               o AS (SELECT source, doc_id, nt,
+                      CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+                     FROM d)
+               SELECT source, doc_id, nt, off,
+                      off // 2048 AS pack_first,
+                      (off + nt - 1) // 2048 AS pack_last,
+                      off % 2048 AS pos_in_pack
+               FROM o ORDER BY source, doc_id""")),
   )
 
   def queries: Map[String, Q] =

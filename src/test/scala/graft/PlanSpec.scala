@@ -135,4 +135,18 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_bkt_prune")
     }
   }
+
+  test("rank filter lowers to WindowGroupLimit (per-group heap, not full sort+filter)") {
+    // rn <= k over a window must plan as WindowGroupLimitExec: each
+    // partition keeps a k-bounded heap per group BEFORE the exchange,
+    // so the shuffle carries O(groups·k) rows — the difference between
+    // a per-key top-k and materializing every ranked row at 100 TB.
+    // text_top_term (rn = 1 keep-first) and q56_lateral (LIMIT 2 per
+    // segment after decorrelation) both ride this lowering.
+    for (name <- Seq("text_top_term", "q56_lateral")) {
+      val s = planString(q(name))
+      assert(s.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit lowering:\n$s")
+    }
+  }
 }
