@@ -758,6 +758,40 @@ object LlmOps {
                       (off + nt - 1) // 2048 AS pack_last,
                       off % 2048 AS pos_in_pack
                FROM o ORDER BY source, doc_id""")),
+
+    // Corpus-mixing manifest (Pile/LLaMA-style source weighting): each
+    // source gets an epoch multiplier m (percent — 210 = 2.1 epochs,
+    // here derived from the source index: 40+17·(idx mod 11), spanning
+    // 0.40×–2.10× so the zero-copy, fractional, and multi-epoch paths
+    // all fire). A doc yields ⌊m/100⌋ full copies plus one more iff its
+    // deterministic hash bucket < m mod 100 — the same Lehmer-hash
+    // contract as sample_weighted, so the decision is identical on any
+    // partitioning, cluster, or engine. Narrow per-row arithmetic, one
+    // explode producing the manifest itself; no shuffle in production.
+    ("sample_mix",
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("source"))
+          .withColumn("m",
+            expr("40 + 17 * (cast(substring(source, 4) as int) % 11)"))
+          .withColumn("ncopies",
+            (expr("m div 100") +
+              when(graft.operators.Sampling.hashBucket(col("doc_id"))
+                < col("m") % 100, 1).otherwise(0)).cast("int"))
+          .filter(col("ncopies") > 0)
+          .select(col("doc_id"), col("source"), col("m"),
+            explode(expr("sequence(1, ncopies)")).as("copy"))
+          .orderBy("doc_id", "copy"),
+      Some(s"""WITH m AS (
+                 SELECT doc_id, source,
+                        40 + 17 * (CAST(substr(source, 4) AS INT) % 11) AS m
+                 FROM documents),
+               c AS (SELECT doc_id, source, m,
+                            m // 100 + CASE WHEN ${graft.operators.Sampling.hashBucketSql("doc_id")} < m % 100
+                                            THEN 1 ELSE 0 END AS ncopies
+                     FROM m)
+               SELECT doc_id, source, m, CAST(unnest(range(1, ncopies + 1)) AS INT) AS copy
+               FROM c WHERE ncopies > 0 ORDER BY doc_id, copy""")),
   )
 
   def queries: Map[String, Q] =
