@@ -74,6 +74,18 @@ class TwsTtlSpec extends SparkSpec {
         s"user 1 TTL state should have expired; got ${rows2.toSeq}")
       assert(rows2.exists(c => c.user_id == 2L && c.ttl_n == 1L && c.forever_n == 2L),
         s"user 2 TTL state should have expired; got ${rows2.toSeq}")
+
+      // offline confirmation via the statestore reader: the persisted
+      // no-TTL state variable holds the lifetime counts — per-variable
+      // inspection of a transformWithState checkpoint, query not running
+      val forever = spark.read.format("statestore")
+        .option("stateVarName", "forever_n")
+        .load(ckpt)
+      val persisted = forever
+        .selectExpr("key.value as user_id", "value.value as n")
+        .as[(Long, Long)].collect().toMap
+      assert(persisted == Map(1L -> 3L, 2L -> 2L),
+        s"checkpointed forever_n must hold lifetime counts; got $persisted")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
