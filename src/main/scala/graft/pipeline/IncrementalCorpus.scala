@@ -55,18 +55,27 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
   private val r = numHashes / bands
   private def acceptedPath = s"$stateDir/accepted"
   private def sigsPath = s"$stateDir/sigs"
+  private def stagingRoot = s"$stateDir/staging"
 
   case class IngestStats(batchRows: Long, afterExact: Long, acceptedNew: Long)
 
-  private def exists(p: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+  // State IO goes through the path's own Hadoop FileSystem, so a
+  // stateDir on hdfs:// / s3a:// / mocks3:// behaves exactly like a
+  // local one (a java.nio check here would silently report remote
+  // state as absent and skip every cross-batch dedup step).
+  private def fsFor(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(spark: SparkSession, p: String): Boolean =
+    fsFor(spark, p).exists(new org.apache.hadoop.fs.Path(p))
 
   /** The accepted corpus so far (None before the first batch). */
   def accepted(spark: SparkSession): Option[DataFrame] =
-    if (exists(acceptedPath)) Some(spark.read.parquet(acceptedPath)) else None
+    if (exists(spark, acceptedPath)) Some(spark.read.parquet(acceptedPath)) else None
 
   private def sigsState(spark: SparkSession): Option[DataFrame] =
-    if (exists(sigsPath)) Some(spark.read.parquet(sigsPath)) else None
+    if (exists(spark, sigsPath)) Some(spark.read.parquet(sigsPath)) else None
 
   /** (id, bk) band-key rows of a signature frame — the SAME key shape
     * as [[Dedup.minhashPairs]] (band index + raw r-tuple, exact
@@ -88,6 +97,7 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     * include (doc_id, text); all other columns ride along into state.
     */
   def ingest(spark: SparkSession, batch: DataFrame): IngestStats = {
+    recover(spark) // finish (or discard) any half-published prior batch
     val n0 = batch.count()
     val withMd5 = batch.withColumn("text_md5", md5(col("text")))
 
@@ -152,19 +162,81 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
       .join(comps.filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
 
-    // 5: append survivors + signatures to state. MATERIALIZE FIRST:
-    // newAccepted's plan anti-joins against the state parquet, so any
-    // re-execution after the append would see the freshly-appended rows
-    // and silently collapse to empty (state corruption for the sigs
-    // append, garbage stats). persist + count pins the result before
-    // the state mutates; subsequent actions read the cache.
-    val pinned = graft.CacheTracker.track(
-      newAccepted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val n2 = pinned.count()
-    sigs.count() // sigs of ALL exact-survivors: materialize pre-append
-    pinned.write.mode("append").parquet(acceptedPath)
-    sigs.write.mode("append").parquet(sigsPath)
-    Seq(exactSurvivors, sigs, pinned).foreach(_.unpersist(blocking = false))
+    // 5: STAGE then PUBLISH. Both frames' plans anti-join against the
+    // state parquet, so they must be fully executed before any state
+    // file mutates. The staged parquet write is that barrier — and a
+    // DURABLE one: a persist()+count() pin is best-effort (an evicted
+    // or executor-lost cached partition would recompute against the
+    // mutated state and silently collapse to empty/duplicate rows),
+    // whereas after a completed write no plan re-executes at all.
+    // Publish is then pure metadata: rename staged part files into the
+    // state dirs, sigs BEFORE accepted — sigs-without-accepted only
+    // loses one batch's docs to a re-ingest self-match, while
+    // accepted-without-sigs would let every future lookalike of those
+    // docs through forever. The _COMMIT marker makes the window
+    // recoverable either way: staged-with-marker batches are finished
+    // by recover(), staged-without-marker ones are discarded.
+    val batchId = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val stg = s"$stagingRoot/$batchId"
+    newAccepted.write.parquet(s"$stg/accepted")
+    sigs.write.parquet(s"$stg/sigs")
+    val n2 = spark.read.parquet(s"$stg/accepted").count()
+    markCommitted(spark, stg)
+    publish(spark, stg)
+    Seq(exactSurvivors, sigs).foreach(_.unpersist(blocking = false))
     IngestStats(n0, n1, n2)
+  }
+
+  private def markCommitted(spark: SparkSession, stg: String): Unit =
+    fsFor(spark, stg).create(
+      new org.apache.hadoop.fs.Path(s"$stg/_COMMIT"), true).close()
+
+  /** Rename the staged batch's part files into the live state dirs
+    * (sigs first — see ingest step 5), then drop the staging dir.
+    * Idempotent: files already moved by an earlier interrupted publish
+    * are simply no longer listed.
+    */
+  private def publish(spark: SparkSession, stg: String): Unit = {
+    val fs = fsFor(spark, stg)
+    val batch = stg.substring(stg.lastIndexOf('/') + 1)
+    def moveParts(from: String, to: String): Unit = {
+      val toDir = new org.apache.hadoop.fs.Path(to)
+      fs.mkdirs(toDir)
+      val src = new org.apache.hadoop.fs.Path(from)
+      if (fs.exists(src)) fs.listStatus(src).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("part-"))
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(toDir, s"b$batch-$name"))
+      }
+    }
+    moveParts(s"$stg/sigs", sigsPath)
+    if (crashAfterSigsPublish)
+      throw new IllegalStateException("injected crash: sigs published, accepted not")
+    moveParts(s"$stg/accepted", acceptedPath)
+    fs.delete(new org.apache.hadoop.fs.Path(stg), true)
+  }
+
+  /** Test-only failpoint: die between the sigs and accepted publish
+    * steps, the worst spot in the commit window (IncrementalCorpusSpec
+    * proves recover() then completes the batch losslessly).
+    */
+  private[graft] var crashAfterSigsPublish: Boolean = false
+
+  /** Crash recovery over the staging area: a staged batch WITH a
+    * `_COMMIT` marker had both frames durably written, so its publish
+    * is completed (renames are idempotent); one WITHOUT the marker
+    * died mid-computation and is discarded — its batch simply re-runs.
+    * Called automatically at the start of every ingest().
+    */
+  def recover(spark: SparkSession): Unit = {
+    val fs = fsFor(spark, stagingRoot)
+    val root = new org.apache.hadoop.fs.Path(stagingRoot)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val stg = st.getPath.toString
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$stg/_COMMIT")))
+        publish(spark, stg)
+      else fs.delete(st.getPath, true)
+    }
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.pipeline.IncrementalCorpus
 import graft.queries.LlmOps
+import graft.sources.Sources
 
 /** Incremental ingestion vs a transparent driver-side reference with
   * IDENTICAL semantics (exact md5 first-wins; LSH band-collision
@@ -121,5 +122,95 @@ class IncrementalCorpusSpec extends SparkSpec {
     // idempotence: re-ingesting b2 accepts nothing
     val s3 = inc.ingest(spark, b2)
     assert(s3.acceptedNew == 0, s"re-ingest must be a no-op, accepted ${s3.acceptedNew}")
+  }
+
+  test("state on an object store: existence + dedup work through the FileSystem API") {
+    // State lives under a mocks3:// URI — the exact deployment the
+    // class exists for. A java.nio existence check would report the
+    // remote state absent, silently skip steps 2/3, and re-accept
+    // every duplicate; this proves the Hadoop-FS path end to end.
+    import spark.implicits._
+    Sources.configureCloud(spark, Map(
+      "fs.mocks3.impl" -> classOf[MockObjectStoreFs].getName))
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = docs.filter(col("doc_id") < 120)
+    val longest = b1.orderBy(col("n_chars").desc, col("doc_id")).limit(10).collect()
+    val nearCopies = longest.zipWithIndex.map { case (r0, i) =>
+      (30000L + i, r0.getString(1) + " zz qq trailing marker tokens",
+        r0.getString(2), r0.getString(3), r0.getLong(4))
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-inc-cloud").toString
+    val inc = new IncrementalCorpus(s"mocks3://bucket$local", numHashes, bands, tau)
+    val s1 = inc.ingest(spark, b1)
+    assert(s1.acceptedNew > 0)
+    // re-ingest over cloud state: cross-batch EXACT dedup must fire
+    // (at least every previously-ACCEPTED doc's md5 is in state) and
+    // the seen-sig index must reject the rest
+    val s2 = inc.ingest(spark, b1)
+    assert(s2.acceptedNew == 0 && s2.afterExact <= s2.batchRows - s1.acceptedNew,
+      s"re-ingest over mocks3 state must be a no-op, got $s2")
+    // near copies of accepted docs: cross-batch NEAR dedup must fire
+    val s3 = inc.ingest(spark, nearCopies)
+    assert(s3.acceptedNew == 0,
+      s"near copies must be rejected against mocks3 state, got $s3")
+    assert(inc.accepted(spark).get.count() == s1.acceptedNew)
+  }
+
+  test("crash between sigs and accepted publish: recover() completes the batch") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = docs.filter(col("doc_id") < 120)
+    val b2 = docs.filter(col("doc_id") >= 120 && col("doc_id") < 240)
+
+    // control: clean two-batch run
+    val ctlDir = java.nio.file.Files
+      .createTempDirectory("graft-inc-ctl").toString
+    val ctl = new IncrementalCorpus(ctlDir, numHashes, bands, tau)
+    ctl.ingest(spark, b1); ctl.ingest(spark, b2)
+    val want = ctl.accepted(spark).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // crashed run: die in the worst spot — sigs published, accepted not
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-inc-crash").toString
+    val inc = new IncrementalCorpus(dir, numHashes, bands, tau)
+    inc.ingest(spark, b1)
+    inc.crashAfterSigsPublish = true
+    intercept[IllegalStateException] { inc.ingest(spark, b2) }
+    inc.crashAfterSigsPublish = false
+    val midCrash = inc.accepted(spark).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(midCrash != want, "crash window must be observable pre-recovery")
+
+    // a stale computation-phase staging dir (no _COMMIT) rides along;
+    // recovery must discard it, not publish it
+    val junk = new java.io.File(s"$dir/staging/deadbeef/accepted")
+    junk.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$dir/staging/deadbeef/accepted/part-junk.parquet"), Array[Byte](1, 2, 3))
+
+    inc.recover(spark)
+    val got = inc.accepted(spark).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"recovery must complete the batch losslessly: " +
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(!new java.io.File(s"$dir/staging/deadbeef").exists(),
+      "uncommitted staging dirs must be discarded")
+    // the invariant the ordering buys: every accepted doc has its sigs
+    val sigIds = spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sigless = got.filterNot(sigIds.contains)
+    // same tokenization as LlmOps.shinglesRaw: split on single space
+    val tokenless = docs.filter(size(split(col("text"), " ")) < 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigless.subsetOf(tokenless),
+      s"accepted-without-sigs must be impossible (except <3-token docs): ${sigless.take(5)}")
+    // and a subsequent ingest over the recovered state is a no-op
+    val s4 = inc.ingest(spark, b2)
+    assert(s4.acceptedNew == 0, s"post-recovery re-ingest must be a no-op, got $s4")
   }
 }
