@@ -108,23 +108,84 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
 
   /** Assign new vectors to the FROZEN centroids and append — history
     * is never touched, the index never re-trains (re-train = `build`).
+    *
+    * Append goes through a staged write + rename publish (the same
+    * discipline as [[graft.pipeline.IncrementalCorpus]]): the staged
+    * parquet is a DURABLE barrier — no reliance on cache residency —
+    * and the `_COMMIT` marker makes a crash mid-publish recoverable
+    * ([[recover]] finishes it; uncommitted staging is discarded).
     */
   def add(spark: SparkSession, emb: DataFrame): Long = {
-    val assigned = graft.CacheTracker.track(
-      assign(quantized(emb), centroids(spark))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val n = assigned.count() // pin BEFORE appending to the read path
-    assigned.write.mode("append").parquet(vectorsPath)
-    assigned.unpersist(blocking = false)
+    recover(spark)
+    val stg = stageAdd(spark, emb)
+    val n = spark.read.parquet(stg).count()
+    publish(spark, stg)
     n
+  }
+
+  /** Stage + mark one add batch without publishing — the durable-write
+    * half of [[add]], exposed for the crash-window spec (a real crash
+    * between marker and publish leaves exactly this state).
+    */
+  private[graft] def stageAdd(spark: SparkSession, emb: DataFrame): String = {
+    val batch = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val stg = s"$stateDir/staging/$batch"
+    assign(quantized(emb), centroids(spark)).write.parquet(stg)
+    fsFor(spark).create(
+      new org.apache.hadoop.fs.Path(s"$stg/_COMMIT"), true).close()
+    stg
+  }
+
+  private def fsFor(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def publish(spark: SparkSession, stg: String): Unit = {
+    val fs = fsFor(spark)
+    val batch = stg.substring(stg.lastIndexOf('/') + 1)
+    val toDir = new org.apache.hadoop.fs.Path(vectorsPath)
+    fs.mkdirs(toDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(stg)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("part-"))
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(toDir, s"b$batch-$name"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stg), true)
+  }
+
+  /** Finish committed-but-unpublished adds; discard uncommitted ones.
+    * Called automatically at the start of every [[add]].
+    */
+  def recover(spark: SparkSession): Unit = {
+    val fs = fsFor(spark)
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/staging")
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMIT")))
+        publish(spark, st.getPath.toString)
+      else fs.delete(st.getPath, true)
+    }
   }
 
   /** nprobe-cell search against state: queries rank cells by centroid
     * cosine, candidates come only from probed cells. Self-matches stay
     * (an indexed vector queried by itself returns rank 1, cos 1).
+    *
+    * The probe frame is queries×nprobe rows INCLUDING each query's
+    * quantized vector — broadcasting it is right for interactive
+    * lookups but wrong for a 10M-query batch. When the probe row count
+    * (counted once, one narrow action over `queries`) exceeds
+    * `broadcastProbeLimit`, the candidate join switches to a SALTED
+    * shuffle join: a plain shuffle on `cell` alone would have at most
+    * `nCells` distinct keys (guaranteed skew), so the vector side gets
+    * a deterministic `xxhash64(vec_id) % saltBuckets` salt and the
+    * probe side explodes across all salts — (cell, salt) keys spread
+    * each cell's work over `saltBuckets` tasks. Both paths rank
+    * identically (VectorIndexSpec proves bit-equality).
     */
   def search(spark: SparkSession, queries: DataFrame, k: Int,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3, broadcastProbeLimit: Long = 100000L,
+      saltBuckets: Int = 32): DataFrame = {
     val q = queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
       .withColumn("qn", sumsq(col("qa")))
     val cents = centroids(spark)
@@ -134,8 +195,19 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qa").as("q_qa"), col("qn").as("q_qn"), col("cell"))
-    val cand = vectors(spark)
-      .join(broadcast(probes), Seq("cell"))
+    val probeRows = q.count() * nprobe
+    val cand0 =
+      if (probeRows <= broadcastProbeLimit)
+        vectors(spark).join(broadcast(probes), Seq("cell"))
+      else {
+        val salts = array((0 until saltBuckets).map(lit): _*)
+        vectors(spark)
+          .withColumn("salt",
+            pmod(xxhash64(col("vec_id")), lit(saltBuckets)).cast("int"))
+          .join(probes.withColumn("salt", explode(salts)), Seq("cell", "salt"))
+          .drop("salt")
+      }
+    val cand = cand0
       .withColumn("cos", idot(col("q_qa"), col("qa")).cast("double") /
         sqrt(col("q_qn").cast("double") * col("qn").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))

@@ -71,4 +71,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(full == brute,
       s"nprobe=all must equal exact brute: missing=${(brute -- full).take(5)} extra=${(full -- brute).take(5)}")
   }
+
+  test("large query batches take the salted shuffle path, bit-identical results") {
+    val dir = tmp()
+    val idx = new VectorIndex(dir, nCells = 8, iters = 3)
+    idx.build(spark, emb)
+    val qs = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val viaBroadcast = idx.search(spark, qs, k = 3, nprobe = 2)
+    val viaShuffle = idx.search(spark, qs, k = 3, nprobe = 2,
+      broadcastProbeLimit = 1)
+    // the path actually switched: the salted join's salt column and
+    // probe-side explode appear only in the shuffle plan
+    val pShuffle = viaShuffle.queryExecution.optimizedPlan.toString
+    val pBroadcast = viaBroadcast.queryExecution.optimizedPlan.toString
+    assert(pShuffle.contains("salt") && !pBroadcast.contains("salt"))
+    val a = viaBroadcast.orderBy("q_id", "rank").collect()
+    val b = viaShuffle.orderBy("q_id", "rank").collect()
+    assert(a.sameElements(b),
+      "broadcast and salted-shuffle search paths must agree bit-for-bit")
+  }
+
+  test("committed staged adds are published by recover(); uncommitted discarded") {
+    val dir = tmp()
+    val idx = new VectorIndex(dir, nCells = 8, iters = 3)
+    idx.build(spark, emb.filter(col("vec_id") < 450))
+    val n0 = idx.vectors(spark).count()
+
+    // simulate a crash AFTER the commit marker, BEFORE publish: stage
+    // through the real add() staging path, then "die"
+    val extra = emb.filter(col("vec_id") >= 450)
+    val staged = idx.stageAdd(spark, extra)
+    // plus an uncommitted staging dir that must be discarded
+    val junk = new java.io.File(s"$dir/staging/junk")
+    junk.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$dir/staging/junk/part-x.parquet"), Array[Byte](9))
+
+    idx.recover(spark)
+    assert(idx.vectors(spark).count() == n0 + extra.count(),
+      "recover() must publish the committed staged add")
+    assert(!new java.io.File(staged).exists())
+    assert(!new java.io.File(s"$dir/staging/junk").exists())
+    // and the published vectors are searchable
+    val qs2 = extra.limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top1 = idx.search(spark, qs2, k = 1, nprobe = 8).collect()
+    top1.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
