@@ -72,10 +72,12 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!spark.conf.get(flag, "false").toBoolean) plan
     else plan.transform {
-      case agg @ Aggregate(groupExprs, aggExprs, child, _)
-          if leafPaths(child).exists(lp => descriptorFor(lp._2).isDefined) =>
-        val d = descriptorFor(leafPaths(child).get._2).get
-        rewrite(agg, groupExprs, aggExprs, d).getOrElse(agg)
+      // leafPaths/descriptorFor evaluated ONCE per Aggregate node
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        leafPaths(child).flatMap(lp => descriptorFor(lp._2)) match {
+          case Some(d) => rewrite(agg, groupExprs, aggExprs, d).getOrElse(agg)
+          case None => agg
+        }
     }
 
   private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
@@ -85,7 +87,12 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if d.groupKeys.contains(a.name) => a
       case _ => return None
     }
-    val mvPlan = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    // the MV's plan was analyzed ONCE at create() time — re-resolving
+    // here would re-list and re-infer the MV footer inside the
+    // optimizer on EVERY matching query, including candidates the
+    // rewrite then rejects. newInstance() mints fresh attribute ids so
+    // one cached relation can be spliced into many queries safely.
+    val mvPlan = d.mvRelation.newInstance()
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
     // every column the rewrite will reference must exist in the MV
     val needed = groupAttrs.map(_.name) ++ Seq("cnt") ++
@@ -117,7 +124,12 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGroup = groupAttrs.map(a => mv(a.name))
-    Some(Aggregate(newGroup, newAggExprs, mvPlan, None))
+    // explicit pruning Project: extraOptimizations run AFTER the main
+    // optimizer batches, so ColumnPruning never revisits this subtree —
+    // without it the MV scan would read every rollup column
+    val refs = (newGroup.flatMap(_.references) ++
+      newAggExprs.flatMap(_.references)).distinct
+    Some(Aggregate(newGroup, newAggExprs, Project(refs, mvPlan), None))
   }
 }
 
@@ -131,9 +143,14 @@ object MaterializedRollup {
     * @param mvPath  rollup location (parquet)
     * @param groupKeys rollup grouping columns
     * @param sumCols  base columns with a `sum_<col>` partial in the MV
+    * @param mvRelation the MV's analyzed scan relation, resolved once
+    *        at [[create]] (file listing + footer schema inference);
+    *        the rule splices `mvRelation.newInstance()` — plan-time IO
+    *        never happens on the query path
     */
   case class Descriptor(baseTag: String, mvPath: String,
-      groupKeys: Seq[String], sumCols: Seq[String])
+      groupKeys: Seq[String], sumCols: Seq[String],
+      mvRelation: LogicalRelation)
 
   private[plans] val registry = TrieMap.empty[String, Descriptor]
 
@@ -146,7 +163,12 @@ object MaterializedRollup {
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))
     base.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
-    registry.put(baseTag, Descriptor(baseTag, mvPath, groupKeys, sumCols))
+    val rel = spark.read.parquet(mvPath).queryExecution.analyzed match {
+      case l: LogicalRelation => l
+      case other => throw new IllegalStateException(
+        s"expected a file-scan relation for the MV, got ${other.nodeName}")
+    }
+    registry.put(baseTag, Descriptor(baseTag, mvPath, groupKeys, sumCols, rel))
   }
 
   def drop(baseTag: String): Unit = registry.remove(baseTag)

@@ -90,6 +90,46 @@ class RollupRewriteSpec extends SparkSpec {
       s"judged MV query must scan ONLY the rollup, got $paths:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("matching-but-rejected candidates cause no MV file listing") {
+    // The rule must never do IO on the query path: the MV's relation is
+    // resolved once at create(). Proof: delete the MV files after
+    // create, then run a query over the registered base table that
+    // MATCHES the table but is REJECTED by the rewrite (float sum) —
+    // the old read-inside-the-rule would throw PATH_NOT_FOUND from the
+    // optimizer; the cached-relation rule must leave the query on the
+    // base table and answer it correctly.
+    MaterializedRollup.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv4").toString
+    val base = Tables.read(spark, s"$sf/orders.parquet")
+    MaterializedRollup.create(spark, base, baseTag = s"$sf/orders.parquet",
+      groupKeys = Seq("o_orderpriority"), sumCols = Seq("o_custkey"),
+      mvPath = s"$dir/mv")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(s"$dir/mv"))
+    spark.conf.set(MaterializedRollup.flag, "true")
+    try {
+      val dbl = Tables.read(spark, s"$sf/orders.parquet")
+        .groupBy("o_orderpriority").agg(sum(col("o_totalprice")).as("s"))
+        .orderBy("o_orderpriority")
+      val want = {
+        spark.conf.set(MaterializedRollup.flag, "false")
+        val w = Tables.read(spark, s"$sf/orders.parquet")
+          .groupBy("o_orderpriority").agg(sum(col("o_totalprice")).as("s"))
+          .orderBy("o_orderpriority").collect()
+        spark.conf.set(MaterializedRollup.flag, "true")
+        w
+      }
+      assert(scannedPaths(dbl).exists(_.contains("orders.parquet")))
+      assert(dbl.collect().sameElements(want),
+        "rejected candidate must run untouched even with the MV files gone")
+    } finally {
+      spark.conf.set(MaterializedRollup.flag, "false")
+      MaterializedRollup.drop(s"$sf/orders.parquet")
+    }
+  }
+
   test("a table whose path merely CONTAINS the base path never rewrites") {
     MaterializedRollup.install(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft-mv3").toString
