@@ -143,8 +143,14 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int,
     orders match {
       case Array(o) => o.expression() match {
         case f: NamedReference if f.fieldNames().sameElements(Array("id")) =>
-          if (o.direction() == SortDirection.ASCENDING) hi = math.min(hi, lo + limit)
-          else lo = math.max(lo, hi - limit)
+          // same saturating discipline as pushLimit: a filter-saturated
+          // bound must not wrap the addition/subtraction
+          if (o.direction() == SortDirection.ASCENDING)
+            hi = math.min(hi,
+              if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+          else
+            lo = math.max(lo,
+              if (hi < Long.MinValue + limit) Long.MinValue else hi - limit)
           topNPartial = true
           true
         case _ => false

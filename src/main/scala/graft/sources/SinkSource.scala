@@ -44,10 +44,25 @@ class SinkSource extends TableProvider with DataSourceRegister {
 }
 
 object SinkSource {
-  /** Committed results per tag: (rows, bytes, checksum). Test/driver
-    * visible; only ever written from the driver-side commit.
+  /** LATEST committed result per tag: (rows, bytes, checksum). Only
+    * ever written from the driver-side commit. Two concurrent jobs
+    * sharing a tag overwrite each other HERE — use a unique tag per
+    * concurrent writer, or read [[commits]], where every commit lands
+    * under its own epoch and nothing is ever overwritten.
     */
   val results: TrieMap[String, (Long, Long, Long)] = TrieMap.empty
+
+  /** Append-only commit log: (tag, epoch) → (rows, bytes, checksum);
+    * epochs are process-wide monotonic, so per-tag order is recoverable
+    * and concurrent same-tag jobs can't clobber each other's metrics.
+    */
+  val commits: TrieMap[(String, Long), (Long, Long, Long)] = TrieMap.empty
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[sources] def record(tag: String, v: (Long, Long, Long)): Unit = {
+    commits.put((tag, epoch.incrementAndGet()), v)
+    results.put(tag, v)
+  }
 
   def hash(v: Long): Long = {
     val x = v * -7046029254386353131L // odd multiplier: bijective on 2^64
@@ -86,7 +101,7 @@ private[sources] class SinkBatchWrite(tag: String, schema: StructType)
       case ((ar, ab, ac), SinkCommit(mr, mb, mc)) => (ar + mr, ab + mb, ac ^ mc)
       case (acc, _) => acc
     }
-    SinkSource.results.put(tag, (r, b, c))
+    SinkSource.record(tag, (r, b, c))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -160,6 +160,21 @@ class GenSourceSpec extends SparkSpec {
     assert(SinkSource.results("t2") == ((rows, bytes, sum)))
   }
 
+  test("graftsink commit log: same-tag commits never clobber each other") {
+    import graft.sources.SinkSource
+    gen(10).select(col("id")).write.format("graftsink")
+      .option("tag", "shared").mode("append").save()
+    gen(20).select(col("id")).write.format("graftsink")
+      .option("tag", "shared").mode("append").save()
+    // results holds the latest; the append-only log holds BOTH, in
+    // epoch order — concurrent same-tag jobs can't lose metrics
+    assert(SinkSource.results("shared")._1 == 20L)
+    val logged = SinkSource.commits.collect {
+      case ((tag, ep), (r, _, _)) if tag == "shared" => (ep, r)
+    }.toSeq.sortBy(_._1).map(_._2)
+    assert(logged == Seq(10L, 20L), s"commit log must keep both: $logged")
+  }
+
   test("non-id predicates stay residual and lose no rows") {
     val df = gen(10000).filter(col("reading") > 5000L)
     val expected = (0L until 10000L).count(i => GenSource.readingOf(i) > 5000L)
