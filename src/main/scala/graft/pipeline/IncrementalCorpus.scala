@@ -223,6 +223,31 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     */
   private[graft] var crashAfterSigsPublish: Boolean = false
 
+  /** Grow the corpus from a STREAM: a file-source directory feeds each
+    * micro-batch through [[ingest]] via foreachBatch. foreachBatch is
+    * at-least-once, but ingest's effects are exactly-once anyway:
+    *   - a replayed FULLY-PUBLISHED batch is a no-op (every doc either
+    *     exact-matches state or self-matches its own seen sig);
+    *   - a replay after a crash mid-ingest first runs [[recover]] —
+    *     committed staging publishes, uncommitted staging is discarded
+    *     and the batch simply re-runs.
+    * So stop/restart on the same checkpoint resumes losslessly and
+    * never double-accepts (proven across a restart by the spec).
+    *
+    * @param schema the batch schema (file streams require one; must
+    *               include doc_id and text)
+    */
+  def ingestStream(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      ckptDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        ingest(spark, df); ()
+      }
+      .start()
+
   /** Crash recovery over the staging area: a staged batch WITH a
     * `_COMMIT` marker had both frames durably written, so its publish
     * is completed (renames are idempotent); one WITHOUT the marker

@@ -124,6 +124,53 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(s3.acceptedNew == 0, s"re-ingest must be a no-op, accepted ${s3.acceptedNew}")
   }
 
+  test("streamed ingest ≡ batch-by-batch; exactly-once across a restart") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = docs.filter(col("doc_id") < 150)
+    val longest = b1.orderBy(col("n_chars").desc, col("doc_id")).limit(10).collect()
+    val copies = longest.take(5).zipWithIndex.map { case (r0, i) =>
+      (40000L + i, r0.getString(1), r0.getString(2), r0.getString(3), r0.getLong(4))
+    } ++ longest.drop(5).zipWithIndex.map { case (r0, i) =>
+      (50000L + i, r0.getString(1) + " zz qq trailing marker tokens",
+        r0.getString(2), r0.getString(3), r0.getLong(4))
+    }
+    val b2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      .unionByName(copies.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    // control: the proven batch-by-batch path
+    val ctlDir = java.nio.file.Files.createTempDirectory("graft-inc-sctl").toString
+    val ctl = new IncrementalCorpus(ctlDir, numHashes, bands, tau)
+    ctl.ingest(spark, b1); ctl.ingest(spark, b2)
+    val want = ctl.accepted(spark).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // streamed: each stream life picks up the files that arrived since
+    // the checkpoint's committed offset as one micro-batch
+    val inDir = java.nio.file.Files.createTempDirectory("graft-inc-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inc-ck").toString
+    val stDir = java.nio.file.Files.createTempDirectory("graft-inc-sst").toString
+    val inc = new IncrementalCorpus(stDir, numHashes, bands, tau)
+    b1.write.mode("append").parquet(inDir)
+    val q1 = inc.ingestStream(spark, inDir, b1.schema, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    b2.write.mode("append").parquet(inDir)
+    val q2 = inc.ingestStream(spark, inDir, b1.schema, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val got = inc.accepted(spark).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"streamed vs batch-by-batch: " +
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // exactly-once across a restart: same checkpoint, no new files —
+    // nothing replays, nothing is double-accepted
+    val q3 = inc.ingestStream(spark, inDir, b1.schema, ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert(inc.accepted(spark).get.count() == want.size.toLong,
+      "restart on the committed checkpoint must not re-accept anything")
+  }
+
   test("state on an object store: existence + dedup work through the FileSystem API") {
     // State lives under a mocks3:// URI — the exact deployment the
     // class exists for. A java.nio existence check would report the
