@@ -85,6 +85,10 @@ object Multimodal {
         MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = frames,
           sample_rate = 0, channels = 0)
       })
+      .orElse(parseJpeg(r.media).map { case (w, h) =>
+        MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = 1,
+          sample_rate = 0, channels = 0)
+      })
       // unknown container: deterministic size-derived stub dimensions
       .getOrElse(MediaMeta(r.doc_id, r.media_type, n,
         width = 1 + n % 640, height = 1 + n % 480, n_frames = 1 + n % 10,
@@ -93,6 +97,8 @@ object Multimodal {
 
   // ------------------------------------------------- real byte formats
 
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
@@ -129,6 +135,63 @@ object Multimodal {
       if (blockAlign > 0) Some((sampleRate, channels, le32(b, 40) / blockAlign))
       else None
     } else None
+
+  /** JPEG (JFIF/EXIF alike) → (width, height) from the first SOFn
+    * frame header, by walking the marker stream: FFD8, then FF-marker
+    * segments with big-endian lengths; standalone markers (RSTn, TEM)
+    * have no length field. Dimensions live in SOFn (C0–CF minus the
+    * non-frame C4/C8/CC) at precision(1) height(2) width(2). A stream
+    * that reaches SOS or runs out before any SOF falls through to None
+    * (the stub), never to garbage dimensions.
+    */
+  private[graft] def parseJpeg(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var off = 2
+      while (off + 2 <= b.length) {
+        if ((b(off) & 0xff) != 0xff) return None
+        val marker = b(off + 1) & 0xff
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) {
+          off += 2 // standalone marker: no length field
+        } else if (marker == 0xda || marker == 0xd9) {
+          return None // entropy data / EOI before any SOF: no dims
+        } else {
+          if (off + 4 > b.length) return None
+          val len = be16(b, off + 2)
+          if (len < 2) return None // malformed: bail, never spin
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (off + 9 > b.length) return None
+            return Some((be16(b, off + 7), be16(b, off + 5)))
+          }
+          off += 2 + len
+        }
+      }
+      None
+    } else None
+
+  /** A complete real JPEG of [[patternRgb]] pixels via the JDK's own
+    * `javax.imageio` encoder — decodable by any JPEG reader. Lossy by
+    * nature: specs check dimensions exactly and pixel values within a
+    * quantization tolerance (unlike the bit-exact PNG/WAV/AVI paths).
+    */
+  private[graft] def jpegBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = patternRgb(x, y, seed)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
 
   private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
     val crc = new java.util.zip.CRC32

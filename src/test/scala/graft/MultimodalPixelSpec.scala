@@ -70,6 +70,54 @@ class MultimodalPixelSpec extends SparkSpec {
     }
   }
 
+  test("JPEG: SOF dims parse from bytes; pixels decode within quantization tolerance") {
+    import spark.implicits._
+    // real JFIF fixtures from the JDK's own encoder, varied dims/seed
+    val rows = (1L to 30L).map { id =>
+      Multimodal.MediaRow(id, "image",
+        Multimodal.jpegBytes(8 + (id % 24).toInt, 6 + (id % 18).toInt,
+          (id % 97).toInt))
+    }
+    // byte-level SOF walk finds the true dimensions
+    rows.foreach { r =>
+      val dims = Multimodal.parseJpeg(r.media)
+      assert(dims.contains((8 + (r.doc_id % 24).toInt, 6 + (r.doc_id % 18).toInt)),
+        s"doc ${r.doc_id}: SOF parse got $dims")
+    }
+    // decodeMeta surfaces those dims through the partition harness
+    val jpegMedia = spark.createDataset(rows).toDF()
+    val meta = Multimodal.decodeMeta(spark, jpegMedia).collect()
+    meta.foreach { m =>
+      assert(m.width == 8 + (m.doc_id % 24).toInt &&
+        m.height == 6 + (m.doc_id % 18).toInt && m.n_frames == 1,
+        s"doc ${m.doc_id}: $m")
+    }
+    // full ImageIO decode: exact dims, pixel values within JPEG
+    // quantization error of the encoded pattern (lossy — unlike PNG)
+    val stats = Multimodal.decodePixels(spark, jpegMedia).collect()
+    assert(stats.length == rows.length, "every JPEG row must decode")
+    stats.foreach { s =>
+      assert(s.width == 8 + (s.doc_id % 24).toInt &&
+        s.height == 6 + (s.doc_id % 18).toInt)
+      var patternSum = 0L
+      for (y <- 0 until s.height; x <- 0 until s.width) {
+        val (r, g, b) = Multimodal.patternRgb(x, y, (s.doc_id % 97).toInt)
+        patternSum += r + g + b
+      }
+      val meanErr = math.abs(s.rgb_sum - patternSum).toDouble /
+        (s.width * s.height * 3)
+      assert(meanErr < 24.0,
+        s"doc ${s.doc_id}: mean per-component error $meanErr too large " +
+          s"(got ${s.rgb_sum}, pattern $patternSum)")
+    }
+    // a corrupted SOF falls to the stub, never to garbage dimensions
+    val broken = rows.head.media.clone()
+    val sofAt = broken.indices.find(i => (broken(i) & 0xff) == 0xff &&
+      (broken(i + 1) & 0xff) == 0xc0).get
+    broken(sofAt + 1) = 0xda.toByte // SOF0 → SOS: stream "has no frame"
+    assert(Multimodal.parseJpeg(broken).isEmpty)
+  }
+
   test("WAV PCM samples round-trip bit-exactly with nontrivial content") {
     val stats = Multimodal.decodeWavSamples(spark, media).collect()
     assert(stats.nonEmpty, "no audio rows decoded")
