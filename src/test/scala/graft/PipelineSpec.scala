@@ -117,6 +117,52 @@ class PipelineSpec extends SparkSpec {
     assert(html.contains("2 assets") && html.contains("1 failed"))
   }
 
+  test("report server: serves the live run browser over HTTP with refresh") {
+    def fetch(url: String): (Int, String) = {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    val repDir = Files.createTempDirectory("servedrep")
+    val p = new Pipeline(Seq(Asset("a")(_ => ()), Asset("b", Seq("a"))(_ => ())))
+    p.materialize(spark,
+      reportPath = Some(repDir.resolve("report.json").toString),
+      htmlReportPath = Some(repDir.resolve("run.html").toString))
+    val srv = new graft.pipeline.ReportServer(repDir.toString,
+      refreshSeconds = 3)
+    val port = srv.start()
+    try {
+      // the run page, with the auto-refresh tag injected
+      val (c1, page) = fetch(s"http://127.0.0.1:$port/run.html")
+      assert(c1 == 200 && page.contains("graft pipeline run"))
+      assert(page.contains("""http-equiv="refresh" content="3""""),
+        "served HTML must self-refresh")
+      // RE-materializing refreshes what the server hands out (live view)
+      val boom = new Pipeline(Seq(Asset("a")(_ => ()),
+        Asset("bang", Seq("a"))(_ => throw new RuntimeException("kaput"))))
+      intercept[RuntimeException] {
+        boom.materialize(spark,
+          htmlReportPath = Some(repDir.resolve("run.html").toString))
+      }
+      val (_, page2) = fetch(s"http://127.0.0.1:$port/run.html")
+      assert(page2.contains("FAILED") && page2.contains("kaput"),
+        "server must serve the latest materialization, not a snapshot")
+      // index lists the artifacts; JSON served as JSON
+      val (c2, idx) = fetch(s"http://127.0.0.1:$port/")
+      assert(c2 == 200 && idx.contains("run.html") && idx.contains("report.json"))
+      val (c3, json) = fetch(s"http://127.0.0.1:$port/report.json")
+      assert(c3 == 200 && json.contains("\"n_assets\""))
+      // the server cannot be walked out of its root
+      val (c4, _) = fetch(s"http://127.0.0.1:$port/%2e%2e/%2e%2e/etc/passwd")
+      assert(c4 == 404, "path traversal must 404")
+    } finally srv.stop()
+  }
+
   test("partitioned export writes hive-style dirs (the 100 TB path)") {
     val dir = Files.createTempDirectory("part_out").toString + "/events"
     Sinks.exportPartitioned(
