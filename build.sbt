@@ -42,3 +42,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // graft.SlowTest and excluded from the default `sbt test`; run them
 // with: sbt "testOnly graft.OracleSoakSpec -- -n graft.SlowTest"
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
+// local-cluster[...] tests (LocalClusterSpec): worker-launched executor
+// JVMs boot from SPARK_HOME's launch scripts.
+Test / envVars += "SPARK_HOME" -> "/opt/spark"
