@@ -43,5 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // with: sbt "testOnly graft.OracleSoakSpec -- -n graft.SlowTest"
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
 // local-cluster[...] tests (LocalClusterSpec): worker-launched executor
-// JVMs boot from SPARK_HOME's launch scripts.
-Test / envVars += "SPARK_HOME" -> "/opt/spark"
+// JVMs boot from SPARK_HOME's jars; SPARK_SCALA_VERSION is normally
+// exported by bin/load-spark-env.sh, which the in-JVM worker's command
+// builder never runs — without it executor launch dies with "Cannot
+// find any build directories".
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+)

@@ -44,9 +44,6 @@ class LocalClusterSpec extends AnyFunSuite {
     val spark = b.getOrCreate()
     try {
       spark.sparkContext.setLogLevel("WARN")
-      // both workers really registered (else local-cluster silently
-      // degrades the claim this spec exists to make)
-      val execs = spark.sparkContext.getExecutorMemoryStatus.keySet
       assert(spark.sparkContext.master.startsWith("local-cluster"),
         s"unexpected master ${spark.sparkContext.master}")
 
@@ -62,8 +59,15 @@ class LocalClusterSpec extends AnyFunSuite {
           .mkString("\n"))
       info(log.toString.linesIterator.filter(_.contains("queries match"))
         .mkString)
-      // distributed-execution sanity: more than the driver registered
-      info(s"executors seen: ${execs.size} (driver + workers)")
+      // distributed-execution sanity, read AFTER the work ran: the
+      // driver's block manager plus both workers' executor processes
+      // must have registered (in local-cluster the driver runs no
+      // tasks, so a degraded cluster couldn't have produced results —
+      // this just makes the claim explicit)
+      val execs = spark.sparkContext.getExecutorMemoryStatus.keySet
+      assert(execs.size >= 3,
+        s"expected driver + 2 executor processes, saw only $execs")
+      info(s"executors seen: ${execs.size} (driver + 2 workers)")
     } finally spark.stop()
   }
 }
