@@ -128,16 +128,28 @@ final class Pipeline(val assets: Seq[Asset]) {
     * error contract. When `reportPath` is set, a JSON run report
     * ([[Pipeline.runReportJson]]) is written even on failure (the
     * failed asset appears with its error).
+    *
+    * `isolateSessions = true` hands each asset its own
+    * `spark.newSession()` — the Spark-native analogue of the reference
+    * building a fresh SparkSession per asset
+    * (`taxi_pipeline_native.py:116-124,132`): per-asset SQLConf, temp
+    * views, UDF registrations and current catalog/database are
+    * quarantined, so one asset's `setConf`/`createOrReplaceTempView`
+    * cannot leak into the next, while the SparkContext (executors,
+    * cached blocks, shuffle service) stays shared. Stopping a context
+    * per asset, as the reference does, would forfeit cluster reuse —
+    * deliberately not replicated (SURVEY §3.4).
     */
   def materialize(spark: SparkSession,
       reportPath: Option[String] = None,
-      htmlReportPath: Option[String] = None): Seq[AssetResult] = {
+      htmlReportPath: Option[String] = None,
+      isolateSessions: Boolean = false): Seq[AssetResult] = {
     val results = collection.mutable.ArrayBuffer.empty[AssetResult]
     try {
       topoOrder.foreach { a =>
         val t0 = System.nanoTime()
         try {
-          a.run(spark)
+          a.run(if (isolateSessions) spark.newSession() else spark)
           val secs = (System.nanoTime() - t0) / 1e9
           log.info(f"asset ${a.name} materialized in $secs%.3f s")
           results += AssetResult(a.name, secs, None)

@@ -117,6 +117,37 @@ class PipelineSpec extends SparkSpec {
     assert(html.contains("2 assets") && html.contains("1 failed"))
   }
 
+  test("isolateSessions: per-asset conf/temp-view quarantine over one context") {
+    // the reference builds a SparkSession per asset
+    // (taxi_pipeline_native.py:116-124,132); the Spark-native analogue is
+    // newSession() per asset — observed here: one asset's conf + temp
+    // view must be invisible to the next asset AND to the parent session
+    var sawView = true
+    var sawConf = "unread"
+    val p = new Pipeline(Seq(
+      Asset("writer") { s =>
+        s.conf.set("graft.asset.flag", "from-writer")
+        s.range(3).createOrReplaceTempView("writer_scratch")
+        assert(s.table("writer_scratch").count() == 3) // still computes
+      },
+      Asset("reader", Seq("writer")) { s =>
+        sawView = s.catalog.tableExists("writer_scratch")
+        sawConf = s.conf.get("graft.asset.flag", "unset")
+      }))
+    p.materialize(spark, isolateSessions = true)
+    assert(!sawView, "temp view leaked across isolated asset sessions")
+    assert(sawConf == "unset", s"SQLConf leaked across isolated sessions: $sawConf")
+    assert(!spark.catalog.tableExists("writer_scratch"),
+      "temp view leaked into the parent session")
+    // default (shared session) deliberately shares state — the documented
+    // contrast that makes the flag meaningful
+    p.materialize(spark)
+    assert(sawView && sawConf == "from-writer",
+      "shared-session default should expose prior-asset state")
+    spark.catalog.dropTempView("writer_scratch")
+    spark.conf.unset("graft.asset.flag")
+  }
+
   test("report server: serves the live run browser over HTTP with refresh") {
     def fetch(url: String): (Int, String) = {
       val conn = new java.net.URI(url).toURL.openConnection()
