@@ -299,6 +299,100 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540) under the hash-gate contract: seed cells (the
+    * `seedCol` labels) yield exact-integer centroids (the
+    * [[ivfTopKExact]] centroid contract), every corpus vector is
+    * REASSIGNED to its nearest centroid by the quantized cosine (one
+    * Lloyd step — deterministic, cell-id tiebreak), and near-dup pairs
+    * are scored ONLY within each assigned cluster. The published
+    * SemDeDup cost model exactly: O(n·k) assignment against a broadcast
+    * centroid frame (cells ≪ corpus) + O(Σ|cell|²) intra-cluster
+    * pairing — never O(n²) across the corpus; cluster count k is the
+    * scale lever. Returns (cell, a_id, b_id, cos) with a_id < b_id —
+    * downstream dedup keeps a_id (min-id canonical).
+    */
+  def semanticPairsExact(corpus: DataFrame, seedCol: String): DataFrame = {
+    val c = corpus.select(col("vec_id"), col(seedCol).as("cell"),
+      quant(col("embedding")).as("ca"))
+      .withColumn("vn", sumsq(col("ca")))
+    val cm = c.select(col("cell"), posexplode(col("ca")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("sx").cast("double") / col("cnt")))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("cm"))
+      .withColumn("cn", sumsq(col("cm")))
+    val wv = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    // the seed cell's job ends at the centroid build — drop it so the
+    // reassignment join carries ONE `cell` (the candidate centroid's)
+    val assigned = c.drop("cell").crossJoin(broadcast(cm))
+      .withColumn("cdot", idot(col("ca"), col("cm")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        sqrt(col("vn").cast("double") * col("cn").cast("double")))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("ca"), col("vn"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("ca").as("aa"), col("vn").as("an"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("ca").as("ba"), col("vn").as("bn"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dot", idot(col("aa"), col("ba")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("an").cast("double") * col("bn").cast("double")))
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** DuckDB oracle for [[semanticPairsExact]] over `embeddings` with
+    * seed column `label`, top-`limit` pairs by cosine: same centroid,
+    * assignment, and scoring contract re-derived in SQL.
+    */
+  def semanticPairsExactOracleSql(limit: Int): String =
+    s"""WITH xs AS (
+           SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+                  embedding FROM embeddings),
+         qv AS (SELECT vec_id, label, i,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+                FROM xs),
+         nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+                 FROM qv GROUP BY vec_id),
+         cm AS (SELECT label AS cell, i,
+                  CAST(FLOOR(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+                FROM qv GROUP BY label, i),
+         cn AS (SELECT cell, CAST(SUM(m * m) AS BIGINT) AS cn FROM cm GROUP BY cell),
+         vcd AS (SELECT v.vec_id, c.cell, CAST(SUM(v.x * c.m) AS BIGINT) AS cdot
+                 FROM qv v JOIN cm c ON v.i = c.i
+                 GROUP BY v.vec_id, c.cell),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT vcd.vec_id, vcd.cell,
+                    ROW_NUMBER() OVER (PARTITION BY vcd.vec_id ORDER BY
+                      CAST(vcd.cdot AS DOUBLE) /
+                        SQRT(CAST(nv.nn AS DOUBLE) * CAST(cn.cn AS DOUBLE)) DESC,
+                      vcd.cell) AS rn
+             FROM vcd JOIN nrm nv ON nv.vec_id = vcd.vec_id
+                      JOIN cn ON cn.cell = vcd.cell) p
+           WHERE rn = 1),
+         prs AS (
+           SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         dots AS (SELECT p.cell, p.a_id, p.b_id, CAST(SUM(x1.x * x2.x) AS BIGINT) AS dot
+                  FROM prs p
+                  JOIN qv x1 ON x1.vec_id = p.a_id
+                  JOIN qv x2 ON x2.vec_id = p.b_id AND x2.i = x1.i
+                  GROUP BY p.cell, p.a_id, p.b_id),
+         scored AS (
+           SELECT d.cell, d.a_id, d.b_id,
+                  CAST(d.dot AS DOUBLE) /
+                    SQRT(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+           FROM dots d JOIN nrm na ON na.vec_id = d.a_id
+                       JOIN nrm nb ON nb.vec_id = d.b_id)
+       SELECT cell, a_id, b_id, cos FROM scored
+       ORDER BY cos DESC, a_id, b_id LIMIT $limit"""
+
   /** DuckDB oracle for [[ivfTopKExact]] over `embeddings` with cell
     * column `label`: same integer centroid sums, floored means, probe
     * ranking, and scoring contract.

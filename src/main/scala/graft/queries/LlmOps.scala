@@ -50,6 +50,39 @@ object LlmOps {
        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
        WHERE len(toks) >= 3"""
 
+  /** Oracle-side connected components of the n-gram-Jaccard near-dup
+    * graph (minJac = 0.2): recursive-CTE transitive closure ending in a
+    * `comps(id, comp)` relation — the shared substrate of the
+    * `dedup_components` and `dedup_canonical` oracles (the engine side
+    * uses [[graft.operators.Components]], a different algorithm).
+    */
+  val componentsCteSql: String =
+    s"""WITH RECURSIVE sh AS (
+         SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
+       shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       dfq AS (SELECT sh, COUNT(*) AS dfc FROM shd GROUP BY sh),
+       shp AS (SELECT shd.doc_id, shd.sh FROM shd
+               JOIN dfq ON shd.sh = dfq.sh WHERE dfq.dfc <= 1000),
+       sizes AS (SELECT doc_id, COUNT(*) AS c FROM shp GROUP BY doc_id),
+       rawp AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+         FROM shp a JOIN shp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+       pairs AS (
+         SELECT a_id, b_id FROM rawp
+         JOIN sizes ca ON ca.doc_id = a_id
+         JOIN sizes cb ON cb.doc_id = b_id
+         WHERE ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) >= 0.2),
+       edges AS (
+         SELECT a_id AS s, b_id AS d FROM pairs
+         UNION SELECT b_id, a_id FROM pairs),
+       reach(s, d) AS (
+         SELECT s, d FROM edges
+         UNION
+         SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       comps AS (
+         SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact dedup: duplicate-text groups, canonical keeper = min doc_id.
@@ -273,6 +306,21 @@ object LlmOps {
       },
       Some(graft.operators.Similarity.ivfTopKExactOracleSql(maxQueryId = 10, k = 5, nprobe = 3))),
 
+    // SemDeDup semantic dedup (cluster-then-prune, Abbas et al. 2023):
+    // one Lloyd reassignment against exact-integer seed centroids, then
+    // near-dup pairs scored only WITHIN each assigned cluster — the
+    // published cost model (O(n·k) assignment + intra-cluster pairing,
+    // never corpus-wide O(n²); k is the scale lever). Top-20 pairs by
+    // quantized cosine; min-id keeps. The assignment's corpus ×
+    // broadcast-centroid scoring is the whitelisted ann_ivf BNLJ shape.
+    ("dedup_semantic",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Similarity
+          .semanticPairsExact(Tables(s, dir, "embeddings"), "label")
+          .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+          .limit(20),
+      Some(graft.operators.Similarity.semanticPairsExactOracleSql(limit = 20))),
+
     // Multimodal: binary media column + metadata via built-in
     // expressions (codegen, no encoder round trip — the stub metadata is
     // a pure function of payload bytes, so mapPartitions would be the
@@ -374,31 +422,43 @@ object LlmOps {
           .connectedComponents(s, pairs, "a_id", "b_id")
           .orderBy("id")
       },
-      Some(s"""WITH RECURSIVE sh AS (
-                 SELECT doc_id, unnest(shl) AS sh FROM ($shinglesSql) s),
-               shd AS (SELECT DISTINCT doc_id, sh FROM sh),
-               dfq AS (SELECT sh, COUNT(*) AS dfc FROM shd GROUP BY sh),
-               shp AS (SELECT shd.doc_id, shd.sh FROM shd
-                       JOIN dfq ON shd.sh = dfq.sh WHERE dfq.dfc <= 1000),
-               sizes AS (SELECT doc_id, COUNT(*) AS c FROM shp GROUP BY doc_id),
-               rawp AS (
-                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-                 FROM shp a JOIN shp b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id),
-               pairs AS (
-                 SELECT a_id, b_id FROM rawp
-                 JOIN sizes ca ON ca.doc_id = a_id
-                 JOIN sizes cb ON cb.doc_id = b_id
-                 WHERE ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) >= 0.2),
-               edges AS (
-                 SELECT a_id AS s, b_id AS d FROM pairs
-                 UNION SELECT b_id, a_id FROM pairs),
-               reach(s, d) AS (
-                 SELECT s, d FROM edges
-                 UNION
-                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-               SELECT s AS id, LEAST(s, MIN(d)) AS comp
-               FROM reach GROUP BY s ORDER BY id""")),
+      Some(s"$componentsCteSql SELECT id, comp FROM comps ORDER BY id")),
+
+    // Quality-aware canonical selection per duplicate cluster — the
+    // decision step that FOLLOWS near-dup detection in every corpus
+    // pipeline: of each connected component of the near-dup graph, keep
+    // the highest-quality document (longest text; doc_id tiebreak) and
+    // record the cluster size. Engine: components + one quality join +
+    // a per-cluster window (partitioned by comp — clusters stay
+    // distributed); oracle: the same recursive-CTE closure feeding a
+    // window. Exact integers throughout.
+    ("dedup_canonical",
+      (s: SparkSession, dir: String) => {
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
+        val comp = graft.operators.Components
+          .connectedComponents(s, pairs, "a_id", "b_id")
+        val quality = docs(s, dir).select(col("doc_id").as("id"), col("n_chars"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("comp").orderBy(col("n_chars").desc, col("id"))
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+        comp.join(quality, "id")
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("sz", count(lit(1)).over(wc))
+          .filter(col("rn") === 1)
+          .select(col("comp"), col("id").as("keep_id"),
+            col("n_chars").as("keep_chars"), col("sz"))
+          .orderBy("comp")
+      },
+      Some(s"""$componentsCteSql
+               SELECT comp, id AS keep_id, n_chars AS keep_chars,
+                      CAST(sz AS BIGINT) AS sz
+               FROM (SELECT c.comp, c.id, d.n_chars,
+                            ROW_NUMBER() OVER (PARTITION BY c.comp
+                              ORDER BY d.n_chars DESC, c.id) AS rn,
+                            COUNT(*) OVER (PARTITION BY c.comp) AS sz
+                     FROM comps c JOIN documents d ON d.doc_id = c.id) q
+               WHERE rn = 1 ORDER BY comp""")),
 
     // Weight-proportional deterministic sampling (importance sampling):
     // keep probability ∝ min(n_chars, 400)/400 — the corpus-mixing
@@ -792,6 +852,102 @@ object LlmOps {
                      FROM m)
                SELECT doc_id, source, m, CAST(unnest(range(1, ncopies + 1)) AS INT) AS copy
                FROM c WHERE ncopies > 0 ORDER BY doc_id, copy""")),
+
+    // Temperature-based corpus rebalancing (the multilingual/multi-source
+    // sampling scheme of XLM-R/mT5: p_i ∝ c_i^τ, τ=1/2 up-weights
+    // low-resource sources): per-language counts → τ=0.5 weights via
+    // sqrt — the ONE libm call IEEE-754 REQUIRES to be correctly
+    // rounded, so unlike pow/ln it is bit-identical cross-engine —
+    // quantized to integer micro-units, then a fixed 100k-doc budget
+    // apportioned by largest-remainder (exact integer div/mod; remainder
+    // rank tie-broken by language). The apportionment windows are
+    // partitionless BY DESIGN: they run over the per-language totals
+    // frame, whose cardinality is #languages — bounded by the corpus
+    // vocabulary of sources, not by |documents| (whitelisted in
+    // PlanAuditSpec with that reason).
+    ("sample_temperature",
+      (s: SparkSession, dir: String) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val all = W.partitionBy()
+        docs(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("c"))
+          .withColumn("w",
+            floor(sqrt(col("c").cast("double")) * lit(1000000.0)).cast("long"))
+          .withColumn("wsum", sum(col("w")).over(all))
+          .withColumn("base", expr("(100000 * w) div wsum"))
+          .withColumn("rem", expr("(100000 * w) % wsum"))
+          .withColumn("extra", lit(100000L) - sum(col("base")).over(all))
+          .withColumn("rn",
+            row_number().over(W.orderBy(col("rem").desc, col("lang"))))
+          .select(col("lang"), col("c"), col("w"),
+            (col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+              .as("target"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM documents GROUP BY lang),
+               w AS (SELECT lang, c,
+                       CAST(FLOOR(SQRT(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+                     FROM c),
+               t AS (SELECT lang, c, w, CAST(SUM(w) OVER () AS BIGINT) AS wsum FROM w),
+               b AS (SELECT lang, c, w,
+                       CAST((100000 * w) // wsum AS BIGINT) AS base,
+                       CAST((100000 * w) % wsum AS BIGINT) AS rem
+                     FROM t),
+               e AS (SELECT lang, c, w, base, rem,
+                       CAST(100000 - SUM(base) OVER () AS BIGINT) AS extra,
+                       ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+                     FROM b)
+               SELECT lang, c, w,
+                      CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS target
+               FROM e ORDER BY lang""")),
+
+    // Unigram-LM surprisal scoring (the CCNet-style LM quality filter,
+    // ln-free): train token counts over the corpus, score each document
+    // by its total encoding cost in whole bits — per-token surprisal
+    // ⌊log2 N⌋ − ⌊log2 c⌋ computed as length(bin(x))−1, a pure
+    // integer/string op both engines share exactly (libm log is not
+    // correctly rounded — the text_top_term finding — so the LM is
+    // log2-QUANTIZED by contract, not approximated by floats). Shape:
+    // one token explode → (doc,tok) tf + vocab count aggs (both
+    // map-side-combinable equi-shuffles on token), the single-row
+    // total-N cross join (the q11/q24 whitelisted pattern), one
+    // re-agg by doc. Final bits/token is one exact-int IEEE division +
+    // rule-3 round.
+    ("text_perplexity",
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val nTot = vocab.agg(sum(col("c")).as("n"))
+        val surprisal = vocab.crossJoin(broadcast(nTot))
+          .select(col("tok"),
+            ((length(bin(col("n"))) - 1) - (length(bin(col("c"))) - 1))
+              .cast("long").as("s"))
+        tf.join(surprisal, "tok")
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("nt"), sum(col("tf") * col("s")).as("bits"))
+          .withColumn("bpt", round(col("bits").cast("double") / col("nt"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                            FROM documents),
+               tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                      FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+               v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM toks WHERE tok <> '' GROUP BY tok),
+               n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+               s AS (SELECT v.tok,
+                       CAST((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(v.c)) - 1) AS BIGINT) AS s
+                     FROM v, n)
+               SELECT tf.doc_id,
+                      CAST(SUM(tf.tf) AS BIGINT) AS nt,
+                      CAST(SUM(tf.tf * s.s) AS BIGINT) AS bits,
+                      ROUND(CAST(SUM(tf.tf * s.s) AS DOUBLE) / SUM(tf.tf), 4) AS bpt
+               FROM tf JOIN s ON tf.tok = s.tok
+               GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral properties of the round-6 curation operators — the
+  * invariants the hash gate cannot see: budget conservation and
+  * flattening for temperature resampling, a transparent driver-side
+  * re-derivation for the unigram-LM scorer, cluster-membership /
+  * maximality for canonical selection, and partitioning-invariance +
+  * assignment-consistency for SemDeDup.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("sample_temperature: targets conserve the budget exactly and flatten the mix") {
+    val r = SparkEntry.queries("sample_temperature")(spark, sf)
+      .select("lang", "c", "target").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r.map(_._3).sum == 100000L, "largest-remainder apportionment must hit the budget exactly")
+    assert(r.forall(_._3 > 0), "every observed language keeps a share")
+    // τ=1/2 flattens: the target ratio between the biggest and smallest
+    // language must be strictly smaller than their count ratio
+    val byC = r.sortBy(_._2)
+    val (cMin, cMax) = (byC.head, byC.last)
+    val countRatio = cMax._2.toDouble / cMin._2
+    val targetRatio = cMax._3.toDouble / cMin._3
+    assert(targetRatio < countRatio,
+      s"temperature must compress the mix: target ratio $targetRatio vs count ratio $countRatio")
+    assert(targetRatio > 1.0, "but not invert it")
+  }
+
+  test("text_perplexity: engine result equals a transparent driver-side fold") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map(id -> _) }
+    val counts = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    def fl2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = toks.groupBy(_._1).map { case (id, ts) =>
+      val bits = ts.map { case (_, tok) => (fl2(n) - fl2(counts(tok))).toLong }.sum
+      // mirror Spark's round(): shortest-repr BigDecimal.valueOf + HALF_UP
+      id -> ((ts.length.toLong, bits,
+        java.math.BigDecimal.valueOf(bits.toDouble / ts.length)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
+    }
+    val got = SparkEntry.queries("text_perplexity")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: engine ${got(id)} vs driver fold $e")
+    }
+  }
+
+  test("dedup_canonical: keeper is the max-quality member of its own cluster") {
+    val comp = SparkEntry.queries("dedup_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canon = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(canon.nonEmpty)
+    val byComp = comp.groupBy(_._2)
+    assert(canon.map(_._1).toSet == byComp.keySet, "one keeper per component, all components")
+    canon.foreach { case (cmp, keepId, keepChars, sz) =>
+      val members = byComp(cmp).keys.toSeq
+      assert(comp(keepId) == cmp, s"keeper $keepId must belong to cluster $cmp")
+      assert(sz == members.size, s"cluster $cmp size")
+      assert(keepChars == members.map(chars).max, s"cluster $cmp keeper quality must be maximal")
+      val best = members.filter(m => chars(m) == keepChars).min
+      assert(keepId == best, s"cluster $cmp tie-break must pick the smallest id")
+    }
+  }
+
+  test("dedup_semantic: partitioning-invariant, and pairs agree with the assignment") {
+    val emb = Tables(spark, sf, "embeddings")
+    val base = operators.Similarity.semanticPairsExact(emb, "label")
+      .orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(20).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val reparted = operators.Similarity.semanticPairsExact(emb.repartition(7), "label")
+      .orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(20).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(base.sameElements(reparted), "SemDeDup must not depend on input partitioning")
+    assert(base.nonEmpty)
+    assert(base.forall { case (_, a, b, cos) => a < b && cos <= 1.0001 && cos >= -1.0001 })
+    // a pair can only surface through a shared assigned cluster, so both
+    // members' assignment is the pair's cell by construction; assert the
+    // cells are drawn from the seed-label domain (assignment stayed in-range)
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(base.forall { case (c, _, _, _) => labels.contains(c) })
+  }
+}

@@ -21,6 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     "q48_percentiles" -> "4-row literal percentile frame broadcast against ranked groups",
     "ann_ivf_topk" -> "probe scoring: queries × broadcast centroid-mean frame (cells ≪ corpus) by design",
     "text_bm25" -> "single-row cross join (corpus stats N/avgdl/df broadcast back onto docs)",
+    "text_perplexity" -> "single-row cross join (total-token count N broadcast onto the vocab)",
+    "dedup_semantic" -> "SemDeDup assignment: corpus × broadcast centroid-mean frame (cells ≪ corpus) by design",
   )
 
   /** Allowed but not required: plans that flip between a subquery
@@ -54,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allowedGlobalWindow: Map[String, String] = Map(
     "q51_interpolate" -> ("neighbor scan over HOURLY-BUCKET aggregates: " +
       "cardinality = series length (bounded by the time range, not by |events|)"),
+    "sample_temperature" -> ("largest-remainder apportionment over PER-LANGUAGE " +
+      "totals: cardinality = #languages, not |documents|"),
   )
 
   test("no undeclared partitionless window in any judged plan") {
