@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING at corpus scale (Sennrich,
+  * Haddow & Birch 2016, arXiv:1508.07909 — the subword scheme behind
+  * GPT-2/RoBERTa-class vocabularies), Spark-first.
+  *
+  * The published scaling trick is the whole design: BPE trains on the
+  * WORD-FREQUENCY table, not the corpus. The only corpus-scale pass is
+  * the initial word count (one explode + one map-side-combinable
+  * aggregation); every merge iteration then runs on the vocab-sized
+  * `(word, freq, syms)` frame — pair counting is an explode of
+  * adjacent symbol pairs weighted by `freq`, the argmax is a 1-row
+  * collect (count-desc, then lexicographic (a, b) — fully
+  * deterministic), and the merge itself is a per-row left-to-right
+  * fold (`aggregate` HOF, codegen-friendly, no UDF). At 100 TB the
+  * vocab table is ~10⁶ rows; 50k merge rounds of two vocab-sized jobs
+  * are scheduler-bound, not data-bound — the same cost shape as the
+  * reference BPE trainers, with the corpus pass distributed.
+  *
+  * ENCODING never re-runs merges on the corpus: training's by-product
+  * is the finished word → pieces map, so encode is a split + one
+  * vocab join (broadcast when it fits) + an ordered flatten.
+  */
+object Bpe {
+
+  /** End-of-word marker (Sennrich §3.2): lets learned subwords
+    * distinguish word-final from word-internal positions and makes
+    * piece concatenation invertible.
+    */
+  val EndOfWord = "</w>"
+
+  /** The training substrate: distinct words with corpus frequencies —
+    * the ONLY pass whose cost scales with the corpus.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequence of a word: its characters + [[EndOfWord]]. */
+  private def initSyms(word: Column): Column =
+    concat(
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+      array(lit(EndOfWord)))
+
+  /** One left-to-right non-overlapping merge of the pair (a, b) inside
+    * a symbol array, as a fold: append, unless the accumulator ends in
+    * `a` and the next symbol is `b` — then replace the tail with the
+    * merged symbol. (After a merge the tail is `a+b`, which no longer
+    * matches `a` unless the text genuinely restarts the pair, so
+    * overlapping occurrences merge exactly like the reference BPE.)
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, expr("cast(array() as array<string>)"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learned tokenizer: the ranked merge list and the finished
+    * word → pieces map (`word`, `freq`, `syms`).
+    */
+  final case class Tokenizer(merges: Seq[(String, String)], pieces: DataFrame)
+
+  /** Train `nMerges` BPE merges. Each round: weighted adjacent-pair
+    * count over the vocab frame, deterministic argmax (count desc,
+    * then (a, b) lexicographic), fold-merge. Stops early when no
+    * adjacent pair remains (every word fused to one symbol).
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Tokenizer = {
+    // localCheckpoint per round: truncates both lineage and the ANALYZED
+    // plan — without it ProjectCollapse folds every round's fold-merge
+    // into one k-deep nested HOF expression and analysis/codegen cost
+    // explodes with the merge count (the Components-loop lesson at the
+    // DataFrame layer). The checkpointed frame is vocab-sized.
+    var wf = wordFreqs(docs, textCol)
+      .withColumn("syms", initSyms(col("word")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val best = wf
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          // 0-based element access: adjacent pairs (syms[i], syms[i+1])
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as a, syms[i + 1] as b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val prev = wf
+        wf = wf.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint(true)
+        prev.unpersist(blocking = false)
+      }
+    }
+    Tokenizer(merges.toSeq, wf)
+  }
+
+  /** Tokenize a corpus with a trained [[Tokenizer]]: split → join the
+    * word → pieces map → ordered flatten. Returns one row per piece:
+    * (id, wpos, spos, piece) — (word position, piece position within
+    * the word). `broadcastVocab = false` switches to a shuffle join
+    * for vocabularies too large to broadcast.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      tok: Tokenizer, broadcastVocab: Boolean = true): DataFrame = {
+    val vocab0 = tok.pieces.select(col("word"), col("syms"))
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+      .join(vocab, Seq("word"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "piece")))
+  }
+}

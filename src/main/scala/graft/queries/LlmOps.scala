@@ -948,6 +948,34 @@ object LlmOps {
                       ROUND(CAST(SUM(tf.tf * s.s) AS DOUBLE) / SUM(tf.tf), 4) AS bpt
                FROM tf JOIN s ON tf.tok = s.tok
                GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
+    // BPE pair statistics (the statistic tokenizer training maximizes —
+    // Sennrich 2016): adjacent character-pair counts over the
+    // word-frequency table, weighted by word frequency; top-20 by
+    // (count, pair). This is round 1 of [[graft.operators.Bpe.train]]
+    // made relational for the hash gate (the full iterative trainer is
+    // spec-judged against a driver-side reference — per-merge state is
+    // not single-query SQL). Shape: the corpus pass is ONE word count;
+    // pair explosion runs on the vocab-sized frame.
+    ("text_bpe_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Bpe.wordFreqs(docs(s, dir), "text")
+          .filter(length(col("word")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20),
+      Some("""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                         FROM (SELECT unnest(string_split(text, ' ')) AS word
+                               FROM documents)
+                         WHERE word <> '' GROUP BY word),
+               p AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+                     FROM w WHERE len(word) >= 2)
+               SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                      CAST(SUM(freq) AS BIGINT) AS n
+               FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE tokenizer training/encoding vs an INDEPENDENT driver-side
+  * reference (plain Scala collections, textbook Sennrich loop): the
+  * distributed trainer must produce the identical ranked merge list
+  * and identical per-word pieces, the encoding must be losslessly
+  * invertible, and none of it may depend on input partitioning.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Textbook reference BPE on a word-frequency map. */
+  private def refBpe(words: Map[String, Long], nMerges: Int)
+      : (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var syms: Map[String, Vector[String]] =
+      words.map { case (w, _) => w -> (w.map(_.toString).toVector :+ Bpe.EndOfWord) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, f) =>
+        val s = syms(w)
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += ((a, b))
+        syms = syms.map { case (w, s) =>
+          w -> s.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  private lazy val docs = Tables(spark, sf, "documents")
+  private lazy val tok30 = Bpe.train(docs, "text", nMerges = 30)
+
+  test("train: merge list and word pieces equal the driver-side reference") {
+    val tok = tok30
+    val wf = Bpe.wordFreqs(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (refMerges, refSyms) = refBpe(wf, nMerges = 30)
+    assert(tok.merges == refMerges,
+      s"ranked merge lists differ:\nengine ${tok.merges}\nref    $refMerges")
+    val enginePieces = tok.pieces.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(enginePieces == refSyms)
+    // merges actually happened (the corpus has repeated words)
+    assert(tok.merges.size == 30)
+    assert(enginePieces.values.exists(_.size > 1))
+    assert(enginePieces.values.exists(_.exists(_.length > 1)), "multi-char pieces learned")
+  }
+
+  test("train is partitioning-invariant") {
+    val a = Bpe.train(docs, "text", nMerges = 12).merges
+    val b = Bpe.train(docs.repartition(7), "text", nMerges = 12).merges
+    assert(a == b)
+  }
+
+  test("encode: pieces concatenate back to each word (lossless), both join paths") {
+    val sample = docs.filter(col("doc_id") < 50)
+    for (bcast <- Seq(true, false)) {
+      val enc = Bpe.encode(sample, "doc_id", "text", tok30, broadcastVocab = bcast)
+        .groupBy("doc_id", "wpos")
+        .agg(concat_ws("", array_sort(collect_list(struct(col("spos"), col("piece"))))
+          .getField("piece")).as("joined"))
+      val back = enc.select(col("doc_id"), col("wpos"),
+        expr(s"replace(joined, '${Bpe.EndOfWord}', '')").as("word"))
+      val orig = sample
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
+        .filter(col("word") =!= "")
+      assert(back.except(orig).isEmpty && orig.except(back).isEmpty,
+        s"round-trip failed (broadcastVocab=$bcast)")
+    }
+  }
+}
