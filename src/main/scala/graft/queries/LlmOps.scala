@@ -83,6 +83,51 @@ object LlmOps {
        comps AS (
          SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)"""
 
+  /** Per-doc unigram-LM encoding cost (doc_id, nt, bits, bpt) — the
+    * shared engine side of `text_perplexity` and `text_ccnet_buckets`.
+    * Per-token surprisal is log2-QUANTIZED (⌊log2 N⌋−⌊log2 c⌋ as
+    * `length(bin(x))−1`, exact integers both engines — libm log is not
+    * correctly rounded); bits/token is one exact-int IEEE division +
+    * rule-3 round.
+    */
+  private def lmSurprisal(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTot = vocab.agg(sum(col("c")).as("n"))
+    val surprisal = vocab.crossJoin(broadcast(nTot))
+      .select(col("tok"),
+        ((length(bin(col("n"))) - 1) - (length(bin(col("c"))) - 1))
+          .cast("long").as("s"))
+    tf.join(surprisal, "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("nt"), sum(col("tf") * col("s")).as("bits"))
+      .withColumn("bpt", round(col("bits").cast("double") / col("nt"), 4))
+  }
+
+  /** Oracle-side CTE chain ending in `d(doc_id, nt, bits, bpt)` —
+    * the DuckDB spelling of [[lmSurprisal]].
+    */
+  private val lmSurprisalCteSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+       tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+       v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM toks WHERE tok <> '' GROUP BY tok),
+       n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+       s AS (SELECT v.tok,
+               CAST((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(v.c)) - 1) AS BIGINT) AS s
+             FROM v, n),
+       d AS (SELECT tf.doc_id,
+                    CAST(SUM(tf.tf) AS BIGINT) AS nt,
+                    CAST(SUM(tf.tf * s.s) AS BIGINT) AS bits,
+                    ROUND(CAST(SUM(tf.tf * s.s) AS DOUBLE) / SUM(tf.tf), 4) AS bpt
+             FROM tf JOIN s ON tf.tok = s.tok
+             GROUP BY tf.doc_id)"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact dedup: duplicate-text groups, canonical keeper = min doc_id.
@@ -915,39 +960,36 @@ object LlmOps {
     // re-agg by doc. Final bits/token is one exact-int IEEE division +
     // rule-3 round.
     ("text_perplexity",
+      (s: SparkSession, dir: String) => lmSurprisal(docs(s, dir)).orderBy("doc_id"),
+      Some(s"$lmSurprisalCteSql SELECT doc_id, nt, bits, bpt FROM d ORDER BY doc_id")),
+
+    // CCNet corpus partitioning (Wenzek et al. 2020): bucket every
+    // document into head/middle/tail by PER-LANGUAGE LM-score terciles
+    // — the published curation recipe (train on head, drop or
+    // down-weight tail), composed from the judged surprisal scorer.
+    // ntile(3) over (lang, ORDER BY bpt, doc_id) is deterministic
+    // because the score contract is exact and the tiebreak total; the
+    // window partitions by language, so buckets stay distributed.
+    ("text_ccnet_buckets",
       (s: SparkSession, dir: String) => {
-        val toks = docs(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        val nTot = vocab.agg(sum(col("c")).as("n"))
-        val surprisal = vocab.crossJoin(broadcast(nTot))
-          .select(col("tok"),
-            ((length(bin(col("n"))) - 1) - (length(bin(col("c"))) - 1))
-              .cast("long").as("s"))
-        tf.join(surprisal, "tok")
-          .groupBy("doc_id")
-          .agg(sum(col("tf")).as("nt"), sum(col("tf") * col("s")).as("bits"))
-          .withColumn("bpt", round(col("bits").cast("double") / col("nt"), 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("bpt"), col("doc_id"))
+        lmSurprisal(docs(s, dir))
+          .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+          .withColumn("t", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("bpt"),
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                            FROM documents),
-               tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-                      FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
-               v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
-                     FROM toks WHERE tok <> '' GROUP BY tok),
-               n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
-               s AS (SELECT v.tok,
-                       CAST((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(v.c)) - 1) AS BIGINT) AS s
-                     FROM v, n)
-               SELECT tf.doc_id,
-                      CAST(SUM(tf.tf) AS BIGINT) AS nt,
-                      CAST(SUM(tf.tf * s.s) AS BIGINT) AS bits,
-                      ROUND(CAST(SUM(tf.tf * s.s) AS DOUBLE) / SUM(tf.tf), 4) AS bpt
-               FROM tf JOIN s ON tf.tok = s.tok
-               GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+      Some(s"""$lmSurprisalCteSql
+               SELECT d.doc_id, doc.lang, d.bpt,
+                      CASE NTILE(3) OVER (PARTITION BY doc.lang
+                                          ORDER BY d.bpt, d.doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+               FROM d JOIN documents doc ON doc.doc_id = d.doc_id
+               ORDER BY d.doc_id""")),
 
     // BPE pair statistics (the statistic tokenizer training maximizes —
     // Sennrich 2016): adjacent character-pair counts over the

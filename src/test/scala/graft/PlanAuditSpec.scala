@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_topk" -> "probe scoring: queries × broadcast centroid-mean frame (cells ≪ corpus) by design",
     "text_bm25" -> "single-row cross join (corpus stats N/avgdl/df broadcast back onto docs)",
     "text_perplexity" -> "single-row cross join (total-token count N broadcast onto the vocab)",
+    "text_ccnet_buckets" -> "single-row cross join (the shared lmSurprisal N-broadcast shape)",
     "dedup_semantic" -> "SemDeDup assignment: corpus × broadcast centroid-mean frame (cells ≪ corpus) by design",
   )
 
