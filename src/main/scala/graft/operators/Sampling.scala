@@ -67,4 +67,37 @@ object Sampling {
   /** Oracle-side spelling of the [[weightedHashSample]] predicate. */
   def weightedSampleSql(id: String, w: String, maxWeight: Int): String =
     s"((((($id % $P) + $P) % $P) * $A) % $P) % $maxWeight < LEAST($w, $maxWeight)"
+
+  /** Oracle-side (DuckDB) spelling of [[hashBucketK]]. */
+  def hashBucketKSql(id: String, k: Int): String =
+    s"((((($id % $P) + $P) % $P) * $A) % $P) % $k"
+
+  private val A2 = 16807L // second Lehmer round: the within-shard order
+
+  /** Full 31-bit second-round Lehmer state — the deterministic
+    * "training order" key. A different multiplier than [[hashBucket]]
+    * so shard assignment and within-shard order are independent
+    * permutations; callers still tiebreak on the id itself.
+    */
+  def orderKey(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(A2), lit(P))
+
+  /** Oracle-side spelling of [[orderKey]] (sign-safe as [[hashBucketSql]]). */
+  def orderKeySql(id: String): String =
+    s"(((($id % $P) + $P) % $P) * $A2) % $P"
+
+  /** Per-group quota cap (the RefinedWeb-style per-domain cap): keep at
+    * most `k` rows per group, chosen by hash order with id tiebreak —
+    * the same rows survive on any partitioning, cluster, or engine.
+    * One shuffle (the grouped window); the window partitions by the
+    * group key, so no single-task hotspot.
+    */
+  def quotaCap(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderKey(col(idCol)), col(idCol))
+    df.withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= k).drop("__qrn")
+  }
 }

@@ -519,6 +519,60 @@ object LlmOps {
                WHERE ${graft.operators.Sampling.weightedSampleSql("doc_id", "n_chars", 400)}
                ORDER BY doc_id""")),
 
+    // Per-source quota cap (RefinedWeb-style per-domain cap): at most
+    // k documents survive per source, chosen by deterministic hash
+    // order — the anti-boilerplate curation move (no one domain may
+    // dominate the corpus). Grouped window, so the cap is one shuffle
+    // partitioned by source: no hotspot, same survivors on any cluster.
+    ("sample_capped",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.quotaCap(docs(s, dir), "doc_id", "source", 10)
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM (
+                 SELECT doc_id, source,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY ${graft.operators.Sampling.orderKeySql("doc_id")},
+                                   doc_id) AS rn
+                 FROM documents) WHERE rn <= 10 ORDER BY doc_id""")),
+
+    // Deterministic global shuffle + sharded training export: shard by
+    // one Lehmer round (uniform assignment), order WITHIN each shard by
+    // an independent second round — a seedless reshuffle of the corpus
+    // that reproduces bit-identically on any partitioning or engine
+    // (RNG shuffles are not a contract at scale). Judged as the shard
+    // manifest: per-shard count, byte volume, and the first document in
+    // training order (head_doc proves the within-shard ORDER, not just
+    // membership).
+    ("sample_shards",
+      (s: SparkSession, dir: String) => {
+        val sp = graft.operators.Sampling
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(sp.orderKey(col("doc_id")), col("doc_id"))
+        docs(s, dir)
+          .withColumn("shard", sp.hashBucketK(col("doc_id"), 8))
+          .withColumn("pos", row_number().over(w))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            min(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, n_chars,
+                        ${graft.operators.Sampling.hashBucketKSql("doc_id", 8)} AS shard
+                 FROM documents),
+               p AS (
+                 SELECT shard, doc_id, n_chars,
+                        ROW_NUMBER() OVER (PARTITION BY shard
+                          ORDER BY ${graft.operators.Sampling.orderKeySql("doc_id")},
+                                   doc_id) AS pos
+                 FROM sh)
+               SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                      MIN(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+               FROM p GROUP BY shard ORDER BY shard""")),
+
     // Per-group z-score outliers (anomaly detection): events whose
     // value sits > 2 sample standard deviations from their type's mean.
     // Exact integer cents sums (the q27/StddevMoney4 contract shape)
@@ -1018,6 +1072,56 @@ object LlmOps {
                SELECT substr(word, CAST(i AS INT), 2) AS pair,
                       CAST(SUM(freq) AS BIGINT) AS n
                FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
+    // Multinomial Naive Bayes language classifier, trained and applied
+    // in-engine (the fastText-shaped curation move: cheap supervised
+    // scoring at corpus scale) — [[graft.operators.NaiveBayes]] over
+    // the deterministic even/odd split text_decontaminate also uses.
+    // Scores are exact integers ([[graft.functions.FixedLog2]]:
+    // 1/64-bit fixed-point logs, shift/square only), so the argmax is
+    // bit-deterministic cross-engine. NOTE the judged corpus draws all
+    // five "languages" from one shared vocabulary, so accuracy here is
+    // chance by construction — the behavioral contract (perfect
+    // classification on a separable corpus) is CurationOpsSpec's.
+    ("text_nb_lang",
+      (s: SparkSession, dir: String) =>
+        graft.operators.NaiveBayes
+          .trainScore(docs(s, dir), "doc_id", "text", "lang",
+            col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("pred").as("pred_lang"), col("score"))
+          .orderBy("doc_id"),
+      Some(s"""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+              train AS (
+                SELECT t.doc_id, d.lang, t.tok
+                FROM t JOIN documents d ON d.doc_id = t.doc_id
+                WHERE t.doc_id % 2 = 0),
+              c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM train GROUP BY lang, tok),
+              nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+                     FROM c GROUP BY lang),
+              v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM c),
+              d_in AS (SELECT nl.lang, nl.n + v.v AS x FROM nl, v),
+              ${graft.functions.FixedLog2.qlog2CteSql("dq", "d_in", "lang", "x")},
+              c_in AS (SELECT lang, tok, c + 1 AS x FROM c),
+              ${graft.functions.FixedLog2.qlog2CteSql("cq", "c_in", "lang, tok", "x")},
+              tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM t GROUP BY doc_id, tok),
+              sc AS (SELECT tf.doc_id, dp.lang,
+                            CAST(SUM(tf.tf * (COALESCE(cm.q, 0) - dp.q))
+                                 AS BIGINT) AS score
+                     FROM tf CROSS JOIN dqq dp
+                     LEFT JOIN cqq cm
+                       ON cm.lang = dp.lang AND cm.tok = tf.tok
+                     GROUP BY tf.doc_id, dp.lang),
+              r AS (SELECT doc_id, lang, score,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang) AS rn
+                    FROM sc)
+              SELECT doc_id, lang AS pred_lang, score
+              FROM r WHERE rn = 1 ORDER BY doc_id""")),
   )
 
   def queries: Map[String, Q] =

@@ -89,4 +89,88 @@ class CurationOpsSpec extends SparkSpec {
     val labels = emb.select("label").distinct().collect().map(_.getInt(0)).toSet
     assert(base.forall { case (c, _, _, _) => labels.contains(c) })
   }
+
+  // --- round-6 additions: quota cap, shard manifest, NB classifier ---
+
+  private val P = 2147483647L
+  private def bucketK(id: Long, k: Int): Long = (id % P + P) % P * 48271L % P % k
+  private def orderKey(id: Long): Long = (id % P + P) % P * 16807L % P
+
+  test("sample_capped: survivors = per-source hash-order top-10, on any partitioning") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (orderKey(r._1), r._1)).take(10).toSeq
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("sample_capped")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, "engine survivors must equal the driver-side hash fold")
+    assert(docs.length > expect.size, "the cap must actually filter")
+    val reparted = operators.Sampling
+      .quotaCap(Tables(spark, sf, "documents").repartition(7), "doc_id", "source", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(reparted == expect, "quota survivors must not depend on input partitioning")
+  }
+
+  test("sample_shards: shards partition the corpus; head_doc is the hash-order minimum") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byShard = docs.groupBy(d => bucketK(d._1, 8))
+    val got = SparkEntry.queries("sample_shards")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == byShard.keySet, "every non-empty shard appears exactly once")
+    assert(got.values.map(_._1).sum == docs.length, "shards must partition the corpus")
+    byShard.foreach { case (s, members) =>
+      val (n, chars, head) = got(s)
+      assert(n == members.size && chars == members.map(_._2).sum, s"shard $s totals")
+      assert(head == members.minBy(d => (orderKey(d._1), d._1))._1,
+        s"shard $s head_doc must be the within-shard training-order minimum")
+    }
+  }
+
+  test("NaiveBayes.trainScore: disjoint vocabularies classify train AND holdout perfectly") {
+    import spark.implicits._
+    val vocabs = Map(
+      "aa" -> Vector("alpha", "bravo", "charlie"),
+      "bb" -> Vector("delta", "echo", "foxtrot"),
+      "cc" -> Vector("golf", "hotel", "india"))
+    val langs = Vector("aa", "bb", "cc")
+    val rows = (0L until 120L).map { id =>
+      val l = langs((id % 3).toInt)
+      val v = vocabs(l)
+      val text = (0 until 8).map(i => v(((id + i) % v.size).toInt)).mkString(" ")
+      (id, l, text)
+    }
+    val df = rows.toDF("doc_id", "lang", "text").repartition(5)
+    val pred = operators.NaiveBayes
+      .trainScore(df, "doc_id", "text", "lang", col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred.size == 120, "one prediction per document")
+    rows.foreach { case (id, l, _) =>
+      assert(pred(id) == l, s"doc $id: predicted ${pred(id)}, wanted $l")
+    }
+  }
+
+  test("FixedLog2.qlog2 matches a driver-side fold and stays within 1/64 bit of log2") {
+    import spark.implicits._
+    def ref(x: Long): Long = {
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = (x << 20) >> m
+      64L * m + graft.functions.FixedLog2.thresholds.count(p >= _)
+    }
+    val xs = Seq(1L, 2L, 3L, 5L, 7L, 63L, 64L, 100L, 12345L, 999983L,
+      (1L << 41) + 12345L)
+    val got = xs.toDF("x")
+      .select(col("x"), graft.functions.FixedLog2.qlog2(col("x")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      assert(got(x) == ref(x), s"qlog2($x)")
+      val err = got(x) / 64.0 - math.log(x.toDouble) / math.log(2)
+      assert(err <= 0 && err > -2.0 / 64, s"qlog2($x) drifted: $err bits")
+    }
+    intercept[Exception] {
+      Seq(1L << 42).toDF("x")
+        .select(graft.functions.FixedLog2.qlog2(col("x"))).collect()
+    }
+  }
 }

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_perplexity" -> "single-row cross join (total-token count N broadcast onto the vocab)",
     "text_ccnet_buckets" -> "single-row cross join (the shared lmSurprisal N-broadcast shape)",
     "dedup_semantic" -> "SemDeDup assignment: corpus × broadcast centroid-mean frame (cells ≪ corpus) by design",
+    "text_nb_lang" -> "NB scoring: doc-term frequencies × broadcast per-language prior frame (#langs rows) by design",
   )
 
   /** Allowed but not required: plans that flip between a subquery
