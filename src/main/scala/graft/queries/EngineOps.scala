@@ -199,6 +199,51 @@ object EngineOps {
                      CAST(SUM(o_custkey) AS BIGINT) AS sumc
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
+
+    // Transaction-log table format (graft.table.GraftTable), judged
+    // END-TO-END through TIME TRAVEL: lineitem lands in three atomic
+    // commits split by ship year, the query reads the table AS OF
+    // version 1 (first two commits = shipdate < 1996), and the oracle
+    // computes the same answer from the raw table with the equivalent
+    // predicate — so the hash gate proves the log replay returns
+    // exactly the committed snapshot, not "roughly the data". The
+    // build is write-once per source generation (same fingerprint
+    // discipline as Scale.writeOnce) and each build commit carries a
+    // txn tag, so a process killed mid-build resumes idempotently.
+    ("table_time_travel",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate")
+        val src = new java.io.File(s"$dir/lineitem.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "tt_v1".hashCode.toLong)
+        val root = s"target/graft_table/tt_$fp"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 2L) {
+            gt.append(s, root,
+              li.filter(col("l_shipdate") < "1994-01-01"),
+              txn = Some(("tt_build", 0L)))
+            gt.append(s, root,
+              li.filter(col("l_shipdate") >= "1994-01-01" &&
+                col("l_shipdate") < "1996-01-01"),
+              txn = Some(("tt_build", 1L)))
+            gt.append(s, root,
+              li.filter(col("l_shipdate") >= "1996-01-01"),
+              txn = Some(("tt_build", 2L)))
+          }
+        }
+        gt.read(s, root, Some(1L))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+               FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,542 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A minimal transaction-log table format over parquet — the ACID
+  * storage layer a 100 TB pipeline needs under its MERGE / compaction /
+  * Z-order / incremental-state operators: atomic multi-file commits,
+  * snapshot isolation, time travel, schema evolution, zone-map file
+  * skipping, copy-on-write delete, and idempotent (exactly-once)
+  * streaming appends. Same architecture as the published Delta Lake
+  * design (Armbrust et al., VLDB 2020): an ordered JSON commit log over
+  * immutable data files, with periodic checkpoints so readers replay
+  * O(interval) entries, not O(history).
+  *
+  * Layout under `root/`:
+  * {{{
+  *   _log/00000000.json        one entry per commit (version = name)
+  *   _log/00000010.ckpt.json   full-state checkpoint every N commits
+  *   data/<commit-uuid>/part-*.parquet   immutable data files
+  * }}}
+  *
+  * Concurrency: a commit is one rename of a fully-written temp file to
+  * the next version's reserved name. On HDFS rename-to-existing fails
+  * atomically at the namenode, so the first writer wins outright. On a
+  * POSIX local FS rename silently replaces, leaving a small race
+  * window; the committer re-reads the destination and treats a
+  * content mismatch as a lost race (its data files become orphans that
+  * [[vacuum]] reclaims, and it retries at the next version). Object
+  * stores without atomic rename need a conditional-put — the same
+  * external-commit-service caveat the Delta paper documents.
+  *
+  * Scale posture: log entries carry METADATA only (paths + zone maps),
+  * so commit cost is O(files touched), never O(table). Snapshot
+  * construction is one directory listing + at most `CkptInterval`
+  * JSON entries past the newest checkpoint. File skipping compares
+  * query ranges against per-file min/max harvested from parquet
+  * FOOTERS at commit time — no data read, and a skipped file is never
+  * opened at scan time, which is the difference between "scan 100 TB"
+  * and "scan the three files that can match".
+  */
+object GraftTable {
+
+  /** Checkpoint cadence, in commits. */
+  val CkptInterval = 10
+
+  private val mapper = new ObjectMapper()
+
+  // ---------- model ----------
+
+  /** Per-column zone map from the parquet footer. `min`/`max` are the
+    * primitive-level values (long / double / string); string bounds
+    * are parquet's possibly-TRUNCATED bounds, which stay conservative
+    * (parquet increments the last byte when truncating a max).
+    */
+  final case class ColStats(tpe: String, min: Any, max: Any, nulls: Long)
+
+  /** One immutable data file. `path` is root-relative. */
+  final case class AddFile(path: String, rows: Long,
+      stats: Map[String, ColStats])
+
+  /** The state of the table as of `version`. `txns` maps streaming
+    * appId → highest batchId committed (the exactly-once ledger).
+    */
+  final case class Snapshot(version: Long, schema: StructType,
+      files: Seq[AddFile], txns: Map[String, Long])
+
+  /** A closed/open range predicate on one top-level column, used for
+    * zone-map skipping: `lo <= col <= hi` (either bound optional).
+    */
+  final case class Range(col: String, lo: Option[Any] = None,
+      hi: Option[Any] = None)
+
+  // ---------- public API ----------
+
+  /** Append `df` as one atomic commit.
+    *
+    * @param txn optional (appId, batchId) exactly-once tag: if the log
+    *            already holds a commit for this appId with
+    *            batchId >= this one, the append is a no-op (the
+    *            foreachBatch re-delivery contract)
+    * @return the committed version (or the current one on a txn no-op)
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      txn: Option[(String, Long)] = None): Long =
+    commitRetry(spark, root) { snap =>
+      if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
+        None // already committed — idempotent replay
+      else {
+        val schema = mergedSchema(snap, df)
+        Some((writeData(spark, root, df), Nil, schema, txn))
+      }
+    }
+
+  /** Replace the whole table content in one atomic commit. */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
+    commitRetry(spark, root) { snap =>
+      Some((writeData(spark, root, df), snap.files.map(_.path),
+        df.schema, None))
+    }
+
+  /** Copy-on-write delete: files whose zone maps PROVE no row matches
+    * `condSql` survive untouched; every other file is rewritten without
+    * the matching rows. `prune` should be the range form of the
+    * condition (pass None to rewrite every file).
+    */
+  def deleteWhere(spark: SparkSession, root: String, condSql: String,
+      prune: Option[Range]): Long =
+    commitRetry(spark, root) { snap =>
+      val touched = prune match {
+        case Some(r) => snap.files.filter(f => mayMatch(f, r))
+        case None => snap.files
+      }
+      if (touched.isEmpty) None
+      else {
+        val remaining = readFiles(spark, root, snap, touched)
+          .filter(s"NOT ($condSql)")
+        Some((writeData(spark, root, remaining), touched.map(_.path),
+          snap.schema, None))
+      }
+    }
+
+  /** Rewrite the table into `targetFiles` files (small-file
+    * compaction); content-identical, one atomic swap.
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int): Long =
+    commitRetry(spark, root) { snap =>
+      val all = readFiles(spark, root, snap, snap.files)
+        .repartition(targetFiles)
+      Some((writeData(spark, root, all), snap.files.map(_.path),
+        snap.schema, None))
+    }
+
+  /** The table as of `version` (None = latest). */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, root, version)
+    readFiles(spark, root, snap, snap.files)
+  }
+
+  /** Zone-map-pruned scan: only files whose [min,max] intersects the
+    * range are OPENED; the exact residual predicate still applies.
+    * Returns the same rows as `read().filter(...)` — the zone maps
+    * only decide which files can be skipped without looking.
+    */
+  def scan(spark: SparkSession, root: String, range: Range,
+      version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, root, version)
+    val files = prunedFiles(snap, range)
+    readFiles(spark, root, snap, files).filter(residual(range))
+  }
+
+  /** The file subset a [[scan]] would open — exposed so tests (and
+    * operators) can assert skipping, not just result equality.
+    */
+  def prunedFiles(snap: Snapshot, range: Range): Seq[AddFile] =
+    snap.files.filter(f => mayMatch(f, range))
+
+  /** Current (or as-of) table state. */
+  def snapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): Snapshot = {
+    val (fs, logDir) = logFs(spark, root)
+    if (!fs.exists(logDir))
+      return Snapshot(-1L, new StructType(), Nil, Map.empty)
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val commits = names.filter(_.matches("\\d{8}\\.json"))
+      .map(n => n.take(8).toLong).sorted
+    val target = version.getOrElse(
+      if (commits.isEmpty) -1L else commits.last)
+    require(version.forall(commits.contains),
+      s"version $version does not exist (have ${commits.length} commits)")
+    val ckptV = names.filter(_.matches("\\d{8}\\.ckpt\\.json"))
+      .map(_.take(8).toLong).filter(_ <= target).sorted.lastOption
+    var schema = new StructType(): StructType
+    val files = mutable.LinkedHashMap[String, AddFile]()
+    val txns = mutable.Map[String, Long]()
+    ckptV.foreach { v =>
+      val node = mapper.readTree(readString(fs, new Path(logDir, ckptName(v))))
+      schema = DataType.fromJson(node.get("schema").asText)
+        .asInstanceOf[StructType]
+      node.get("files").elements().asScala.foreach { f =>
+        val af = addFileFrom(f)
+        files(af.path) = af
+      }
+      node.get("txns").properties().asScala.foreach { e =>
+        txns(e.getKey) = e.getValue.asLong
+      }
+    }
+    commits.filter(v => v > ckptV.getOrElse(-1L) && v <= target).foreach { v =>
+      val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+      schema = DataType.fromJson(node.get("schema").asText)
+        .asInstanceOf[StructType]
+      node.get("removes").elements().asScala
+        .foreach(p => files.remove(p.asText))
+      node.get("adds").elements().asScala.foreach { f =>
+        val af = addFileFrom(f)
+        files(af.path) = af
+      }
+      if (node.hasNonNull("txnApp"))
+        txns(node.get("txnApp").asText) = node.get("txnBatch").asLong
+    }
+    Snapshot(target, schema, files.values.toSeq, txns.toMap)
+  }
+
+  /** Commit metadata, newest first — the DESCRIBE HISTORY analogue. */
+  def history(spark: SparkSession, root: String): Seq[(Long, Int, Int)] = {
+    val (fs, logDir) = logFs(spark, root)
+    fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toLong).sorted.reverse
+      .map { v =>
+        val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+        (v, node.get("adds").size(), node.get("removes").size())
+      }.toSeq
+  }
+
+  /** Delete every data file no log version references (lost-race
+    * orphans and half-written staging). Time travel to EVERY retained
+    * version stays valid — only truly unreachable files go.
+    */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, logDir) = logFs(spark, root)
+    val referenced = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json"))
+      .flatMap { n =>
+        val node = mapper.readTree(readString(fs, new Path(logDir, n)))
+        node.get("adds").elements().asScala.map(_.get("path").asText).toSeq
+      }.toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return Nil
+    val removed = mutable.Buffer[String]()
+    fs.listStatus(dataDir).foreach { d =>
+      fs.listStatus(d.getPath).foreach { f =>
+        val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
+        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_")) {
+          fs.delete(f.getPath, false)
+          removed += rel
+        }
+      }
+      if (fs.listStatus(d.getPath)
+          .forall(_.getPath.getName.startsWith("_"))) {
+        fs.delete(d.getPath, true)
+      }
+    }
+    removed.toSeq
+  }
+
+  // ---------- commit machinery ----------
+
+  /** One optimistic-concurrency round: build the commit against the
+    * freshest snapshot, try to take the next version; on a lost race,
+    * rebuild and retry (bounded). The builder returns None for a
+    * no-op (e.g. an already-committed txn batch).
+    */
+  private def commitRetry(spark: SparkSession, root: String)(
+      build: Snapshot => Option[(Seq[AddFile], Seq[String], StructType,
+        Option[(String, Long)])]): Long = {
+    val (fs, logDir) = logFs(spark, root)
+    fs.mkdirs(logDir)
+    var attempt = 0
+    while (attempt < 20) {
+      val snap = snapshot(spark, root)
+      build(snap) match {
+        case None => return snap.version
+        case Some((adds, removes, schema, txn)) =>
+          val v = snap.version + 1
+          val entry = entryJson(v, adds, removes, schema, txn)
+          if (tryCommit(fs, logDir, entryName(v), entry)) {
+            maybeCheckpoint(spark, root, fs, logDir, v)
+            return v
+          }
+        // lost the race: data files written for this attempt stay as
+        // orphans (vacuum reclaims them); rebuild against the new tip
+      }
+      attempt += 1
+    }
+    sys.error(s"GraftTable: gave up after $attempt commit conflicts at $root")
+  }
+
+  /** Rename-based exclusive publish; see the class doc for the
+    * per-filesystem atomicity story.
+    */
+  private def tryCommit(fs: FileSystem, logDir: Path, name: String,
+      json: String): Boolean = {
+    val dst = new Path(logDir, name)
+    if (fs.exists(dst)) return false
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+    writeString(fs, tmp, json)
+    val renamed = try fs.rename(tmp, dst) catch { case _: Exception => false }
+    if (!renamed) { fs.delete(tmp, false); return false }
+    // POSIX rename replaces silently; detect a lost race by content
+    readString(fs, dst) == json
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, root: String,
+      fs: FileSystem, logDir: Path, v: Long): Unit =
+    if (v > 0 && v % CkptInterval == 0) {
+      val snap = snapshot(spark, root, Some(v))
+      val node = mapper.createObjectNode()
+      node.put("version", v)
+      node.put("schema", snap.schema.json)
+      val fl = node.putArray("files")
+      snap.files.foreach(f => fl.add(addFileNode(f)))
+      val tx = node.putObject("txns")
+      snap.txns.foreach { case (k, b) => tx.put(k, b) }
+      // deterministic content given v → concurrent writers of the same
+      // checkpoint write identical bytes; plain overwrite is safe
+      val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
+      writeString(fs, tmp, mapper.writeValueAsString(node))
+      fs.delete(new Path(logDir, ckptName(v)), false)
+      fs.rename(tmp, new Path(logDir, ckptName(v)))
+    }
+
+  // ---------- data files + footer stats ----------
+
+  /** Write `df` under `data/<uuid>/` and harvest zone maps from the
+    * parquet footers — metadata-only, no second read of the data.
+    */
+  private def writeData(spark: SparkSession, root: String,
+      df: DataFrame): Seq[AddFile] = {
+    val commitId = UUID.randomUUID().toString
+    val dir = new Path(new Path(root, "data"), commitId)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    val fs = dir.getFileSystem(hadoopConf(spark))
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val (rows, stats) = footerStats(st.getPath, hadoopConf(spark))
+        AddFile(s"data/$commitId/${st.getPath.getName}", rows, stats)
+      }.toSeq
+  }
+
+  /** Per-file row count + per-column min/max/nulls from the footer. */
+  private def footerStats(p: Path,
+      conf: Configuration): (Long, Map[String, ColStats]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val acc = mutable.Map[String, ColStats]()
+      val dropped = mutable.Set[String]()
+      for (b <- blocks; cc <- b.getColumns.asScala) {
+        val dots = cc.getPath.toArray
+        val name = dots.mkString(".")
+        val st = cc.getStatistics
+        if (dots.length != 1 || st == null || !st.hasNonNullValue) {
+          dropped += name // nested / statless column: no zone map
+        } else {
+          val tv: Option[(String, Any, Any)] =
+            cc.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 => Some(("i64",
+                st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+              case PrimitiveTypeName.INT32 => Some(("i64",
+                st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+              case PrimitiveTypeName.DOUBLE => Some(("f64",
+                st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+                st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
+              case PrimitiveTypeName.BINARY => Some(("str",
+                st.minAsString, st.maxAsString))
+              case _ => None
+            }
+          tv match {
+            case None => dropped += name
+            case Some((t, mn, mx)) =>
+              val merged = acc.get(name) match {
+                case None => ColStats(t, mn, mx, st.getNumNulls)
+                case Some(prev) => ColStats(t,
+                  minOf(t, prev.min, mn), maxOf(t, prev.max, mx),
+                  prev.nulls + st.getNumNulls)
+              }
+              acc(name) = merged
+          }
+        }
+      }
+      (rows, (acc -- dropped).toMap)
+    } finally reader.close()
+  }
+
+  // ---------- zone-map comparisons ----------
+
+  private def cmp(t: String, a: Any, b: Any): Int = t match {
+    case "i64" => java.lang.Long.compare(toL(a), toL(b))
+    case "f64" => java.lang.Double.compare(toD(a), toD(b))
+    case "str" => a.toString.compareTo(b.toString)
+  }
+  private def toL(a: Any): Long = a match {
+    case n: Number => n.longValue
+    case s => s.toString.toLong
+  }
+  private def toD(a: Any): Double = a match {
+    case n: Number => n.doubleValue
+    case s => s.toString.toDouble
+  }
+  private def minOf(t: String, a: Any, b: Any): Any =
+    if (cmp(t, a, b) <= 0) a else b
+  private def maxOf(t: String, a: Any, b: Any): Any =
+    if (cmp(t, a, b) >= 0) a else b
+
+  /** Conservative: true unless the zone map PROVES disjointness. A
+    * column with no stats never prunes. String pruning only engages
+    * when bounds and probes are pure ASCII — beyond ASCII, parquet's
+    * unsigned-byte order and Java's UTF-16 order can disagree, and a
+    * wrong skip is a correctness bug while a skipped skip is only a
+    * slow scan.
+    */
+  private def mayMatch(f: AddFile, r: Range): Boolean =
+    f.stats.get(r.col) match {
+      case None => true
+      case Some(s) =>
+        val asciiSafe = s.tpe != "str" ||
+          (Seq(s.min, s.max) ++ r.lo ++ r.hi)
+            .forall(_.toString.forall(_ < 128))
+        if (!asciiSafe) true
+        else {
+          val aboveLo = r.lo.forall(lo => cmp(s.tpe, s.max, lo) >= 0)
+          val belowHi = r.hi.forall(hi => cmp(s.tpe, s.min, hi) <= 0)
+          aboveLo && belowHi
+        }
+    }
+
+  private def residual(r: Range): String = {
+    def litSql(v: Any) = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case x => x.toString
+    }
+    (r.lo.map(lo => s"${r.col} >= ${litSql(lo)}") ++
+      r.hi.map(hi => s"${r.col} <= ${litSql(hi)}"))
+      .mkString(" AND ") match { case "" => "true"; case s => s }
+  }
+
+  // ---------- (de)serialization ----------
+
+  private def entryName(v: Long) = f"$v%08d.json"
+  private def ckptName(v: Long) = f"$v%08d.ckpt.json"
+
+  private def entryJson(v: Long, adds: Seq[AddFile], removes: Seq[String],
+      schema: StructType, txn: Option[(String, Long)]): String = {
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("schema", schema.json)
+    val a = node.putArray("adds")
+    adds.foreach(f => a.add(addFileNode(f)))
+    val rm = node.putArray("removes")
+    removes.foreach(rm.add)
+    txn.foreach { case (app, b) =>
+      node.put("txnApp", app); node.put("txnBatch", b)
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  private def addFileNode(f: AddFile): ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("path", f.path)
+    node.put("rows", f.rows)
+    val st = node.putObject("stats")
+    f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+      val cn = st.putObject(c)
+      cn.put("t", s.tpe)
+      cn.put("nulls", s.nulls)
+      s.tpe match {
+        case "i64" => cn.put("min", toL(s.min)); cn.put("max", toL(s.max))
+        case "f64" => cn.put("min", toD(s.min)); cn.put("max", toD(s.max))
+        case "str" =>
+          cn.put("min", s.min.toString); cn.put("max", s.max.toString)
+      }
+    }
+    node
+  }
+
+  private def addFileFrom(n: JsonNode): AddFile = {
+    val stats = n.get("stats").properties().asScala.map { e =>
+      val cn = e.getValue
+      val t = cn.get("t").asText
+      val (mn, mx): (Any, Any) = t match {
+        case "i64" => (cn.get("min").asLong, cn.get("max").asLong)
+        case "f64" => (cn.get("min").asDouble, cn.get("max").asDouble)
+        case "str" => (cn.get("min").asText, cn.get("max").asText)
+      }
+      e.getKey -> ColStats(t, mn, mx, cn.get("nulls").asLong)
+    }.toMap
+    AddFile(n.get("path").asText, n.get("rows").asLong, stats)
+  }
+
+  // ---------- IO helpers ----------
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  private def logFs(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val logDir = new Path(root, "_log")
+    (logDir.getFileSystem(hadoopConf(spark)), logDir)
+  }
+
+  private def mergedSchema(snap: Snapshot, df: DataFrame): StructType =
+    if (snap.files.isEmpty) df.schema
+    else {
+      val have = snap.schema.fieldNames.toSet
+      val extra = df.schema.fields.filterNot(f => have.contains(f.name))
+      require(df.schema.fields.forall(f =>
+        !have.contains(f.name) ||
+          snap.schema(f.name).dataType == f.dataType),
+        "append schema conflicts with the table schema on a shared column")
+      extra.foldLeft(snap.schema)((s, f) => s.add(f.copy(nullable = true)))
+    }
+
+  private def readFiles(spark: SparkSession, root: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      spark.read.schema(snap.schema)
+        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+import graft.table.GraftTable.Range
+
+/** The ACID contract of the transaction-log table format: atomic
+  * commits, snapshot isolation, time travel, zone-map skipping,
+  * copy-on-write delete, compaction, schema evolution, checkpointed
+  * replay, exactly-once streaming appends, conflict detection, and
+  * orphan vacuum.
+  */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_table").toString
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
+
+  test("append/read: versions advance, content accumulates, time travel works") {
+    val root = freshRoot()
+    val v0 = GraftTable.append(spark, root, rows(0, 50))
+    val v1 = GraftTable.append(spark, root, rows(50, 80))
+    assert(v0 == 0 && v1 == 1)
+    assert(GraftTable.read(spark, root).count() == 80)
+    assert(GraftTable.read(spark, root, Some(0)).count() == 50)
+    assert(GraftTable.read(spark, root, Some(0))
+      .agg(sum("id")).head.getLong(0) == (0L until 50).sum)
+    intercept[IllegalArgumentException] {
+      GraftTable.read(spark, root, Some(7))
+    }
+  }
+
+  test("snapshot isolation: a reader pinned to an old snapshot never sees later writes") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    val pinned = GraftTable.snapshot(spark, root)
+    GraftTable.overwrite(spark, root, rows(100, 400))
+    // data files are immutable; the pinned file list still reads v0
+    assert(pinned.files.map(_.rows).sum == 10)
+    assert(GraftTable.read(spark, root, Some(pinned.version)).count() == 10)
+    assert(GraftTable.read(spark, root).count() == 300)
+  }
+
+  test("overwrite replaces atomically; history records adds and removes") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 20))
+    GraftTable.overwrite(spark, root, rows(0, 5))
+    assert(GraftTable.read(spark, root).count() == 5)
+    val h = GraftTable.history(spark, root)
+    assert(h.map(_._1) == Seq(1L, 0L))
+    assert(h.head._3 > 0, "the overwrite must record removes")
+  }
+
+  test("zone-map skipping: disjoint-range files are not even candidates") {
+    val root = freshRoot()
+    // four appends with disjoint id ranges, one file each
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L)).foreach {
+      case (lo, hi) =>
+        GraftTable.append(spark, root, rows(lo, hi).coalesce(1))
+    }
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.size == 4)
+    val pruned = GraftTable.prunedFiles(snap, Range("id", Some(120L), Some(130L)))
+    assert(pruned.size == 1, s"expected 1 candidate file, got ${pruned.size}")
+    val got = GraftTable.scan(spark, root, Range("id", Some(120L), Some(130L)))
+      .agg(count(lit(1)), sum("id")).head
+    assert(got.getLong(0) == 11 && got.getLong(1) == (120L to 130L).sum)
+    // string zone maps prune too (k1xx sorts between k0xx and k2xx);
+    // bounds chosen inside k1's span
+    val sPruned = GraftTable.prunedFiles(snap, Range("key", Some("k120"), Some("k125")))
+    assert(sPruned.size < 4 && sPruned.nonEmpty)
+  }
+
+  test("copy-on-write delete rewrites only files that can match") {
+    val root = freshRoot()
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      GraftTable.append(spark, root, rows(lo, hi).coalesce(1))
+    }
+    val before = GraftTable.snapshot(spark, root)
+    GraftTable.deleteWhere(spark, root, "id >= 150 AND id < 160",
+      Some(Range("id", Some(150L), Some(159L))))
+    val after = GraftTable.snapshot(spark, root)
+    assert(GraftTable.read(spark, root).count() == 290)
+    assert(GraftTable.read(spark, root)
+      .filter("id >= 150 and id < 160").count() == 0)
+    val untouched = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(untouched.size == 2,
+      "files whose zone maps prove no match must survive the delete untouched")
+  }
+
+  test("compaction: content-identical, fewer files, one atomic swap") {
+    val root = freshRoot()
+    (0 until 6).foreach(i =>
+      GraftTable.append(spark, root, rows(i * 10L, i * 10L + 10).coalesce(1)))
+    val before = GraftTable.read(spark, root)
+      .agg(count(lit(1)), sum("id"), sum("v")).head
+    GraftTable.compact(spark, root, targetFiles = 1)
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.size == 1)
+    val after = GraftTable.read(spark, root)
+      .agg(count(lit(1)), sum("id"), sum("v")).head
+    assert(before == after)
+  }
+
+  test("schema evolution: appended column reads as null over old files") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    GraftTable.append(spark, root,
+      rows(10, 20).withColumn("lang", concat(lit("l"), col("id") % 3)))
+    val df = GraftTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("id", "key", "v", "lang"))
+    assert(df.filter(col("lang").isNull).count() == 10)
+    assert(df.filter(col("lang").isNotNull).count() == 10)
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root,
+        rows(0, 1).withColumn("v", lit("not-a-double")))
+    }
+  }
+
+  test("checkpoint: replay from the checkpoint equals replay from zero") {
+    val root = freshRoot()
+    (0 until 12).foreach(i =>
+      GraftTable.append(spark, root, rows(i * 5L, i * 5L + 5).coalesce(1)))
+    val ckpt = new java.io.File(s"$root/_log/00000010.ckpt.json")
+    assert(ckpt.exists(), "a checkpoint must land at version 10")
+    val full = GraftTable.snapshot(spark, root)
+    assert(full.version == 11 && full.files.size == 12)
+    assert(GraftTable.read(spark, root).count() == 60)
+    // time travel BEHIND the checkpoint still replays from zero
+    assert(GraftTable.read(spark, root, Some(3)).count() == 20)
+  }
+
+  test("exactly-once txn appends: a re-delivered batch is a no-op") {
+    val root = freshRoot()
+    val v0 = GraftTable.append(spark, root, rows(0, 10), txn = Some(("app1", 0L)))
+    val v1 = GraftTable.append(spark, root, rows(10, 20), txn = Some(("app1", 1L)))
+    // foreachBatch re-delivery after a crash: same app, same batch
+    val vR = GraftTable.append(spark, root, rows(10, 20), txn = Some(("app1", 1L)))
+    assert(v0 == 0 && v1 == 1 && vR == 1, "replayed batch must not commit")
+    assert(GraftTable.read(spark, root).count() == 20)
+    // a different app's batch 1 is independent
+    GraftTable.append(spark, root, rows(20, 25), txn = Some(("app2", 1L)))
+    assert(GraftTable.read(spark, root).count() == 25)
+  }
+
+  test("commit conflict: a lost race is detected and retried, no commit lost") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    // simulate a racing writer landing version 1 between this writer's
+    // snapshot and its rename: pre-create the destination name
+    val racer = new java.io.File(s"$root/_log/00000001.json")
+    val entry = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$root/_log/00000000.json").toPath))
+    java.nio.file.Files.write(racer.toPath,
+      entry.replace("\"version\":0", "\"version\":1").getBytes)
+    // this append must detect the occupied slot and commit at version 2
+    val v = GraftTable.append(spark, root, rows(10, 20))
+    assert(v == 2, s"loser must retry at the next version, got $v")
+    // the racer re-adds v0's file paths (keyed dedup) → 10 + 10 new rows
+    assert(GraftTable.read(spark, root).count() == 20,
+      "the racer's commit and the retried append must both survive")
+  }
+
+  test("vacuum removes only unreachable files; time travel stays valid") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    GraftTable.overwrite(spark, root, rows(0, 5))
+    // orphan: a data dir written but never committed (lost race debris)
+    val orphanDir = new java.io.File(s"$root/data/orphan-uuid")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-00000.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val removed = GraftTable.vacuum(spark, root)
+    assert(removed == Seq("data/orphan-uuid/part-00000.parquet"))
+    assert(!orphan.exists())
+    // every retained version still reads (removed files were unreferenced)
+    assert(GraftTable.read(spark, root, Some(0)).count() == 10)
+    assert(GraftTable.read(spark, root).count() == 5)
+  }
+
+  test("streaming foreachBatch appends are exactly-once across restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = Files.createTempDirectory("gt_stream")
+    val (inDir, ckpt, root) = (s"$base/in", s"$base/ckpt", s"$base/table")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/b*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          GraftTable.append(spark, root, b, txn = Some(("gt_stream", id))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq(1L -> "a", 2L -> "b").toDF("id", "v")
+      .coalesce(1).write.parquet(s"$inDir/b1")
+    runOnce()
+    Seq(3L -> "c").toDF("id", "v").coalesce(1).write.parquet(s"$inDir/b2")
+    runOnce() // second life from the same checkpoint: batch 0 not replayed
+    assert(GraftTable.read(spark, root).count() == 3)
+    // crash window: append landed but the checkpoint didn't — the
+    // restarted query re-delivers the batch id; the txn ledger absorbs it
+    val vBefore = GraftTable.snapshot(spark, root).version
+    GraftTable.append(spark, root, Seq(3L -> "c").toDF("id", "v"),
+      txn = Some(("gt_stream", 1L)))
+    assert(GraftTable.snapshot(spark, root).version == vBefore,
+      "a re-delivered batch must be a commit no-op")
+    assert(GraftTable.read(spark, root).count() == 3)
+  }
+}
