@@ -134,6 +134,56 @@ object GraftTable {
       }
     }
 
+  /** MERGE a changelog into the table as ONE atomic commit — latest
+    * version wins per key, `deleteOp` rows tombstone the key, new keys
+    * insert ([[graft.operators.Merge.applyChangelog]] semantics).
+    *
+    * Copy-on-write at FILE granularity: with a single merge key, files
+    * whose zone map is disjoint from the changelog's [min,max] key
+    * range provably contain no affected key and survive untouched —
+    * the merge cost is O(files overlapping the change range), not
+    * O(table). Composite keys fall back to a full rewrite.
+    */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+      keys: Seq[String], versionCol: String, opCol: String,
+      deleteOp: String = "D"): Long =
+    commitRetry(spark, root) { snap =>
+      val touched =
+        if (keys.size != 1) snap.files
+        else {
+          val k = keys.head
+          val mm = changes.agg(min(col(k)), max(col(k))).head
+          if (mm.isNullAt(0)) Seq.empty
+          else snap.files.filter(f =>
+            mayMatch(f, Range(k, Some(mm.get(0)), Some(mm.get(1)))))
+        }
+      val target = readFiles(spark, root, snap, touched)
+      val merged = graft.operators.Merge
+        .applyChangelog(target, changes, keys, versionCol, opCol, deleteOp)
+      Some((writeData(spark, root, merged), touched.map(_.path),
+        snap.schema, None))
+    }
+
+  /** Re-cluster the table on a Morton key of two non-negative bounded
+    * dimensions ([[graft.operators.Layout.zorderKey2]]) — one atomic
+    * swap into `targetFiles` range-partitioned files. Afterwards zone
+    * maps prune on BOTH columns: the write-time layout move that turns
+    * a 100 TB two-dimensional scan into "open the files whose
+    * rectangle intersects the query".
+    */
+  def zorderBy(spark: SparkSession, root: String, xCol: String,
+      yCol: String, targetFiles: Int, bits: Int = 16): Long =
+    commitRetry(spark, root) { snap =>
+      val keyed = readFiles(spark, root, snap, snap.files)
+        .withColumn("__zkey",
+          graft.operators.Layout.zorderKey2(col(xCol), col(yCol), bits))
+        .repartitionByRange(targetFiles, col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+      Some((writeData(spark, root, keyed), snap.files.map(_.path),
+        snap.schema, None))
+    }
+
   /** Rewrite the table into `targetFiles` files (small-file
     * compaction); content-identical, one atomic swap.
     */

@@ -185,6 +185,63 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 5)
   }
 
+  test("merge: file-level copy-on-write — provably-disjoint files survive untouched") {
+    val root = freshRoot()
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      GraftTable.append(spark, root, rows(lo, hi).coalesce(1))
+    }
+    val changes = Seq(
+      (150L, "k150x", 999.0, 1L, "U"), // update, lands in file 2
+      (155L, "k155", 0.0, 1L, "D"),    // tombstone, file 2
+      (1000L, "k1000", 7.0, 1L, "I")   // brand-new key: insert
+    ).toDF("id", "key", "v", "version", "op")
+    val reference = graft.operators.Merge
+      .applyChangelog(GraftTable.read(spark, root), changes,
+        Seq("id"), "version", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val before = GraftTable.snapshot(spark, root)
+    GraftTable.merge(spark, root, changes, Seq("id"), "version", "op")
+    val after = GraftTable.snapshot(spark, root)
+    val got = GraftTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == reference, "table merge must equal the operator semantics")
+    assert(got.exists(_._1 == 1000L) && !got.exists(_._1 == 155L) &&
+      got.exists(t => t._1 == 150L && t._3 == 999.0))
+    // file 1 ([0,100)) is disjoint from the change range [150, 1000]
+    val untouched = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(untouched.size == 1,
+      s"exactly the provably-unaffected file must survive, got $untouched")
+  }
+
+  test("zorderBy: two-dimensional clustering makes zone maps prune on both columns") {
+    val root = freshRoot()
+    val grid = (0L until 4096L).map(i => (i, i % 64, i / 64))
+      .toDF("id", "x", "y").repartition(8) // hash layout: every file spans both dims
+    GraftTable.append(spark, root, grid)
+    val flat = GraftTable.snapshot(spark, root)
+    val yProbe = GraftTable.Range("y", Some(0L), Some(3L))
+    assert(GraftTable.prunedFiles(flat, yProbe).size == flat.files.size,
+      "hash layout must not prune (the premise of the re-cluster)")
+    val before = GraftTable.read(spark, root)
+      .agg(count(lit(1)), sum("id")).head
+    GraftTable.zorderBy(spark, root, "x", "y", targetFiles = 8)
+    val z = GraftTable.snapshot(spark, root)
+    assert(z.files.size == 8)
+    val prunedY = GraftTable.prunedFiles(z, yProbe)
+    val prunedX = GraftTable.prunedFiles(z, GraftTable.Range("x", Some(0L), Some(3L)))
+    assert(prunedY.size < z.files.size,
+      s"z-order must tighten y zone maps, still ${prunedY.size} candidates")
+    assert(prunedX.size < z.files.size,
+      s"z-order must tighten x zone maps, still ${prunedX.size} candidates")
+    val after = GraftTable.read(spark, root)
+      .agg(count(lit(1)), sum("id")).head
+    assert(before == after, "re-clustering must be content-identical")
+    val got = GraftTable.scan(spark, root, yProbe)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(got == 4 * 64, "pruned scan must still return every matching row")
+  }
+
   test("streaming foreachBatch appends are exactly-once across restart") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
