@@ -38,13 +38,20 @@ object Tables {
     spark.read.parquet(path)
   }
 
-  /** ns-long `ts` → µs-truncated TIMESTAMP_NTZ (UTC session ⇒ value-
-    * preserving), matching the DuckDB oracle's read of the same file.
+  /** `ts` → TIMESTAMP_NTZ regardless of the file's physical encoding,
+    * matching the DuckDB oracle's read of the same file. Handles both
+    * testdata generations: TIMESTAMP(NANOS) surfaces as a ns long
+    * (truncate to µs — UTC session ⇒ value-preserving), TIMESTAMP(µs)
+    * arrives as a native timestamp (cast only). Public because stream
+    * readers of the events table (which must declare a file schema)
+    * need the SAME normalization to agree with the judged batch
+    * queries.
     */
-  private def normalizeEvents(df: DataFrame): DataFrame =
+  def normalizeEvents(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    else
+      df.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
 
   /** Register every table of a scale-factor dir as a temp view so the
     * SQL frontend (`spark.sql`) sees the same catalog the DataFrame API

@@ -186,19 +186,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("true streaming run: readStream → tumbling agg → memory sink") {
-    // ns-timestamp parquet arrives as long under nanosAsLong; declare the
-    // file schema explicitly (required for readStream) and convert.
-    val fileSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // readStream requires an explicit file schema; take it from the
+    // file itself and normalize ts exactly as the judged batch reads
+    // do (Tables.normalizeEvents handles either testdata generation —
+    // ns-as-long or native µs timestamp).
+    val fileSchema = spark.read.parquet(s"$sf/events.parquet").schema
     // readStream requires a directory source; stage the single file
     val streamDir = java.nio.file.Files.createTempDirectory("stream_src")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(fileSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(fileSchema).parquet(streamDir.toString))
+      // watermarks require TIMESTAMP, not NTZ; UTC session ⇒ same values
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
     val q = Streams.tumblingHourly(stream)
       .writeStream.outputMode("complete")
