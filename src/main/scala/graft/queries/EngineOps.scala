@@ -244,6 +244,65 @@ object EngineOps {
                       ${Canonical.moneySumSql("l_quantity")} AS sum_qty
                FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // The table format's CDC change feed, judged END-TO-END: lineitem
+    // lands in two append commits (pre-1994 / 1994-95), then a
+    // copy-on-write delete of the pre-1993-06 rows rewrites every
+    // file. GraftTable.changes(0, 2) must surface commit 1 as exactly
+    // the appended rows (pure-append fast path) and commit 2 as
+    // exactly the deleted rows — every carried-over row in the
+    // rewritten files has to cancel in the bag-diff — and the oracle
+    // rebuilds both change sets relationally from the raw table. Same
+    // write-once fingerprint + txn-tag build discipline as
+    // table_time_travel; the delete only runs when the log is at
+    // exactly the post-append version, so a killed build resumes
+    // without double-deleting.
+    ("table_cdc",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate")
+        val src = new java.io.File(s"$dir/lineitem.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "cdc_v1".hashCode.toLong)
+        val root = s"target/graft_table/cdc_$fp"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 2L) {
+            gt.append(s, root,
+              li.filter(col("l_shipdate") < "1994-01-01"),
+              txn = Some(("cdc_build", 0L)))
+            gt.append(s, root,
+              li.filter(col("l_shipdate") >= "1994-01-01" &&
+                col("l_shipdate") < "1996-01-01"),
+              txn = Some(("cdc_build", 1L)))
+            if (gt.snapshot(s, root).version == 1L)
+              gt.deleteWhere(s, root,
+                "l_shipdate < TIMESTAMP '1993-06-01'", prune = None)
+          }
+        }
+        gt.changes(s, root, 0L, 2L)
+          .groupBy("_commit_version", "_change_type", "l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("l_quantity")).as("sum_qty"))
+          .orderBy("_commit_version", "_change_type", "l_returnflag")
+      },
+      Some(s"""SELECT * FROM (
+                 SELECT CAST(1 AS BIGINT) AS _commit_version,
+                        'insert' AS _change_type, l_returnflag,
+                        COUNT(*) AS n,
+                        ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+                   AND l_shipdate < TIMESTAMP '1996-01-01'
+                 GROUP BY l_returnflag
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT), 'delete', l_returnflag,
+                        COUNT(*), ${Canonical.moneySumSql("l_quantity")}
+                 FROM lineitem
+                 WHERE l_shipdate < TIMESTAMP '1993-06-01'
+                 GROUP BY l_returnflag)
+               ORDER BY _commit_version, _change_type, l_returnflag""")),
   )
 
   def queries: Map[String, Q] =

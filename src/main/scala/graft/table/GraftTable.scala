@@ -266,6 +266,105 @@ object GraftTable {
     Snapshot(target, schema, files.values.toSeq, txns.toMap)
   }
 
+  /** Row-level change feed between two versions — every data column
+    * plus `_change_type` ('insert' | 'delete') and `_commit_version`.
+    * An update surfaces as a delete of the old row and an insert of
+    * the new one under the same version (the CDC pair convention).
+    *
+    * Computed per commit from the files that commit TOUCHED, never the
+    * table: a pure append reads only its added files, and a
+    * copy-on-write commit bag-diffs its added vs removed files, in
+    * which every carried-over row cancels — so layout-only commits
+    * ([[compact]], [[zorderBy]]) contribute nothing and the cost is
+    * O(files touched between the versions), exactly like the commits
+    * themselves. Needs no change files on disk because CoW commits
+    * already preserve both sides' files immutably ([[vacuum]] keeps
+    * every log-referenced file alive).
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val (fs, logDir) = logFs(spark, root)
+    val tip = snapshot(spark, root, Some(toVersion)) // validates the bound
+    def readPaths(schema: StructType, ps: Seq[String]): DataFrame =
+      if (ps.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(ps.map(p => new Path(root, p).toString): _*)
+    val perCommit = ((fromVersion + 1) to toVersion).map { v =>
+      val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+      val schema = DataType.fromJson(node.get("schema").asText)
+        .asInstanceOf[StructType]
+      val adds = node.get("adds").elements().asScala
+        .map(_.get("path").asText).toSeq
+      val removes = node.get("removes").elements().asScala
+        .map(_.asText).toSeq
+      val addsDf = readPaths(schema, adds)
+      val remsDf = readPaths(schema, removes)
+      val ins =
+        if (removes.isEmpty) addsDf
+        else if (adds.isEmpty) addsDf.limit(0)
+        else addsDf.exceptAll(remsDf)
+      val del =
+        if (adds.isEmpty) remsDf
+        else if (removes.isEmpty) remsDf.limit(0)
+        else remsDf.exceptAll(addsDf)
+      ins.withColumn("_change_type", lit("insert"))
+        .unionByName(del.withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(v))
+    }
+    perCommit.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        readPaths(tip.schema, Nil)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L)).limit(0)
+      }
+  }
+
+  /** Reset the table CONTENT to that of `toVersion` as a NEW commit —
+    * metadata only: the old snapshot's files are re-added by
+    * reference, nothing is rewritten or deleted, and every
+    * intermediate version stays time-travelable. The accident-undo
+    * a mutable 100 TB table needs: O(log entry), not O(data).
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long =
+    commitRetry(spark, root) { snap =>
+      val old = snapshot(spark, root, Some(toVersion))
+      if (old.files.map(_.path) == snap.files.map(_.path)) None
+      else Some((old.files, snap.files.map(_.path), old.schema, None))
+    }
+
+  /** Incremental consumption for append-only pipelines — the
+    * streaming-source read contract: the rows committed strictly
+    * after `sinceVersion`, plus the version to checkpoint for the
+    * next call. Any commit in the range that REMOVED files
+    * (overwrite / delete / merge / restore / re-layout) fails the
+    * call: removals break the "appends compose" premise, and the
+    * caller must re-sync from a full [[read]] — the same rule the
+    * published Delta streaming source enforces.
+    */
+  def appendsSince(spark: SparkSession, root: String,
+      sinceVersion: Long): (DataFrame, Long) = {
+    val (fs, logDir) = logFs(spark, root)
+    val tip = snapshot(spark, root)
+    val addPaths = ((sinceVersion + 1) to tip.version).flatMap { v =>
+      val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+      require(node.get("removes").isEmpty,
+        s"appendsSince: version $v removed files — non-append commit in " +
+          "range; re-sync from a full read")
+      node.get("adds").elements().asScala.map(_.get("path").asText).toSeq
+    }
+    val df =
+      if (addPaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tip.schema)
+      else spark.read.schema(tip.schema)
+        .parquet(addPaths.map(p => new Path(root, p).toString): _*)
+    (df, tip.version)
+  }
+
   /** Commit metadata, newest first — the DESCRIBE HISTORY analogue. */
   def history(spark: SparkSession, root: String): Seq[(Long, Int, Int)] = {
     val (fs, logDir) = logFs(spark, root)

@@ -268,6 +268,83 @@ class GraftTableSpec extends SparkSpec {
       "the provably-unaffected file must survive the remote CoW delete")
   }
 
+  test("change feed: appends insert, CoW delete deletes, merge emits update pairs, re-layout is silent") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 100).coalesce(1))     // v0
+    GraftTable.append(spark, root, rows(100, 150).coalesce(1))   // v1
+    GraftTable.deleteWhere(spark, root, "id < 10",
+      Some(Range("id", None, Some(9L))))                         // v2
+    val changes = Seq((120L, "k120x", 7.0, 1L, "U"),
+      (1000L, "k1000", 1.0, 1L, "I")).toDF("id", "key", "v", "version", "op")
+    GraftTable.merge(spark, root, changes, Seq("id"), "version", "op") // v3
+    GraftTable.compact(spark, root, targetFiles = 1)             // v4
+    def feed(lo: Long, hi: Long) = GraftTable.changes(spark, root, lo, hi)
+      .collect().map(r => (r.getAs[Long]("_commit_version"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("key"))).toSet
+    // v1: pure append → exactly the appended rows as inserts
+    assert(feed(0, 1) == (100L until 150L)
+      .map(i => (1L, "insert", i, s"k$i")).toSet)
+    // v2: CoW delete → exactly the deleted rows; carried-over rows cancel
+    assert(feed(1, 2) == (0L until 10L)
+      .map(i => (2L, "delete", i, s"k$i")).toSet)
+    // v3: update = delete-old + insert-new pair; pure insert stands alone
+    assert(feed(2, 3) == Set((3L, "delete", 120L, "k120"),
+      (3L, "insert", 120L, "k120x"), (3L, "insert", 1000L, "k1000")))
+    // v4: compaction rewrites everything, changes nothing
+    assert(feed(3, 4).isEmpty, "a layout-only commit must emit no changes")
+    // the whole range composes; an empty range is an empty frame
+    assert(feed(0, 4).size == 50 + 10 + 3)
+    assert(feed(2, 2).isEmpty)
+  }
+
+  test("restore: metadata-only content reset; history in between stays time-travelable") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 30))                  // v0
+    GraftTable.overwrite(spark, root, rows(100, 105))            // v1
+    GraftTable.append(spark, root, rows(105, 110))               // v2
+    val dataDirs = new java.io.File(s"$root/data").list().length
+    val v = GraftTable.restore(spark, root, 0L)                  // v3
+    assert(v == 3)
+    // no data written or deleted: same data dirs, old files re-referenced
+    assert(new java.io.File(s"$root/data").list().length == dataDirs,
+      "restore must not write data files")
+    assert(GraftTable.read(spark, root).collect().toSet ==
+      GraftTable.read(spark, root, Some(0L)).collect().toSet)
+    assert(GraftTable.read(spark, root, Some(2L)).count() == 10,
+      "intermediate versions must stay readable after restore")
+    // the restore surfaces in the change feed as the content diff
+    val feed = GraftTable.changes(spark, root, 2, 3)
+    assert(feed.filter("_change_type = 'insert'").count() == 30)
+    assert(feed.filter("_change_type = 'delete'").count() == 10)
+    // restoring to the current content is a no-op commit
+    assert(GraftTable.restore(spark, root, 3L) == 3L)
+    // vacuum after restore keeps every referenced file readable
+    assert(GraftTable.vacuum(spark, root).isEmpty)
+    assert(GraftTable.read(spark, root).count() == 30)
+  }
+
+  test("appendsSince: incremental consumption; refuses ranges with removals") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 20))
+    GraftTable.append(spark, root, rows(20, 30))
+    val (d1, v1) = GraftTable.appendsSince(spark, root, -1L)
+    assert(d1.count() == 30 && v1 == 1)
+    val (d2, v2) = GraftTable.appendsSince(spark, root, v1)
+    assert(d2.count() == 0 && v2 == 1, "caught-up consumer sees nothing")
+    GraftTable.append(spark, root, rows(30, 35))
+    val (d3, v3) = GraftTable.appendsSince(spark, root, v1)
+    assert(d3.agg(sum("id")).head.getLong(0) == (30L until 35).sum && v3 == 2)
+    GraftTable.deleteWhere(spark, root, "id < 5", Some(Range("id", None, Some(4L))))
+    intercept[IllegalArgumentException] {
+      GraftTable.appendsSince(spark, root, v3)
+    }
+    // appends AFTER the removal consume fine from a fresh re-sync point
+    GraftTable.append(spark, root, rows(35, 40))
+    val (d4, v4) = GraftTable.appendsSince(spark, root, 3L)
+    assert(d4.count() == 5 && v4 == 4)
+  }
+
   test("streaming foreachBatch appends are exactly-once across restart") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
