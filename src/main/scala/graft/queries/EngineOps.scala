@@ -303,6 +303,59 @@ object EngineOps {
                  WHERE l_shipdate < TIMESTAMP '1993-06-01'
                  GROUP BY l_returnflag)
                ORDER BY _commit_version, _change_type, l_returnflag""")),
+
+    // Incremental MV maintenance judged END-TO-END as a stateful
+    // LIFECYCLE: source table built from lineitem (append pre-1994,
+    // rollup MV created there, append 1994-95, CoW-delete pre-1993-06),
+    // then IncrementalRollup.refresh applies the CDC deltas — and the
+    // MV's CONTENT must hash-match a from-scratch relational aggregate
+    // of the final source state. Exact integer cents (quantity has ≤2
+    // real decimals, so ×100 is lossless) keep the incrementally-
+    // maintained sums bit-equal to DuckDB's. Every build step is
+    // resume-safe: appends carry txn tags, create is guarded by the
+    // applied-version ledger, the delete by the exact log version, and
+    // a caught-up refresh is a commit no-op.
+    ("table_incremental_rollup",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val ir = graft.table.IncrementalRollup
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_returnflag"),
+            (Canonical.dec(col("l_quantity")) * 100).cast("long").as("qc"))
+        val src = new java.io.File(s"$dir/lineitem.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "mvr_v1".hashCode.toLong)
+        val srcRoot = s"target/graft_table/mvr_src_$fp"
+        val mvRoot = s"target/graft_table/mvr_mv_$fp"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, srcRoot).version < 2L) {
+            gt.append(s, srcRoot,
+              li.filter(col("l_shipdate") < "1994-01-01"),
+              txn = Some(("mvr_build", 0L)))
+            if (ir.appliedVersion(s, srcRoot, mvRoot) < 0L)
+              ir.create(s, srcRoot, mvRoot, "l_returnflag", "qc")
+            gt.append(s, srcRoot,
+              li.filter(col("l_shipdate") >= "1994-01-01" &&
+                col("l_shipdate") < "1996-01-01"),
+              txn = Some(("mvr_build", 1L)))
+            if (gt.snapshot(s, srcRoot).version == 1L)
+              gt.deleteWhere(s, srcRoot,
+                "l_shipdate < TIMESTAMP '1993-06-01'", prune = None)
+          }
+          ir.refresh(s, srcRoot, mvRoot, "l_returnflag", "qc")
+        }
+        gt.read(s, mvRoot)
+          .select(col("l_returnflag"), col("n"), col("s").as("sum_qc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 100
+                       AS BIGINT)) AS BIGINT) AS sum_qc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1993-06-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 
   def queries: Map[String, Q] =

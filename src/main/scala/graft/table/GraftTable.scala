@@ -69,9 +69,13 @@ object GraftTable {
     */
   final case class ColStats(tpe: String, min: Any, max: Any, nulls: Long)
 
-  /** One immutable data file. `path` is root-relative. */
+  /** One immutable data file. `path` is root-relative. `blooms` maps
+    * column → base64 [[FileBloom]] bitset (present only for columns
+    * declared via [[setBloomColumns]] at write time).
+    */
   final case class AddFile(path: String, rows: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      blooms: Map[String, String] = Map.empty)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
@@ -215,10 +219,30 @@ object GraftTable {
   }
 
   /** The file subset a [[scan]] would open — exposed so tests (and
-    * operators) can assert skipping, not just result equality.
+    * operators) can assert skipping, not just result equality. Zone
+    * maps prune first; for an exact POINT probe (lo == hi) on a
+    * column with per-file Bloom filters ([[setBloomColumns]]), a
+    * filter that proves absence skips the file even when its [min,max]
+    * spans the probe. Probe hashing mirrors the build side bit-for-bit
+    * (see [[FileBloom]]); a type-incompatible probe just skips bloom
+    * pruning — conservative, never wrong.
     */
-  def prunedFiles(snap: Snapshot, range: Range): Seq[AddFile] =
-    snap.files.filter(f => mayMatch(f, range))
+  def prunedFiles(snap: Snapshot, range: Range): Seq[AddFile] = {
+    val pointHashes: Option[(Long, Long)] = for {
+      lo <- range.lo
+      hi <- range.hi
+      if lo == hi
+      f <- snap.schema.fields.find(_.name == range.col)
+      h <- scala.util.Try(FileBloom.probeHashes(lo, f.dataType)).toOption
+    } yield h
+    snap.files.filter { f =>
+      mayMatch(f, range) && (pointHashes match {
+        case Some((h1, h2)) => f.blooms.get(range.col).forall(b =>
+          FileBloom.contains(FileBloom.fromB64(b), h1, h2))
+        case None => true
+      })
+    }
+  }
 
   /** Current (or as-of) table state. */
   def snapshot(spark: SparkSession, root: String,
@@ -414,7 +438,7 @@ object GraftTable {
     * rebuild and retry (bounded). The builder returns None for a
     * no-op (e.g. an already-committed txn batch).
     */
-  private def commitRetry(spark: SparkSession, root: String)(
+  private[table] def commitRetry(spark: SparkSession, root: String)(
       build: Snapshot => Option[(Seq[AddFile], Seq[String], StructType,
         Option[(String, Long)])]): Long = {
     val (fs, logDir) = logFs(spark, root)
@@ -478,19 +502,84 @@ object GraftTable {
   /** Write `df` under `data/<uuid>/` and harvest zone maps from the
     * parquet footers — metadata-only, no second read of the data.
     */
-  private def writeData(spark: SparkSession, root: String,
+  private[table] def writeData(spark: SparkSession, root: String,
       df: DataFrame): Seq[AddFile] = {
     val commitId = UUID.randomUUID().toString
     val dir = new Path(new Path(root, "data"), commitId)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     val fs = dir.getFileSystem(hadoopConf(spark))
-    fs.listStatus(dir)
+    val files = fs.listStatus(dir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map { st =>
         val (rows, stats) = footerStats(st.getPath, hadoopConf(spark))
         AddFile(s"data/$commitId/${st.getPath.getName}", rows, stats)
       }.toSeq
+    val bcols = bloomColumns(spark, root)
+      .filter(df.schema.fieldNames.contains)
+    if (bcols.isEmpty) files
+    else {
+      val blooms = fileBlooms(spark, dir.toString, df.schema, bcols)
+      files.map { f =>
+        val base = f.path.substring(f.path.lastIndexOf('/') + 1)
+        f.copy(blooms = blooms.getOrElse(base, Map.empty))
+      }
+    }
+  }
+
+  /** One column-pruned pass over the just-written files: per (file,
+    * declared column), OR every row's two xxhash64 bits into a fixed
+    * 1 KiB bitset ([[FileBloom.BloomAgg]] — commutative and
+    * associative, so partition-order-invariant). Cost: one extra scan
+    * of only the bloom columns of only the new files — O(commit), not
+    * O(table).
+    */
+  private def fileBlooms(spark: SparkSession, dir: String,
+      schema: StructType, bcols: Seq[String])
+      : Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.Encoders
+    val bloomU = udaf(new FileBloom.BloomAgg(),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val hashed = spark.read.schema(schema).parquet(dir)
+      .select(input_file_name().as("__file") +:
+        bcols.flatMap { c =>
+          val (h1, h2) = FileBloom.hashCols(col(c))
+          Seq(h1.as(s"__h1_$c"), h2.as(s"__h2_$c"))
+        }: _*)
+    val aggs = bcols.map(c =>
+      bloomU(col(s"__h1_$c"), col(s"__h2_$c")).as(s"__b_$c"))
+    hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val fn = r.getString(0)
+        fn.substring(fn.lastIndexOf('/') + 1) ->
+          bcols.zipWithIndex.map { case (c, i) => c -> r.getString(i + 1) }
+            .toMap
+      }.toMap
+  }
+
+  /** Declare the columns that get a per-file [[FileBloom]] filter on
+    * every subsequent data write (a table property in the log dir) —
+    * the point-lookup pruning layer for keys SCATTERED across files,
+    * where every file's zone map spans the probe. 1 KiB of log
+    * metadata per (file, column).
+    */
+  def setBloomColumns(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    val (fs, logDir) = logFs(spark, root)
+    fs.mkdirs(logDir)
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("bloomCols")
+    cols.foreach(arr.add)
+    writeString(fs, new Path(logDir, "_props.json"),
+      mapper.writeValueAsString(node))
+  }
+
+  private def bloomColumns(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, logDir) = logFs(spark, root)
+    val p = new Path(logDir, "_props.json")
+    if (!fs.exists(p)) Nil
+    else mapper.readTree(readString(fs, p)).get("bloomCols")
+      .elements().asScala.map(_.asText).toSeq
   }
 
   /** Per-file row count + per-column min/max/nulls from the footer. */
@@ -568,7 +657,7 @@ object GraftTable {
     * wrong skip is a correctness bug while a skipped skip is only a
     * slow scan.
     */
-  private def mayMatch(f: AddFile, r: Range): Boolean =
+  private[table] def mayMatch(f: AddFile, r: Range): Boolean =
     f.stats.get(r.col) match {
       case None => true
       case Some(s) =>
@@ -629,6 +718,10 @@ object GraftTable {
           cn.put("min", s.min.toString); cn.put("max", s.max.toString)
       }
     }
+    if (f.blooms.nonEmpty) {
+      val bl = node.putObject("blooms")
+      f.blooms.toSeq.sortBy(_._1).foreach { case (c, b) => bl.put(c, b) }
+    }
     node
   }
 
@@ -643,7 +736,12 @@ object GraftTable {
       }
       e.getKey -> ColStats(t, mn, mx, cn.get("nulls").asLong)
     }.toMap
-    AddFile(n.get("path").asText, n.get("rows").asLong, stats)
+    val blooms =
+      if (n.hasNonNull("blooms"))
+        n.get("blooms").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap
+      else Map.empty[String, String]
+    AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms)
   }
 
   // ---------- IO helpers ----------
@@ -668,7 +766,7 @@ object GraftTable {
       extra.foldLeft(snap.schema)((s, f) => s.add(f.copy(nullable = true)))
     }
 
-  private def readFiles(spark: SparkSession, root: String, snap: Snapshot,
+  private[table] def readFiles(spark: SparkSession, root: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(

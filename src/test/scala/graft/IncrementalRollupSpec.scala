@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftTable, IncrementalRollup}
+
+/** Incremental view maintenance over the table format: the MV follows
+  * the source through appends, CoW deletes, and MERGEs by consuming
+  * the CDC feed — refresh cost scoped to the changed keys, result
+  * always equal to a full recompute, replays absorbed by the ledger.
+  */
+class IncrementalRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recompute(src: String) =
+    GraftTable.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def mvContent(mv: String) =
+    GraftTable.read(spark, mv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("refresh ≡ full recompute across append/delete/merge; pruned CoW; replay no-op") {
+    val base = Files.createTempDirectory("inc_rollup")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    // 100 groups, clustered so both tables get range-disjoint files
+    val initial = (0L until 1000L).map(i => (i % 100, i, i * 3))
+      .toDF("grp", "id", "v")
+      .repartitionByRange(4, col("grp")).sortWithinPartitions("grp")
+    GraftTable.append(spark, src, initial)
+    IncrementalRollup.create(spark, src, mv, "grp", "v", targetFiles = 4)
+    assert(mvContent(mv) == recompute(src), "create must equal recompute")
+
+    // source moves: an append confined to low groups, a CoW delete
+    GraftTable.append(spark, src,
+      (0L until 50L).map(i => (i % 10, 10000 + i, 7L)).toDF("grp", "id", "v"))
+    GraftTable.deleteWhere(spark, src, "grp = 3",
+      Some(GraftTable.Range("grp", Some(3L), Some(3L))))
+    val before = GraftTable.snapshot(spark, mv)
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(mvContent(mv) == recompute(src),
+      "incremental refresh must equal a full recompute")
+    assert(!mvContent(mv).exists(_._1 == 3L),
+      "a group whose count reaches zero must leave the MV")
+    // delta keys ⊆ [0,9]: MV files whose zone maps are disjoint survive
+    val after = GraftTable.snapshot(spark, mv)
+    val survived = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(survived.size == 3,
+      s"only the overlapping MV file may rewrite, survived=${survived.size}")
+
+    // caught-up refresh: no new MV version
+    val v = GraftTable.snapshot(spark, mv).version
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(GraftTable.snapshot(spark, mv).version == v,
+      "a caught-up refresh must be a no-op commit")
+
+    // a MERGE (update+insert+tombstone) flows through as delete+insert
+    val changes = Seq(
+      (5L, 5L, 999L, 1L, "U"),       // rewrite one row of grp 5
+      (777L, 77000L, 11L, 1L, "I"),  // brand-new group 777
+      (7L, 7L, 0L, 1L, "D")          // tombstone one row of grp 7
+    ).toDF("grp", "id", "v", "version", "op")
+    GraftTable.merge(spark, src, changes, Seq("id"), "version", "op")
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(mvContent(mv) == recompute(src),
+      "merge-driven refresh must equal a full recompute")
+    assert(mvContent(mv).exists(t => t._1 == 777L && t._2 == 1L && t._3 == 11L),
+      "a new group must insert into the MV")
+  }
+
+  test("exactly-once: a replayed refresh for an already-applied source version is absorbed") {
+    val base = Files.createTempDirectory("inc_rollup_once")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    GraftTable.append(spark, src,
+      (0L until 100L).map(i => (i % 5, i, i)).toDF("grp", "id", "v"))
+    IncrementalRollup.create(spark, src, mv, "grp", "v")
+    GraftTable.append(spark, src, Seq((0L, 1000L, 1L)).toDF("grp", "id", "v"))
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    val state = mvContent(mv)
+    val v = GraftTable.snapshot(spark, mv).version
+    // the crash-retry shape: same source version refreshed again
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(GraftTable.snapshot(spark, mv).version == v && mvContent(mv) == state,
+      "the ledger must absorb a replayed refresh — no double-application")
+    assert(IncrementalRollup.appliedVersion(spark, src, mv) ==
+      GraftTable.snapshot(spark, src).version)
+  }
+}
