@@ -199,6 +199,56 @@ object GraftTable {
         snap.schema, None))
     }
 
+  /** PARTIAL compaction: rewrite only the files under `minRows` rows
+    * into `targetFiles`, leaving every adequately-sized file untouched
+    * — the steady-state maintenance move on a table fed by streaming
+    * appends, where [[compact]]'s full rewrite would be O(table) every
+    * time but the small-file debt is O(recent commits). No-op (no new
+    * commit) when fewer than two files qualify.
+    */
+  def compactSmall(spark: SparkSession, root: String, minRows: Long,
+      targetFiles: Int = 1): Long =
+    commitRetry(spark, root) { snap =>
+      val small = snap.files.filter(_.rows < minRows)
+      if (small.size < 2) None
+      else {
+        val merged = readFiles(spark, root, snap, small)
+          .repartition(targetFiles)
+        Some((writeData(spark, root, merged), small.map(_.path),
+          snap.schema, None))
+      }
+    }
+
+  /** Log retention: drop every log entry older than the last
+    * `keepLast` versions, first anchoring a CHECKPOINT at the new
+    * earliest retained version so every retained version still
+    * replays in O(interval). Time travel to expired versions becomes
+    * an error (their exclusively-referenced data files are reclaimed
+    * by the next [[vacuum]]); the live tail is untouched. This is the
+    * bound that keeps a long-lived table's log O(retention), not
+    * O(lifetime).
+    */
+  def expireVersions(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val (fs, logDir) = logFs(spark, root)
+    val tip = snapshot(spark, root).version
+    val cutoff = tip - keepLast + 1
+    if (cutoff <= 0) return Nil
+    writeCheckpoint(spark, root, fs, logDir, cutoff)
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val expired = names.flatMap { n =>
+      val v =
+        if (n.matches("\\d{8}\\.json")) Some(n.take(8).toLong)
+        else if (n.matches("\\d{8}\\.ckpt\\.json")) Some(n.take(8).toLong)
+        else None
+      v.filter(_ < cutoff).map(_ -> n)
+    }
+    expired.foreach { case (_, n) => fs.delete(new Path(logDir, n), false) }
+    expired.collect { case (v, n) if n.endsWith(".json") &&
+      !n.contains("ckpt") => v }.toSeq.distinct.sorted
+  }
+
   /** The table as of `version` (None = latest). */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
@@ -406,11 +456,20 @@ object GraftTable {
     */
   def vacuum(spark: SparkSession, root: String): Seq[String] = {
     val (fs, logDir) = logFs(spark, root)
+    // a file is live if ANY remaining log entry adds it OR any
+    // checkpoint's full state lists it — after expireVersions the
+    // checkpoint at the retention cutoff is the only reference to
+    // files added before it
     val referenced = fs.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.matches("\\d{8}\\.json"))
       .flatMap { n =>
-        val node = mapper.readTree(readString(fs, new Path(logDir, n)))
-        node.get("adds").elements().asScala.map(_.get("path").asText).toSeq
+        val p = new Path(logDir, n)
+        if (n.matches("\\d{8}\\.json"))
+          mapper.readTree(readString(fs, p))
+            .get("adds").elements().asScala.map(_.get("path").asText).toSeq
+        else if (n.matches("\\d{8}\\.ckpt\\.json"))
+          mapper.readTree(readString(fs, p))
+            .get("files").elements().asScala.map(_.get("path").asText).toSeq
+        else Nil
       }.toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Nil
@@ -480,22 +539,26 @@ object GraftTable {
 
   private def maybeCheckpoint(spark: SparkSession, root: String,
       fs: FileSystem, logDir: Path, v: Long): Unit =
-    if (v > 0 && v % CkptInterval == 0) {
-      val snap = snapshot(spark, root, Some(v))
-      val node = mapper.createObjectNode()
-      node.put("version", v)
-      node.put("schema", snap.schema.json)
-      val fl = node.putArray("files")
-      snap.files.foreach(f => fl.add(addFileNode(f)))
-      val tx = node.putObject("txns")
-      snap.txns.foreach { case (k, b) => tx.put(k, b) }
-      // deterministic content given v → concurrent writers of the same
-      // checkpoint write identical bytes; plain overwrite is safe
-      val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
-      writeString(fs, tmp, mapper.writeValueAsString(node))
-      fs.delete(new Path(logDir, ckptName(v)), false)
-      fs.rename(tmp, new Path(logDir, ckptName(v)))
-    }
+    if (v > 0 && v % CkptInterval == 0)
+      writeCheckpoint(spark, root, fs, logDir, v)
+
+  private def writeCheckpoint(spark: SparkSession, root: String,
+      fs: FileSystem, logDir: Path, v: Long): Unit = {
+    val snap = snapshot(spark, root, Some(v))
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("schema", snap.schema.json)
+    val fl = node.putArray("files")
+    snap.files.foreach(f => fl.add(addFileNode(f)))
+    val tx = node.putObject("txns")
+    snap.txns.foreach { case (k, b) => tx.put(k, b) }
+    // deterministic content given v → concurrent writers of the same
+    // checkpoint write identical bytes; plain overwrite is safe
+    val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
+    writeString(fs, tmp, mapper.writeValueAsString(node))
+    fs.delete(new Path(logDir, ckptName(v)), false)
+    fs.rename(tmp, new Path(logDir, ckptName(v)))
+  }
 
   // ---------- data files + footer stats ----------
 

@@ -345,6 +345,57 @@ class GraftTableSpec extends SparkSpec {
     assert(d4.count() == 5 && v4 == 4)
   }
 
+  test("compactSmall: only under-sized files rewrite; big files survive; CDC silent") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 5000).coalesce(1)) // one big file
+    (0 until 4).foreach(i =>
+      GraftTable.append(spark, root, rows(5000 + i * 10L, 5000 + i * 10L + 10)
+        .coalesce(1))) // four 10-row files
+    val before = GraftTable.snapshot(spark, root)
+    val v = GraftTable.compactSmall(spark, root, minRows = 100)
+    val after = GraftTable.snapshot(spark, root)
+    assert(after.files.size == 2, s"big + one merged, got ${after.files.size}")
+    val survived = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(survived.size == 1 &&
+      before.files.find(f => survived(f.path)).get.rows == 5000,
+      "the adequately-sized file must survive by reference")
+    assert(GraftTable.read(spark, root).count() == 5040)
+    // layout-only: the change feed must see nothing
+    assert(GraftTable.changes(spark, root, v - 1, v).isEmpty)
+    // caught-up: a second pass with nothing to merge is a commit no-op
+    assert(GraftTable.compactSmall(spark, root, minRows = 100) == v)
+  }
+
+  test("expireVersions: log stays O(retention), retained tail replays, reclaimed files vacuum") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 40).coalesce(1))     // v0
+    GraftTable.append(spark, root, rows(40, 80).coalesce(1))    // v1
+    GraftTable.overwrite(spark, root, rows(100, 160).coalesce(1)) // v2 strands v0/v1 files
+    (0 until 12).foreach(i =>                                   // v3..v14
+      GraftTable.append(spark, root, rows(200 + i * 5L, 205 + i * 5L).coalesce(1)))
+    val expired = GraftTable.expireVersions(spark, root, keepLast = 3)
+    assert(expired == (0L to 11L), s"got $expired")
+    // anchor checkpoint at the cutoff; retained versions replay
+    assert(new java.io.File(s"$root/_log/00000012.ckpt.json").exists())
+    assert(GraftTable.read(spark, root).count() == 60 + 12 * 5)
+    assert(GraftTable.read(spark, root, Some(12L)).count() == 60 + 10 * 5)
+    intercept[IllegalArgumentException] {
+      GraftTable.read(spark, root, Some(5L)) // expired
+    }
+    // vacuum reclaims ONLY files exclusive to expired versions: the
+    // overwrite's strands (v0/v1 data) go, everything live stays
+    val removed = GraftTable.vacuum(spark, root)
+    assert(removed.size == 2, s"the two stranded pre-overwrite files, got $removed")
+    assert(GraftTable.read(spark, root).count() == 60 + 12 * 5)
+    assert(GraftTable.read(spark, root, Some(12L)).count() == 60 + 10 * 5,
+      "time travel within retention must survive vacuum")
+    // the log directory itself is bounded by the retention window
+    val entries = new java.io.File(s"$root/_log").list()
+      .count(_.matches("\\d{8}\\.json"))
+    assert(entries == 3, s"retained entries only, got $entries")
+  }
+
   test("streaming foreachBatch appends are exactly-once across restart") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
