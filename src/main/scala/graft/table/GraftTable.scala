@@ -262,10 +262,21 @@ object GraftTable {
     * only decide which files can be skipped without looking.
     */
   def scan(spark: SparkSession, root: String, range: Range,
+      version: Option[Long] = None): DataFrame =
+    scanAll(spark, root, Seq(range), version)
+
+  /** [[scan]] under a conjunction of ranges ([[prunedFilesAll]]); the
+    * exact residual (AND of all bounds) still applies after skipping.
+    */
+  def scanAll(spark: SparkSession, root: String, ranges: Seq[Range],
       version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, root, version)
-    val files = prunedFiles(snap, range)
-    readFiles(spark, root, snap, files).filter(residual(range))
+    val files = prunedFilesAll(snap, ranges)
+    val cond = ranges.map(r => s"(${residual(r)})").mkString(" AND ") match {
+      case "" => "true"
+      case s => s
+    }
+    readFiles(spark, root, snap, files).filter(cond)
   }
 
   /** The file subset a [[scan]] would open — exposed so tests (and
@@ -277,20 +288,34 @@ object GraftTable {
     * (see [[FileBloom]]); a type-incompatible probe just skips bloom
     * pruning — conservative, never wrong.
     */
-  def prunedFiles(snap: Snapshot, range: Range): Seq[AddFile] = {
-    val pointHashes: Option[(Long, Long)] = for {
-      lo <- range.lo
-      hi <- range.hi
-      if lo == hi
-      f <- snap.schema.fields.find(_.name == range.col)
-      h <- scala.util.Try(FileBloom.probeHashes(lo, f.dataType)).toOption
-    } yield h
+  def prunedFiles(snap: Snapshot, range: Range): Seq[AddFile] =
+    prunedFilesAll(snap, Seq(range))
+
+  /** File pruning under a CONJUNCTION of ranges — a file survives only
+    * if EVERY range may match it (zone maps + point blooms per range).
+    * This is the multi-predicate scan shape: after [[zorderBy]] both
+    * clustered dimensions prune independently and the intersection
+    * multiplies the skipping.
+    */
+  def prunedFilesAll(snap: Snapshot, ranges: Seq[Range]): Seq[AddFile] = {
+    val withHashes = ranges.map { r =>
+      val pointHashes: Option[(Long, Long)] = for {
+        lo <- r.lo
+        hi <- r.hi
+        if lo == hi
+        f <- snap.schema.fields.find(_.name == r.col)
+        h <- scala.util.Try(FileBloom.probeHashes(lo, f.dataType)).toOption
+      } yield h
+      (r, pointHashes)
+    }
     snap.files.filter { f =>
-      mayMatch(f, range) && (pointHashes match {
-        case Some((h1, h2)) => f.blooms.get(range.col).forall(b =>
-          FileBloom.contains(FileBloom.fromB64(b), h1, h2))
-        case None => true
-      })
+      withHashes.forall { case (r, ph) =>
+        mayMatch(f, r) && (ph match {
+          case Some((h1, h2)) => f.blooms.get(r.col).forall(b =>
+            FileBloom.contains(FileBloom.fromB64(b), h1, h2))
+          case None => true
+        })
+      }
     }
   }
 

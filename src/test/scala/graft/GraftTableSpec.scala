@@ -240,6 +240,15 @@ class GraftTableSpec extends SparkSpec {
     val got = GraftTable.scan(spark, root, yProbe)
       .agg(count(lit(1))).head.getLong(0)
     assert(got == 4 * 64, "pruned scan must still return every matching row")
+    // conjunction: the x∧y rectangle prunes at least as hard as either
+    // dimension alone and returns exactly the intersection
+    val xProbe = GraftTable.Range("x", Some(0L), Some(3L))
+    val both = GraftTable.prunedFilesAll(z, Seq(xProbe, yProbe))
+    assert(both.size <= math.min(prunedX.size, prunedY.size))
+    val rect = GraftTable.scanAll(spark, root, Seq(xProbe, yProbe))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rect == (for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)).toSet,
+      "conjunctive scan must return exactly the query rectangle")
   }
 
   test("a table on an object store: commits, time travel, CoW delete through the FileSystem API") {
@@ -394,6 +403,32 @@ class GraftTableSpec extends SparkSpec {
     val entries = new java.io.File(s"$root/_log").list()
       .count(_.matches("\\d{8}\\.json"))
     assert(entries == 3, s"retained entries only, got $entries")
+  }
+
+  test("concurrent writers: N racing appenders all land, no commit lost, versions dense") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futs = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = GraftTable.append(spark, root,
+            rows(1000L + w * 100, 1000L + w * 100 + 100).coalesce(1))
+        })
+      }
+      val versions = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // optimistic concurrency: every writer won SOME version, all
+      // distinct, log dense 1..N — losers retried, nobody clobbered
+      assert(versions.toSet.size == writers, s"duplicate versions: $versions")
+      assert(versions.sorted == (1L to writers.toLong), s"got $versions")
+    } finally pool.shutdown()
+    assert(GraftTable.read(spark, root).count() == 10 + writers * 100,
+      "every concurrent append's rows must survive")
+    // lost-race data-file orphans (from retried attempts) are the only
+    // reclaimable debris, and reads are unaffected afterwards
+    GraftTable.vacuum(spark, root)
+    assert(GraftTable.read(spark, root).count() == 10 + writers * 100)
   }
 
   test("streaming foreachBatch appends are exactly-once across restart") {
