@@ -125,8 +125,11 @@ object GraftTable {
   def deleteWhere(spark: SparkSession, root: String, condSql: String,
       prune: Option[Range]): Long =
     commitRetry(spark, root) { snap =>
+      // bloom-aware pruning: a POINT delete (lo == hi) also skips
+      // files whose filter proves the key absent — a wrongly-kept
+      // file is only an extra rewrite, a wrong skip is impossible
       val touched = prune match {
-        case Some(r) => snap.files.filter(f => mayMatch(f, r))
+        case Some(r) => prunedFilesAll(snap, Seq(r))
         case None => snap.files
       }
       if (touched.isEmpty) None
@@ -158,8 +161,8 @@ object GraftTable {
           val k = keys.head
           val mm = changes.agg(min(col(k)), max(col(k))).head
           if (mm.isNullAt(0)) Seq.empty
-          else snap.files.filter(f =>
-            mayMatch(f, Range(k, Some(mm.get(0)), Some(mm.get(1)))))
+          else prunedFilesAll(snap,
+            Seq(Range(k, Some(mm.get(0)), Some(mm.get(1)))))
         }
       val target = readFiles(spark, root, snap, touched)
       val merged = graft.operators.Merge

@@ -65,6 +65,16 @@ class FileBloomSpec extends SparkSpec {
     val got = GraftTable.scan(spark, root, Range("id", Some(probe), Some(probe)))
       .select("v").collect().map(_.getString(0)).toSeq
     assert(got == Seq("v1-50"))
+    // a POINT delete prunes by bloom too: only the owning file rewrites
+    val preDel = GraftTable.snapshot(spark, root)
+    GraftTable.deleteWhere(spark, root, s"id = $probe",
+      Some(Range("id", Some(probe), Some(probe))))
+    val postDel = GraftTable.snapshot(spark, root)
+    assert(preDel.files.map(_.path).toSet
+      .intersect(postDel.files.map(_.path).toSet).size == 1,
+      "bloom-pruned point delete must rewrite only the owning file")
+    assert(GraftTable.read(spark, root).filter(s"id = $probe").count() == 0)
+    assert(GraftTable.read(spark, root).count() == 899)
   }
 
   test("build/probe hash agreement: the distributed bits match the driver's") {
