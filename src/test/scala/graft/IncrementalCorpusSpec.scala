@@ -171,6 +171,59 @@ class IncrementalCorpusSpec extends SparkSpec {
       "restart on the committed checkpoint must not re-accept anything")
   }
 
+  test("a corpus grows from a GraftTable: appendsSince cursors drive exactly-once ingest") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    // the composition a table-backed pipeline runs: document batches
+    // land in a transaction-log table, a consumer follows the table
+    // with appendsSince and feeds each new slice to the corpus — the
+    // result must equal ingesting the same batches directly, and
+    // re-consuming a stale cursor must change nothing (every replayed
+    // doc exact- or self-matches state)
+    val base = java.nio.file.Files.createTempDirectory("gt_corpus")
+    val tbl = s"$base/tbl"
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = docs.filter(col("doc_id") < 200)
+    val dupRow = b1.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .collect().head
+    val b2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .unionByName(Seq((30000L, dupRow.getString(1), dupRow.getString(2),
+        dupRow.getString(3), dupRow.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val tableDriven = new IncrementalCorpus(
+      s"$base/state_t", numHashes, bands, tau)
+    val direct = new IncrementalCorpus(
+      s"$base/state_d", numHashes, bands, tau)
+
+    GraftTable.append(spark, tbl, b1, txn = Some(("docs", 0L)))
+    val (slice1, c1) = GraftTable.appendsSince(spark, tbl, -1L)
+    tableDriven.ingest(spark, slice1)
+    direct.ingest(spark, b1)
+
+    GraftTable.append(spark, tbl, b2, txn = Some(("docs", 1L)))
+    val (slice2, c2) = GraftTable.appendsSince(spark, tbl, c1)
+    tableDriven.ingest(spark, slice2)
+    direct.ingest(spark, b2)
+
+    def acceptedIds(c: IncrementalCorpus): Set[Long] =
+      c.accepted(spark).get.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds(tableDriven) == acceptedIds(direct),
+      "table-driven ingest must equal direct batch ingest")
+    assert(!acceptedIds(tableDriven).contains(30000L),
+      "the cross-batch exact dup must be rejected either way")
+
+    // crash-replay shape: the consumer lost its cursor update and
+    // re-reads from the OLD cursor — the corpus must not change
+    val before = acceptedIds(tableDriven)
+    val (replay, c3) = GraftTable.appendsSince(spark, tbl, c1)
+    tableDriven.ingest(spark, replay)
+    assert(acceptedIds(tableDriven) == before,
+      "re-consuming a stale cursor must be a corpus no-op")
+    assert(c2 == c3 && c2 == GraftTable.snapshot(spark, tbl).version)
+  }
+
   test("state on an object store: existence + dedup work through the FileSystem API") {
     // State lives under a mocks3:// URI — the exact deployment the
     // class exists for. A java.nio existence check would report the
