@@ -396,7 +396,7 @@ object GraftTable {
       else spark.read.schema(schema)
         .parquet(ps.map(p => new Path(root, p).toString): _*)
     val perCommit = ((fromVersion + 1) to toVersion).map { v =>
-      val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+      val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
       val schema = DataType.fromJson(node.get("schema").asText)
         .asInstanceOf[StructType]
       val adds = node.get("adds").elements().asScala
@@ -452,7 +452,7 @@ object GraftTable {
     val (fs, logDir) = logFs(spark, root)
     val tip = snapshot(spark, root)
     val addPaths = ((sinceVersion + 1) to tip.version).flatMap { v =>
-      val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+      val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
       require(node.get("removes").isEmpty,
         s"appendsSince: version $v removed files — non-append commit in " +
           "range; re-sync from a full read")
@@ -777,6 +777,20 @@ object GraftTable {
 
   private def entryName(v: Long) = f"$v%08d.json"
   private def ckptName(v: Long) = f"$v%08d.ckpt.json"
+
+  /** Per-commit readers ([[changes]], [[appendsSince]]) need the ENTRY
+    * of every version in their range; a version dropped by
+    * [[expireVersions]] replays fine from a checkpoint but its
+    * per-commit delta is gone — turn the raw missing-file error into
+    * the contract's own message.
+    */
+  private def entryOrExpired(fs: FileSystem, logDir: Path, v: Long): Path = {
+    val p = new Path(logDir, entryName(v))
+    require(fs.exists(p),
+      s"version $v's log entry no longer exists (expired by retention); " +
+        "per-commit changes are only available inside the retention window")
+    p
+  }
 
   private def entryJson(v: Long, adds: Seq[AddFile], removes: Seq[String],
       schema: StructType, txn: Option[(String, Long)]): String = {

@@ -403,6 +403,14 @@ class GraftTableSpec extends SparkSpec {
     val entries = new java.io.File(s"$root/_log").list()
       .count(_.matches("\\d{8}\\.json"))
     assert(entries == 3, s"retained entries only, got $entries")
+    // per-commit readers over an expired range fail with the
+    // contract's message, not a raw missing-file error
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.changes(spark, root, 8, 13)
+    }
+    assert(e.getMessage.contains("expired by retention"))
+    assert(GraftTable.changes(spark, root, 12, 14).count() == 10,
+      "per-commit changes inside the retention window still work")
   }
 
   test("concurrent writers: N racing appenders all land, no commit lost, versions dense") {
