@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` / `oracleSql` carry the declared inventory (SURVEY §2.4 —
-  * Q01–Q61 plus the named operator queries; 119 total as of round 6)
+  * Q01–Q61 plus the named operator queries; 120 total as of round 6,
+  * 119 DuckDB-oracled + 1 rows-only)
   * across the L2/L3 operator surface; names must match between the two
   * maps, and every aliased output column matches the oracle's.
   */

@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_brute_topk" -> "declared brute-force baseline: broadcast queries × corpus by design",
     "q48_percentiles" -> "4-row literal percentile frame broadcast against ranked groups",
     "ann_ivf_topk" -> "probe scoring: queries × broadcast centroid-mean frame (cells ≪ corpus) by design",
+    "ann_pq_topk" -> "ADC scoring: code table × broadcast per-query LUT frame (queries ≪ corpus) by design",
     "text_bm25" -> "single-row cross join (corpus stats N/avgdl/df broadcast back onto docs)",
     "text_perplexity" -> "single-row cross join (total-token count N broadcast onto the vocab)",
     "text_ccnet_buckets" -> "single-row cross join (the shared lmSurprisal N-broadcast shape)",
