@@ -29,9 +29,12 @@ import graft.operators.Similarity.{idot, quant, sumsq}
   * partitioning.
   *
   * Scale shape: training assignment is a broadcast join against
-  * m·ksub codebook rows; encoding is one narrow pass; ADC search
-  * broadcasts per-query LUTs (m·ksub longs each) and scans the code
-  * table once — no shuffle over the corpus at all.
+  * m·ksub codebook rows whose ksub-way fan-out collapses map-side
+  * (`min_by` partial aggregation); encoding is one narrow pass; ADC
+  * search broadcasts per-query LUTs (m·ksub longs each), scans the
+  * code table once, and ranks through the bounded-heap
+  * [[graft.plans.TopKPerGroupPlan]] — the post-scan shuffle carries at
+  * most queries·k rows per partition, never the scored corpus.
   */
 object ProductQuantizer {
 
@@ -43,17 +46,21 @@ object ProductQuantizer {
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
 
   /** Integer argmin assignment: per (vector, subspace), the code
-    * minimizing `cn − 2·sv·cm` (ties → lowest code).
+    * minimizing `cn − 2·sv·cm` (ties → lowest code). Spelled as a
+    * `min_by` aggregation, not a window: the ksub-way fan-out collapses
+    * back map-side (partial aggregation below the shuffle), so the
+    * exchange carries one row per (vector, subspace) instead of sorting
+    * all corpus·ksub scored rows. `(dist, code)` is unique per group
+    * (codes are distinct), so the argmin is deterministic.
     */
-  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "m")
-      .orderBy(col("dist").asc, col("code").asc)
+  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), Seq("m"))
       .withColumn("dist", col("cn") - lit(2L) * idot(col("sv"), col("cm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("code"), col("sv"))
-  }
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("sv")),
+        struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.code").as("code"), col("best.sv").as("sv"))
 
   /** Floored exact-integer means per (subspace, code). */
   private def subMeans(assigned: DataFrame): DataFrame =
@@ -164,13 +171,19 @@ object ProductQuantizer {
     val adc = expr(
       "aggregate(sequence(0, size(codes) - 1), 0L, (acc, i) -> " +
         "acc + lut[i][int(array_position(lutCodes[i], codes[i])) - 1])")
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    encoded.crossJoin(broadcast(luts))
+    // Ranking goes through the bounded-heap TopKPerGroup operator, NOT a
+    // row_number window: the window formulation shuffles and sorts all
+    // |corpus|·|queries| scored rows before discarding everything past
+    // k, which defeats PQ's whole point (the code table is the only
+    // corpus-sized thing touched). The bounded heap caps the shuffle at
+    // queries·k rows per partition; the rank column is then numbered
+    // over the ≤ queries·k survivors only.
+    val scored = encoded.crossJoin(broadcast(luts))
       .withColumn("adc", adc)
       .withColumn("score", col("adc").cast("double") /
         sqrt(col("q_qn").cast("double") * col("rn").cast("double")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.rankedPerGroup(scored, "q_id",
+      Seq(("score", false), ("vec_id", true)), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("score"))
   }
@@ -196,9 +209,10 @@ object ProductQuantizer {
       .join(q, "q_id")
       .withColumn("cos", idot(col("q_qa"), col("qa")).cast("double") /
         sqrt(col("q_qn").cast("double") * col("qn").cast("double")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    exact.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // shortlist·|queries| rows, but the same bounded-heap ranking keeps
+    // the whole search path window-free
+    graft.plans.TopK.rankedPerGroup(exact, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("cos"))
   }

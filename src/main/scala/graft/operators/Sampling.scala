@@ -89,15 +89,23 @@ object Sampling {
   /** Per-group quota cap (the RefinedWeb-style per-domain cap): keep at
     * most `k` rows per group, chosen by hash order with id tiebreak —
     * the same rows survive on any partitioning, cluster, or engine.
-    * One shuffle (the grouped window); the window partitions by the
-    * group key, so no single-task hotspot.
+    *
+    * Spelled through the bounded-heap [[graft.plans.TopKPerGroupPlan]]
+    * operator, NOT a grouped window: a window partitioned by the group
+    * key sends EVERY row of each group through one task, and the
+    * precise scenario this operator exists for (one domain dominating
+    * the corpus) is the one that makes that key hot — at 100 TB a
+    * 1%-of-corpus domain would be a ~1 TB single-task sort to keep k
+    * rows. The bounded heap's map-side partials reduce each input
+    * partition's contribution to ≤ k rows per group BEFORE the
+    * shuffle, so the hot key is structurally impossible.
     */
   def quotaCap(df: DataFrame, idCol: String, groupCol: String,
       k: Int): DataFrame = {
     require(k > 0, "quota must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(orderKey(col(idCol)), col(idCol))
-    df.withColumn("__qrn", row_number().over(w))
-      .filter(col("__qrn") <= k).drop("__qrn")
+    graft.plans.TopK.perGroup(
+      df.withColumn("__qok", orderKey(col(idCol))),
+      Seq(groupCol), Seq(("__qok", true), (idCol, true)), k)
+      .drop("__qok")
   }
 }

@@ -12,8 +12,11 @@ import graft.functions.VectorFns.cosine
   * with a relational per-dimension average, probes pruned to the nearest
   * `nprobe` cells so the scored candidate set is a fraction of the
   * corpus. Queries are broadcast (they're the small side by
-  * construction), so corpus scoring is shuffle-free; only the per-query
-  * top-k window shuffles, and it shuffles candidates, not the corpus.
+  * construction), so corpus scoring is shuffle-free; per-query top-k
+  * ranking goes through the bounded-heap
+  * [[graft.plans.TopKPerGroupPlan]] operator, whose map-side partials
+  * cap the post-scoring shuffle at queries·k rows per partition —
+  * never the scored candidates, let alone the corpus.
   */
 object Similarity {
 
@@ -26,9 +29,8 @@ object Similarity {
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .join(q, col("q_id") =!= col("vec_id")) // a query is not its own neighbor
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.rankedPerGroup(scored, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k, rankType = "int")
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
   }
@@ -63,9 +65,11 @@ object Similarity {
       .withColumn("dot", idot(col("qa"), col("ca")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // bounded-heap ranking (graft.plans.TopKPerGroupPlan): map-side
+    // partials cap the post-scoring shuffle at queries·k rows per
+    // partition instead of sorting every scored pair per query
+    graft.plans.TopK.rankedPerGroup(cand, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -143,9 +147,8 @@ object Similarity {
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.rankedPerGroup(cand, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k, rankType = "int")
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
   }
@@ -184,9 +187,8 @@ object Similarity {
       .withColumn("dot", idot(col("qa"), col("ca")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.rankedPerGroup(cand, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -248,9 +250,8 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.rankedPerGroup(cand, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k, rankType = "int")
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
   }
@@ -293,9 +294,8 @@ object Similarity {
       .withColumn("dot", idot(col("qa"), col("ca")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("qn").cast("double") * col("vn").cast("double")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.rankedPerGroup(cand, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 

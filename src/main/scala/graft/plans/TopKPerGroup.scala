@@ -150,4 +150,25 @@ object TopK {
     Bridge.ofRows(spark,
       TopKPerGroupPlan(groupCols.map(attr), sorts, k, analyzed))
   }
+
+  /** Bounded top-k per group WITH an explicit rank column: the
+    * bounded-heap operator keeps the survivors first (map-side partials
+    * cap the shuffle at groups·k rows per partition), and only then a
+    * grouped window numbers them — so the window's input is
+    * OUTPUT-sized (≤ groups·k rows), never input-sized. This is the
+    * scale-safe spelling of `row_number().over(partitionBy(g).orderBy(
+    * …)) ≤ k`, which sorts every input row of every group.
+    */
+  def rankedPerGroup(df: DataFrame, groupCol: String,
+      orderBy: Seq[(String, Boolean)], k: Int,
+      rankCol: String = "rank", rankType: String = "long"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val kept = perGroup(df, Seq(groupCol), orderBy, k)
+    val w = Window.partitionBy(groupCol).orderBy(orderBy.map {
+      case (n, true) => col(n).asc
+      case (n, false) => col(n).desc
+    }: _*)
+    kept.withColumn(rankCol, row_number().over(w).cast(rankType))
+  }
 }

@@ -559,8 +559,10 @@ object LlmOps {
     // Per-source quota cap (RefinedWeb-style per-domain cap): at most
     // k documents survive per source, chosen by deterministic hash
     // order — the anti-boilerplate curation move (no one domain may
-    // dominate the corpus). Grouped window, so the cap is one shuffle
-    // partitioned by source: no hotspot, same survivors on any cluster.
+    // dominate the corpus). Ranked through the bounded-heap
+    // TopKPerGroup operator: map-side partials cap the shuffle at k
+    // rows per source per partition, so a corpus-dominating source
+    // cannot become a single-task hotspot. Same survivors everywhere.
     ("sample_capped",
       (s: SparkSession, dir: String) =>
         graft.operators.Sampling.quotaCap(docs(s, dir), "doc_id", "source", 10)
@@ -584,15 +586,18 @@ object LlmOps {
     ("sample_shards",
       (s: SparkSession, dir: String) => {
         val sp = graft.operators.Sampling
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("shard").orderBy(sp.orderKey(col("doc_id")), col("doc_id"))
+        // head_doc is `min_by` over the training-order key — a plain
+        // map-side-combinable aggregate, NOT a per-shard ranking window
+        // (which would sort the whole corpus inside 8 shard partitions
+        // to keep row 1). (orderKey, doc_id) is unique per row, so the
+        // argmin is deterministic.
         docs(s, dir)
           .withColumn("shard", sp.hashBucketK(col("doc_id"), 8))
-          .withColumn("pos", row_number().over(w))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("n_chars"),
-            min(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+            min_by(col("doc_id"),
+              struct(sp.orderKey(col("doc_id")), col("doc_id"))).as("head_doc"))
           .orderBy("shard")
       },
       Some(s"""WITH sh AS (

@@ -80,4 +80,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"global-window whitelist entries no longer needed (remove them): $stale")
   }
+
+  /** Queries whose top-k / quota semantics MUST rank through the
+    * bounded-heap TopKPerGroup operator (map-side partials cap the
+    * shuffle at groups·k rows per partition), not a grouped
+    * row_number window that sorts every input row of every group.
+    * A regression back to the window shape fails here.
+    */
+  private val mustUseBoundedTopK: Seq[String] = Seq(
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "sample_capped")
+
+  test("top-k queries rank through the bounded-heap operator") {
+    mustUseBoundedTopK.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      assert(plan.contains("TopKPerGroupFinal") &&
+        plan.contains("TopKPerGroupPartial"),
+        s"$name no longer ranks through the bounded TopKPerGroup operator")
+    }
+  }
+
+  /** Aggregation-only manifests must not smuggle a ranking window in:
+    * the per-shard head doc is a `min_by` aggregate, and the quota cap
+    * is the bounded heap — neither plan may contain ANY window.
+    */
+  test("window-free manifests stay window-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("sample_shards", "sample_capped").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      spark.catalog.clearCache()
+      val wins = plan.collectWithSubqueries { case w: LWindow => w }
+      assert(wins.isEmpty, s"$name gained a window: ranked/ordered work " +
+        "must flow through aggregates or the bounded top-k operator")
+    }
+  }
 }
