@@ -237,7 +237,15 @@ object GraftTable {
     val (fs, logDir) = logFs(spark, root)
     val tip = snapshot(spark, root).version
     val cutoff = tip - keepLast + 1
-    if (cutoff <= 0) return Nil
+    // clamp to what still exists: after a prior expiry at cutoff C, a
+    // later call asking to retain MORE than remains computes a cutoff
+    // before C — retaining more than exists is a no-op for a
+    // maintenance call, not a crash (the checkpoint at the already-
+    // expired cutoff could not even be rebuilt)
+    val earliest = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toLong)
+      .minOption.getOrElse(0L)
+    if (cutoff <= earliest) return Nil
     writeCheckpoint(spark, root, fs, logDir, cutoff)
     val names = fs.listStatus(logDir).map(_.getPath.getName)
     val expired = names.flatMap { n =>
@@ -322,9 +330,23 @@ object GraftTable {
     }
   }
 
-  /** Current (or as-of) table state. */
+  /** Current (or as-of) table state. Tolerates one concurrent
+    * [[expireVersions]]: expiry writes its cutoff checkpoint FIRST and
+    * only then deletes entries one by one, so a reader that listed the
+    * log before the checkpoint landed can see an entry vanish
+    * mid-replay — one re-list picks up the new checkpoint, which
+    * covers the deleted prefix. (The commit path needs no such retry:
+    * publishes are rename-atomic.)
+    */
   def snapshot(spark: SparkSession, root: String,
-      version: Option[Long] = None): Snapshot = {
+      version: Option[Long] = None): Snapshot =
+    try snapshotAttempt(spark, root, version)
+    catch { case _: java.io.FileNotFoundException =>
+      snapshotAttempt(spark, root, version)
+    }
+
+  private def snapshotAttempt(spark: SparkSession, root: String,
+      version: Option[Long]): Snapshot = {
     val (fs, logDir) = logFs(spark, root)
     if (!fs.exists(logDir))
       return Snapshot(-1L, new StructType(), Nil, Map.empty)
@@ -484,17 +506,22 @@ object GraftTable {
     */
   def vacuum(spark: SparkSession, root: String): Seq[String] = {
     val (fs, logDir) = logFs(spark, root)
-    // a file is live if ANY remaining log entry adds it OR any
-    // checkpoint's full state lists it — after expireVersions the
-    // checkpoint at the retention cutoff is the only reference to
-    // files added before it
+    // a file is live if ANY remaining log entry REFERENCES it (adds OR
+    // removes — changes() reads both sides of a retained CoW commit,
+    // so a file added at a now-expired version but removed at a
+    // retained one must survive even though no retained entry adds it
+    // and the cutoff checkpoint, reflecting state AFTER the removal,
+    // no longer lists it) OR any checkpoint's full state lists it —
+    // after expireVersions the checkpoint at the retention cutoff is
+    // the only reference to files added before it
     val referenced = fs.listStatus(logDir).map(_.getPath.getName)
       .flatMap { n =>
         val p = new Path(logDir, n)
-        if (n.matches("\\d{8}\\.json"))
-          mapper.readTree(readString(fs, p))
-            .get("adds").elements().asScala.map(_.get("path").asText).toSeq
-        else if (n.matches("\\d{8}\\.ckpt\\.json"))
+        if (n.matches("\\d{8}\\.json")) {
+          val node = mapper.readTree(readString(fs, p))
+          node.get("adds").elements().asScala.map(_.get("path").asText).toSeq ++
+            node.get("removes").elements().asScala.map(_.asText).toSeq
+        } else if (n.matches("\\d{8}\\.ckpt\\.json"))
           mapper.readTree(readString(fs, p))
             .get("files").elements().asScala.map(_.get("path").asText).toSeq
         else Nil

@@ -78,18 +78,36 @@ object IncrementalRollup {
           .groupBy(key)
           .agg(sum(sgn).as("dn"),
             sum(sgn * col(sumCol)).as("ds"))
-        // only MV files whose zone maps overlap the changed keys are
-        // rewritten; a disjoint file provably holds no changed group
-        val mm = delta.agg(min(col(key)), max(col(key))).head
-        if (mm.isNullAt(0)) Some((Nil, Nil, mvSnap.schema,
-          Some((appId(sourceRoot), srcV)))) // all-cancelling delta
+        // one groups-sized pass: the non-null key range AND whether a
+        // NULL group key appears in the delta (min/max ignore nulls,
+        // so the range alone would misclassify an all-null delta as
+        // all-cancelling and silently drop it)
+        val mm = delta.agg(min(col(key)), max(col(key)),
+          sum(when(col(key).isNull, 1L).otherwise(0L))).head
+        val hasNullKey = !mm.isNullAt(2) && mm.getLong(2) > 0
+        if (mm.isNullAt(0) && !hasNullKey)
+          Some((Nil, Nil, mvSnap.schema,
+            Some((appId(sourceRoot), srcV)))) // empty delta: txn tag only
         else {
-          val touched = mvSnap.files.filter(f => GraftTable.mayMatch(f,
-            GraftTable.Range(key, Some(mm.get(0)), Some(mm.get(1)))))
+          // only MV files whose zone maps overlap the changed keys are
+          // rewritten; a disjoint file provably holds no changed group.
+          // A NULL-key delta additionally touches every file whose key
+          // stats report nulls (or carry no stats — an all-null file
+          // has none): the null group lives outside any [min,max].
+          val touched = mvSnap.files.filter { f =>
+            val rangeHit = !mm.isNullAt(0) && GraftTable.mayMatch(f,
+              GraftTable.Range(key, Some(mm.get(0)), Some(mm.get(1))))
+            val nullHit = hasNullKey && f.stats.get(key).forall(_.nulls > 0)
+            rangeHit || nullHit
+          }
           val target = GraftTable.readFiles(spark, mvRoot, mvSnap, touched)
-          val merged = target
-            .join(delta, Seq(key), "full_outer")
-            .select(col(key),
+          // null-safe (<=>) join: a plain equi-join never matches NULL
+          // to NULL, which would split the null group into duplicate
+          // MV rows with partial counts
+          val merged = target.alias("t")
+            .join(delta.alias("d"),
+              col(s"t.$key") <=> col(s"d.$key"), "full_outer")
+            .select(coalesce(col(s"t.$key"), col(s"d.$key")).as(key),
               (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
                 .as("n"),
               (coalesce(col("s"), lit(0).cast(target.schema("s").dataType))

@@ -470,4 +470,73 @@ class GraftTableSpec extends SparkSpec {
       "a re-delivered batch must be a commit no-op")
     assert(GraftTable.read(spark, root).count() == 3)
   }
+
+  test("vacuum keeps files referenced only by a retained entry's removes") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 40).coalesce(1))   // v0: file fA
+    GraftTable.append(spark, root, rows(40, 60).coalesce(1))  // v1
+    // v2: CoW delete touches fA (removes it, adds the rewritten file)
+    GraftTable.deleteWhere(spark, root, "id < 5",
+      Some(Range("id", None, Some(4L))))
+    GraftTable.append(spark, root, rows(100, 110).coalesce(1)) // v3
+    // retention drops v0/v1's entries; cutoff checkpoint reflects state
+    // AFTER v2, so it does NOT list fA — the only remaining reference
+    // to fA is v2's retained `removes`
+    assert(GraftTable.expireVersions(spark, root, keepLast = 2) == Seq(0L, 1L))
+    GraftTable.vacuum(spark, root)
+    // changes over the retained v2 must still read BOTH sides of the
+    // CoW (the doc contract: vacuum keeps every log-referenced file
+    // alive) — before the fix, fA was reclaimed and this threw a raw
+    // parquet FileNotFound
+    val dels = GraftTable.changes(spark, root, 1, 2)
+      .filter(col("_change_type") === "delete")
+    assert(dels.count() == 5, "the five CoW-deleted rows must surface")
+    assert(GraftTable.read(spark, root).count() == 40 - 5 + 20 + 10)
+  }
+
+  test("expireVersions asking to retain more than remains is a no-op, not a crash") {
+    val root = freshRoot()
+    (0 until 7).foreach(i =>
+      GraftTable.append(spark, root, rows(i * 10L, i * 10L + 10).coalesce(1)))
+    assert(GraftTable.expireVersions(spark, root, keepLast = 2)
+      == (0L to 4L)) // cutoff 5
+    // a LARGER retention window than what survives: cutoff' = 1 < 5 —
+    // the maintenance call must no-op (the checkpoint at an expired
+    // version cannot be rebuilt), not crash
+    assert(GraftTable.expireVersions(spark, root, keepLast = 6) == Nil)
+    assert(GraftTable.read(spark, root).count() == 70)
+    assert(GraftTable.read(spark, root, Some(5L)).count() == 60)
+  }
+
+  test("readers race retention: snapshots never surface a raw missing-entry error") {
+    val root = freshRoot()
+    (0 until 6).foreach(i =>
+      GraftTable.append(spark, root, rows(i * 10L, i * 10L + 10).coalesce(1)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      // reader thread: continuous latest-snapshot construction while
+      // the main thread appends and expires — the expiry window
+      // (checkpoint landed, entries not yet all deleted) must be
+      // absorbed by snapshot()'s one re-list retry
+      val reader = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) {
+          try {
+            val s = GraftTable.snapshot(spark, root)
+            assert(s.version >= 5)
+          } catch { case t: Throwable => failure.set(t); stop.set(true) }
+        }
+      })
+      (6 until 26).foreach { i =>
+        GraftTable.append(spark, root, rows(i * 10L, i * 10L + 10).coalesce(1))
+        GraftTable.expireVersions(spark, root, keepLast = 3)
+      }
+      stop.set(true)
+      reader.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally { stop.set(true); pool.shutdown() }
+    assert(failure.get() == null,
+      s"reader failed during concurrent retention: ${failure.get()}")
+    assert(GraftTable.read(spark, root).count() == 260)
+  }
 }

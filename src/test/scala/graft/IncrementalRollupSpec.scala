@@ -89,4 +89,49 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(IncrementalRollup.appliedVersion(spark, src, mv) ==
       GraftTable.snapshot(spark, src).version)
   }
+
+  test("NULL group keys: the null group maintains as one row, never drops or splits") {
+    val base = Files.createTempDirectory("inc_rollup_null")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    def nullable(grp: Option[Long], id: Long, v: Long) =
+      (grp.map(java.lang.Long.valueOf).orNull, id, v)
+    def recomputeN(s: String) = GraftTable.read(spark, s).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    def mvN(m: String) = GraftTable.read(spark, m).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    // initial state already contains a null group
+    GraftTable.append(spark, src,
+      (Seq(nullable(None, 900L, 5L), nullable(None, 901L, 7L)) ++
+        (0L until 40L).map(i => nullable(Some(i % 4), i, i)))
+        .toDF("grp", "id", "v"))
+    IncrementalRollup.create(spark, src, mv, "grp", "v", targetFiles = 2)
+    assert(mvN(mv) == recomputeN(src))
+    // an ALL-null-key delta: before the fix min/max==null classified
+    // this as "all-cancelling" and silently dropped it
+    GraftTable.append(spark, src,
+      Seq(nullable(None, 902L, 11L), nullable(None, 903L, 13L))
+        .toDF("grp", "id", "v"))
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(mvN(mv) == recomputeN(src),
+      "an all-null-key delta must maintain the null group")
+    assert(mvN(mv).contains((None, 4L, 36L)), s"got ${mvN(mv)}")
+    // a MIXED delta: null group + real groups in one refresh — the
+    // plain equi-join used to split the null group into duplicates
+    GraftTable.append(spark, src,
+      (Seq(nullable(None, 904L, 2L)) ++
+        (0L until 8L).map(i => nullable(Some(i % 4), 500 + i, 10L)))
+        .toDF("grp", "id", "v"))
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(mvN(mv) == recomputeN(src), "mixed null+real delta must match recompute")
+    assert(mvN(mv).count(_._1.isEmpty) == 1, "exactly ONE null-group MV row")
+    // deleting every null-key row drops the null group from the MV
+    GraftTable.deleteWhere(spark, src, "grp IS NULL", None)
+    IncrementalRollup.refresh(spark, src, mv, "grp", "v")
+    assert(mvN(mv) == recomputeN(src))
+    assert(!mvN(mv).exists(_._1.isEmpty), "null group fully cancelled must drop")
+  }
 }
