@@ -67,16 +67,31 @@ object Bpe {
 
   /** Train `nMerges` BPE merges. Each round: weighted adjacent-pair
     * count over the vocab frame, deterministic argmax (count desc,
-    * then (a, b) lexicographic), fold-merge. Stops early when no
-    * adjacent pair remains (every word fused to one symbol).
+    * then (a, b) lexicographic in UTF-8 byte order — Spark's string
+    * order), fold-merge. Stops early when no adjacent pair remains
+    * (every word fused to one symbol).
+    *
+    * Cost split: the corpus-scale pass is ONLY the word count. When
+    * the resulting word-frequency table fits the driver
+    * (≤ `driverFoldMaxWords` distinct words — at the default 4M, a
+    * few hundred MB), the merge loop folds DRIVER-side: a production
+    * 32k-merge vocabulary is then a tight in-memory loop, not 32k
+    * Spark jobs of scheduler overhead on a vocab-sized frame. Past
+    * the threshold the loop runs distributed (two vocab-sized jobs
+    * per round). Both paths produce byte-identical merge lists and
+    * pieces (spec-enforced).
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Tokenizer = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+      driverFoldMaxWords: Long = 4L * 1024 * 1024): Tokenizer = {
+    val wf0 = wordFreqs(docs, textCol)
+    if (wf0.count() <= driverFoldMaxWords)
+      return trainDriver(docs.sparkSession, wf0, nMerges)
     // localCheckpoint per round: truncates both lineage and the ANALYZED
     // plan — without it ProjectCollapse folds every round's fold-merge
     // into one k-deep nested HOF expression and analysis/codegen cost
     // explodes with the merge count (the Components-loop lesson at the
     // DataFrame layer). The checkpointed frame is vocab-sized.
-    var wf = wordFreqs(docs, textCol)
+    var wf = wf0
       .withColumn("syms", initSyms(col("word")))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -103,6 +118,85 @@ object Bpe {
       }
     }
     Tokenizer(merges.toSeq, wf)
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's `UTF8String` sort order,
+    * which the distributed path's `orderBy` uses. Java's
+    * `String.compareTo` (UTF-16 code units) disagrees beyond the BMP,
+    * so the driver fold must compare bytes to stay byte-identical.
+    */
+  private def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The merge loop as a driver-local fold over the collected
+    * word-frequency table — semantics identical to the distributed
+    * loop (same weighted pair counts, same (count desc, UTF-8 (a, b))
+    * argmax, same left-to-right non-overlapping fold-merge), minus
+    * the per-round scheduler round-trips.
+    */
+  private def trainDriver(spark: org.apache.spark.sql.SparkSession,
+      wf: DataFrame, nMerges: Int): Tokenizer = {
+    val words = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val syms: Array[Vector[String]] = words.map { case (w, _) =>
+      w.map(_.toString).toVector :+ EndOfWord
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val f = words(wi)._2
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && {
+              val ca = utf8Cmp(e._1._1, best._1._1)
+              ca < 0 || (ca == 0 && utf8Cmp(e._1._2, best._1._2) < 0)
+            })) best = e
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi)
+          var touched = false
+          val out = Vector.newBuilder[String]
+          var last: String = null
+          s.foreach { x =>
+            if (last == a && x == b) { last = a + b; touched = true }
+            else { if (last != null) out += last; last = x }
+          }
+          if (last != null) out += last
+          if (touched) syms(wi) = out.result()
+          wi += 1
+        }
+      }
+    }
+    import spark.implicits._
+    val pieces = words.zip(syms)
+      .map { case ((w, f), s) => (w, f, s) }.toSeq
+      .toDF("word", "freq", "syms")
+    Tokenizer(merges.toSeq, pieces)
   }
 
   /** Tokenize a corpus with a trained [[Tokenizer]]: split → join the
