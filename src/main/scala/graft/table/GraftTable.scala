@@ -34,15 +34,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   data/<commit-uuid>/part-*.parquet   immutable data files
   * }}}
   *
-  * Concurrency: a commit is one rename of a fully-written temp file to
-  * the next version's reserved name. On HDFS rename-to-existing fails
-  * atomically at the namenode, so the first writer wins outright. On a
-  * POSIX local FS rename silently replaces, leaving a small race
-  * window; the committer re-reads the destination and treats a
-  * content mismatch as a lost race (its data files become orphans that
-  * [[vacuum]] reclaims, and it retries at the next version). Object
-  * stores without atomic rename need a conditional-put — the same
-  * external-commit-service caveat the Delta paper documents.
+  * Concurrency: a commit is one write-if-absent publish of a
+  * fully-written entry at the next version's reserved name, routed
+  * through the pluggable [[LogStore]] for the root's filesystem
+  * scheme: `link(2)`-backed conditional create on the local FS
+  * (kernel-atomic), HDFS-atomic rename for unregistered schemes, and
+  * for object stores a registered conditional-create store
+  * ([[ExclusiveCreateLogStore]] — the S3 `If-None-Match: *` shape,
+  * exercised against the test suite's `mocks3://` store by the
+  * racing-appender stress). A loser's data files become orphans that
+  * [[vacuum]] reclaims, and it retries at the next version.
   *
   * Scale posture: log entries carry METADATA only (paths + zone maps),
   * so commit cost is O(files touched), never O(table). Snapshot
@@ -565,7 +566,7 @@ object GraftTable {
         case Some((adds, removes, schema, txn)) =>
           val v = snap.version + 1
           val entry = entryJson(v, adds, removes, schema, txn)
-          if (tryCommit(fs, logDir, entryName(v), entry)) {
+          if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v), entry)) {
             maybeCheckpoint(spark, root, fs, logDir, v)
             return v
           }
@@ -575,21 +576,6 @@ object GraftTable {
       attempt += 1
     }
     sys.error(s"GraftTable: gave up after $attempt commit conflicts at $root")
-  }
-
-  /** Rename-based exclusive publish; see the class doc for the
-    * per-filesystem atomicity story.
-    */
-  private def tryCommit(fs: FileSystem, logDir: Path, name: String,
-      json: String): Boolean = {
-    val dst = new Path(logDir, name)
-    if (fs.exists(dst)) return false
-    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-    writeString(fs, tmp, json)
-    val renamed = try fs.rename(tmp, dst) catch { case _: Exception => false }
-    if (!renamed) { fs.delete(tmp, false); return false }
-    // POSIX rename replaces silently; detect a lost race by content
-    readString(fs, dst) == json
   }
 
   private def maybeCheckpoint(spark: SparkSession, root: String,
