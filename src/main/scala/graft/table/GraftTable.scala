@@ -472,22 +472,33 @@ object GraftTable {
     */
   def appendsSince(spark: SparkSession, root: String,
       sinceVersion: Long): (DataFrame, Long) = {
-    val (fs, logDir) = logFs(spark, root)
     val tip = snapshot(spark, root)
-    val addPaths = ((sinceVersion + 1) to tip.version).flatMap { v =>
+    (appendsBetween(spark, root, sinceVersion, tip.version, tip.schema),
+      tip.version)
+  }
+
+  /** The rows appended by versions in `(sinceVersion, toVersion]`, read
+    * under `schema` — the bounded-range form [[appendsSince]] and the
+    * streaming source's `getBatch` share. Deterministic for a fixed
+    * range (immutable files + the log), which is what makes a
+    * checkpointed micro-batch replay exactly-once. Same removal rule
+    * as [[appendsSince]].
+    */
+  def appendsBetween(spark: SparkSession, root: String, sinceVersion: Long,
+      toVersion: Long, schema: StructType): DataFrame = {
+    val (fs, logDir) = logFs(spark, root)
+    val addPaths = ((sinceVersion + 1) to toVersion).flatMap { v =>
       val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
       require(node.get("removes").isEmpty,
         s"appendsSince: version $v removed files — non-append commit in " +
           "range; re-sync from a full read")
       node.get("adds").elements().asScala.map(_.get("path").asText).toSeq
     }
-    val df =
-      if (addPaths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tip.schema)
-      else spark.read.schema(tip.schema)
-        .parquet(addPaths.map(p => new Path(root, p).toString): _*)
-    (df, tip.version)
+    if (addPaths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(addPaths.map(p => new Path(root, p).toString): _*)
   }
 
   /** Commit metadata, newest first — the DESCRIBE HISTORY analogue. */

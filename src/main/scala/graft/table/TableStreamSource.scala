@@ -1,0 +1,100 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graftshim.GraftStreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming source over a [[GraftTable]] — the table format
+  * as a stream, so a downstream query can
+  * `spark.readStream.format("grafttable").option("path", root).load()`
+  * and incrementally consume appends with exactly-once semantics.
+  *
+  * Same architecture as the published Delta Lake streaming source
+  * (Armbrust et al., VLDB 2020 §4.3, and `DeltaSource` in the
+  * delta-io/delta repo): a V1 `Source` whose OFFSETS ARE LOG VERSIONS.
+  * `getOffset` reports the table's tip version; `getBatch(a, b)` reads
+  * the files appended by versions in `(a, b]` — a deterministic
+  * function of the immutable log, which is what makes the engine's
+  * offset-checkpointed replay exactly-once: a re-delivered range
+  * produces byte-identical rows. No per-source state exists outside
+  * the engine's own checkpoint.
+  *
+  * Non-append commits (delete / overwrite / merge / restore) fail the
+  * batch with [[GraftTable.appendsBetween]]'s contract error and stop
+  * the stream — removals break the "appends compose" premise and the
+  * consumer must re-sync from a full read, the same rule the Delta
+  * source enforces (its `ignoreDeletes`-off default).
+  *
+  * Scale posture: a micro-batch plans ONLY the files its version range
+  * added — O(commit), never O(table) — and the read is a plain parquet
+  * scan, so column pruning and predicate pushdown on the streaming
+  * query reach the files exactly as in batch.
+  *
+  * Options: `path` (table root, required); `startingVersion` — first
+  * batch covers appends strictly AFTER this version (default −1 =
+  * from the table's beginning).
+  */
+class GraftTableSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "grafttable"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "grafttable source requires option 'path' (the table root)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      GraftTable.snapshot(sqlContext.sparkSession, rootOf(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
+}
+
+/** A committed table version as a stream offset. */
+case class TableVersionOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+class GraftTableSource(spark: SparkSession, root: String,
+    startingVersion: Long) extends Source {
+
+  // Pinned at source creation: appends may widen the schema mid-stream,
+  // but a streaming query's schema is fixed at analysis — new columns
+  // appear on restart, as with the file and Delta sources.
+  override val schema: StructType = GraftTable.snapshot(spark, root).schema
+
+  private def versionOf(o: Offset): Long = o match {
+    case TableVersionOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset from checkpoint
+  }
+
+  override def getOffset: Option[Offset] = {
+    val tip = GraftTable.snapshot(spark, root).version
+    if (tip < 0 || tip <= startingVersion) None
+    else Some(TableVersionOffset(tip))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val batch =
+      GraftTable.appendsBetween(spark, root, from, versionOf(end), schema)
+    // MicroBatchExecution requires isStreaming = true on a V1 batch —
+    // re-tag the parquet-scan plan through the one sanctioned door.
+    GraftStreamingShim.streamingFrame(spark,
+      batch.queryExecution.toRdd, batch.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftTableSource[$root, startingVersion=$startingVersion]"
+}

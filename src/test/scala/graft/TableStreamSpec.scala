@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.table.GraftTable
+
+/** The GraftTable streaming source: `readStream.format("grafttable")`
+  * consumes the table's append commits with exactly-once semantics —
+  * offsets are log versions, a micro-batch reads only its range's
+  * files, and non-append commits stop the stream with the
+  * appends-compose contract error.
+  */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_tstream").toString
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
+
+  test("stream over three appends ≡ batch read; mid-stream appends arrive incrementally") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 40))
+    GraftTable.append(spark, root, rows(40, 70))
+
+    val q = spark.readStream.format("grafttable").option("path", root)
+      .load()
+      .writeStream.format("memory").queryName("tstream_out")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable() // drains versions 0..1
+      assert(spark.table("tstream_out").count() == 70)
+
+      GraftTable.append(spark, root, rows(70, 100)) // live append
+      q.processAllAvailable()
+      val got = spark.table("tstream_out")
+      assert(got.count() == 100)
+      // exactly-once: no row delivered twice, content ≡ batch read
+      assert(got.distinct().count() == 100)
+      assert(got.select("id", "key", "v").except(
+        GraftTable.read(spark, root)).isEmpty)
+      assert(GraftTable.read(spark, root).except(
+        got.select("id", "key", "v")).isEmpty)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes at the committed version (no replay, no loss)") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_tstream_ckpt").toString
+    val out = Files.createTempDirectory("graft_tstream_sink").toString
+    GraftTable.append(spark, root, rows(0, 30))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("grafttable").option("path", root)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // life 1: version 0
+    GraftTable.append(spark, root, rows(30, 45))
+    runOnce() // life 2: must deliver ONLY version 1's rows
+    val got = spark.read.parquet(out)
+    assert(got.count() == 45, "second life replayed or lost a batch")
+    assert(got.distinct().count() == 45)
+  }
+
+  test("startingVersion skips history; removal commit stops the stream with the contract error") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 20))
+    GraftTable.append(spark, root, rows(20, 30))
+
+    // startingVersion=0 → only version 1's rows
+    val q1 = spark.readStream.format("grafttable").option("path", root)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("tstream_sv").start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("tstream_sv").count() == 10)
+    } finally q1.stop()
+
+    // a delete (CoW remove) inside the unread range fails the stream
+    GraftTable.deleteWhere(spark, root, "id < 5", None)
+    val q2 = spark.readStream.format("grafttable").option("path", root)
+      .option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("tstream_rm").start()
+    val e = intercept[StreamingQueryException] {
+      try { q2.processAllAvailable(); q2.awaitTermination(2000) }
+      finally q2.stop()
+    }
+    assert(e.getMessage.contains("non-append commit") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append commit")))
+  }
+}
