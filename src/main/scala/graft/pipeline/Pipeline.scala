@@ -13,11 +13,19 @@ import org.slf4j.LoggerFactory
   * Unlike the reference — which builds and stops a SparkSession per asset
   * (`:116-124,132`) — one shared session flows through every asset.
   */
-final case class Asset(name: String, deps: Seq[String] = Nil)(
-    val run: SparkSession => Unit)
+/** `retries` = extra attempts after a failure before the asset is
+  * recorded as failed (the Dagster `RetryPolicy(max_retries=…)`
+  * analogue); 0 = fail fast.
+  */
+final case class Asset(name: String, deps: Seq[String] = Nil,
+    retries: Int = 0)(val run: SparkSession => Unit)
 
+/** `attempts` counts executions (1 = first try succeeded); `reused`
+  * marks an asset NOT run this time because a resume found it green in
+  * the previous run's report and no upstream changed.
+  */
 final case class AssetResult(name: String, seconds: Double,
-    error: Option[Throwable])
+    error: Option[Throwable], attempts: Int = 1, reused: Boolean = false)
 
 object Pipeline {
 
@@ -30,7 +38,9 @@ object Pipeline {
       .replace("\n", " ")
     val assets = results.map { r =>
       val err = r.error.map(e => "\"" + esc(e.toString) + "\"").getOrElse("null")
-      f"""{"asset":"${esc(r.name)}","seconds":${r.seconds}%.3f,"status":"${if (r.error.isEmpty) "ok" else "failed"}","error":$err}"""
+      val status =
+        if (r.reused) "reused" else if (r.error.isEmpty) "ok" else "failed"
+      f"""{"asset":"${esc(r.name)}","seconds":${r.seconds}%.3f,"status":"$status","attempts":${r.attempts},"error":$err}"""
     }.mkString("[", ",", "]")
     val total = results.map(_.seconds).sum
     f"""{"assets":$assets,"n_assets":${results.size},"n_failed":${results.count(_.error.nonEmpty)},"total_seconds":$total%.3f}"""
@@ -54,7 +64,8 @@ object Pipeline {
     val rows = results.map { r =>
       val pct = math.max(1, math.round(100 * r.seconds / maxSec))
       val (cls, label) =
-        if (r.error.isEmpty) ("ok", "ok") else ("failed", "FAILED")
+        if (r.reused) ("reused", "reused")
+        else if (r.error.isEmpty) ("ok", "ok") else ("failed", "FAILED")
       val err = r.error.map(e => s"<div class=err>${esc(e.toString)}</div>")
         .getOrElse("")
       s"""<tr class=$cls><td>${esc(r.name)}</td>
@@ -72,6 +83,7 @@ object Pipeline {
        | th,td{padding:.4em .8em;border-bottom:1px solid #ddd;text-align:left}
        | td.num{text-align:right;font-variant-numeric:tabular-nums}
        | td.ok{color:#0a7d32} td.failed{color:#b3261e;font-weight:600}
+ td.reused{color:#777;font-style:italic}
        | .bar{height:.7em;background:#6b8cc7;border-radius:2px;min-width:2px}
        | .err{color:#b3261e;font-size:12px;margin-top:.3em}
        | .summary{margin:.5em 0 1.5em;color:#555}
@@ -143,22 +155,56 @@ final class Pipeline(val assets: Seq[Asset]) {
   def materialize(spark: SparkSession,
       reportPath: Option[String] = None,
       htmlReportPath: Option[String] = None,
+      isolateSessions: Boolean = false): Seq[AssetResult] =
+    runSubset(spark, topoOrder.map(_.name).toSet, Set.empty, reportPath,
+      htmlReportPath, isolateSessions)
+
+  /** Partial re-materialization from the previous run's JSON report —
+    * the Dagster "re-execute from failure" analogue: re-run ONLY the
+    * assets that failed or never ran last time, plus their transitive
+    * DOWNSTREAM subtree (their inputs changed); every other asset is
+    * reused as-is (its `run` is not invoked; it appears in the report
+    * as `reused`). If the previous run was fully green, everything is
+    * reused and nothing executes.
+    */
+  def materializeResume(spark: SparkSession, previousReportPath: String,
+      reportPath: Option[String] = None,
+      htmlReportPath: Option[String] = None,
       isolateSessions: Boolean = false): Seq[AssetResult] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(new java.io.File(previousReportPath))
+    val prevOk = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.get("assets").elements()).asScala
+      .filter(a => a.get("status").asText == "ok" ||
+        a.get("status").asText == "reused")
+      .map(_.get("asset").asText).toSet
+    // seeds: failed last time, or absent from the report (run stopped
+    // before reaching them, or the asset is new since)
+    val seeds = topoOrder.map(_.name).filterNot(prevOk).toSet
+    // downstream closure: anything a seed (transitively) feeds re-runs
+    val toRun = collection.mutable.Set.empty[String] ++ seeds
+    topoOrder.foreach { a => // topo order ⇒ one forward pass closes it
+      if (!toRun(a.name) && a.deps.exists(toRun)) toRun += a.name
+    }
+    runSubset(spark, toRun.toSet, prevOk -- toRun, reportPath,
+      htmlReportPath, isolateSessions)
+  }
+
+  private def runSubset(spark: SparkSession, toRun: Set[String],
+      reuse: Set[String], reportPath: Option[String],
+      htmlReportPath: Option[String],
+      isolateSessions: Boolean): Seq[AssetResult] = {
     val results = collection.mutable.ArrayBuffer.empty[AssetResult]
     try {
       topoOrder.foreach { a =>
-        val t0 = System.nanoTime()
-        try {
-          a.run(if (isolateSessions) spark.newSession() else spark)
-          val secs = (System.nanoTime() - t0) / 1e9
-          log.info(f"asset ${a.name} materialized in $secs%.3f s")
-          results += AssetResult(a.name, secs, None)
-        } catch {
-          case e: Throwable =>
-            val secs = (System.nanoTime() - t0) / 1e9
-            log.error(s"asset ${a.name} failed after $secs s: ${e.getMessage}")
-            results += AssetResult(a.name, secs, Some(e))
-            throw e
+        if (reuse(a.name)) {
+          log.info(s"asset ${a.name} reused from previous run")
+          results += AssetResult(a.name, 0.0, None, attempts = 0,
+            reused = true)
+        } else if (toRun(a.name)) {
+          results += runWithRetries(a,
+            if (isolateSessions) spark.newSession() else spark)
+          results.last.error.foreach(throw _)
         }
       }
     } finally {
@@ -167,5 +213,35 @@ final class Pipeline(val assets: Seq[Asset]) {
         assets.map(a => a.name -> a.deps).toMap))
     }
     results.toSeq
+  }
+
+  private def runWithRetries(a: Asset, session: SparkSession): AssetResult = {
+    val t0 = System.nanoTime()
+    var attempt = 0
+    var lastErr: Option[Throwable] = None
+    while (attempt <= a.retries && (attempt == 0 || lastErr.nonEmpty)) {
+      attempt += 1
+      try {
+        a.run(session)
+        lastErr = None
+      } catch {
+        case e: Throwable =>
+          lastErr = Some(e)
+          if (attempt <= a.retries)
+            log.warn(s"asset ${a.name} attempt $attempt failed, " +
+              s"retrying (${a.retries - attempt + 1} left): ${e.getMessage}")
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    lastErr match {
+      case None =>
+        log.info(f"asset ${a.name} materialized in $secs%.3f s " +
+          s"($attempt attempt(s))")
+        AssetResult(a.name, secs, None, attempts = attempt)
+      case Some(e) =>
+        log.error(s"asset ${a.name} failed after $secs s " +
+          s"($attempt attempt(s)): ${e.getMessage}")
+        AssetResult(a.name, secs, Some(e), attempts = attempt)
+    }
   }
 }

@@ -255,4 +255,65 @@ class PipelineSpec extends SparkSpec {
     val origClick = ev.filter(col("etype") === "click").count()
     assert(total == 1000 - origClick + 10, s"unexpected total $total")
   }
+
+  test("asset retry: a flaky asset succeeds within its retry budget, attempts recorded") {
+    var calls = 0
+    val p = new Pipeline(Seq(Asset("flaky", retries = 2) { _ =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"flake $calls")
+    }))
+    val res = p.materialize(spark)
+    assert(calls == 3)
+    assert(res.head.error.isEmpty && res.head.attempts == 3)
+    // budget exhausted → the LAST error surfaces, attempts = retries+1
+    var calls2 = 0
+    val p2 = new Pipeline(Seq(Asset("dead", retries = 1) { _ =>
+      calls2 += 1; throw new RuntimeException(s"dead $calls2")
+    }))
+    val e = intercept[RuntimeException] { p2.materialize(spark) }
+    assert(calls2 == 2 && e.getMessage == "dead 2")
+  }
+
+  test("resume: only the failed asset's downstream subtree re-runs; green assets reused") {
+    // a → b → c, d independent; b fails on the first run
+    val ran = collection.mutable.ArrayBuffer.empty[String]
+    var bBroken = true
+    def assets() = Seq(
+      Asset("a")(_ => ran += "a"),
+      Asset("b", Seq("a")) { _ =>
+        ran += "b"; if (bBroken) throw new RuntimeException("b kaput")
+      },
+      Asset("c", Seq("b"))(_ => ran += "c"),
+      Asset("d")(_ => ran += "d"))
+    val dir = Files.createTempDirectory("resume")
+    val rep1 = dir.resolve("run1.json").toString
+    intercept[RuntimeException] {
+      new Pipeline(assets()).materialize(spark, reportPath = Some(rep1))
+    }
+    // dep-free a and d run first; the run stops at b, so c never ran
+    assert(ran == Seq("a", "d", "b"))
+    ran.clear(); bBroken = false
+    val rep2 = dir.resolve("run2.json").toString
+    val html2 = dir.resolve("run2.html").toString
+    val res = new Pipeline(assets()).materializeResume(spark, rep1,
+      reportPath = Some(rep2), htmlReportPath = Some(html2))
+    // a and d are reused; b (failed) and c (its downstream) execute
+    assert(ran.toSet == Set("b", "c"), s"expected only b,c to run: $ran")
+    val byName = res.map(r => r.name -> r).toMap
+    assert(byName("a").reused && byName("a").attempts == 0)
+    assert(byName("d").reused)
+    assert(!byName("b").reused && byName("b").error.isEmpty)
+    val rep = spark.read.json(rep2).selectExpr("explode(assets) as a")
+      .select("a.asset", "a.status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep == Map("a" -> "reused", "b" -> "ok", "c" -> "ok",
+      "d" -> "reused"))
+    val html = new String(Files.readAllBytes(dir.resolve("run2.html")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(html.contains("reused"))
+    // a fully green previous run resumes to all-reused, zero executions
+    ran.clear()
+    val res3 = new Pipeline(assets()).materializeResume(spark, rep2)
+    assert(ran.isEmpty && res3.forall(_.reused))
+  }
 }
