@@ -256,6 +256,24 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact-integer cell centroids over a pre-quantized frame
+    * `(cell, ca: array<long>, …)`: per-component exact sums, floored
+    * to an integer mean (`floor(double(Σx)/n)` — one IEEE division +
+    * floor, bit-identical cross-engine; NOT `//`, whose
+    * negative-operand semantics differ between engines). Shared by
+    * [[ivfTopKExact]] and the IVF+PQ residual coder
+    * ([[ProductQuantizer.trainResidual]]).
+    */
+  private[operators] def centroidsExactQuantized(c: DataFrame): DataFrame =
+    c.select(col("cell"), posexplode(col("ca")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("sx").cast("double") / col("cnt")))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("cm"))
+      .withColumn("cn", sumsq(col("cm")))
+
   /** IVF top-k under the hash-gate contract: centroids are exact
     * integer sums of quantized components, floored to a per-component
     * integer mean (`floor(double(Σx)/n)` — one IEEE division + floor,
@@ -272,14 +290,7 @@ object Similarity {
       .withColumn("qn", sumsq(col("qa")))
     val c = corpus.select(col("vec_id"), col(cellCol).as("cell"),
       quant(col("embedding")).as("ca"))
-    val cm = c.select(col("cell"), posexplode(col("ca")))
-      .groupBy("cell", "pos")
-      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
-      .withColumn("m", floor(col("sx").cast("double") / col("cnt")))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), expr("transform(pm, x -> x.m)").as("cm"))
-      .withColumn("cn", sumsq(col("cm")))
+    val cm = centroidsExactQuantized(c)
     val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(cm))
       .withColumn("cdot", idot(col("qa"), col("cm")))

@@ -388,6 +388,43 @@ object LlmOps {
       },
       None),
 
+    // IVF+PQ residual composition (Jégou 2011 §IV, IVFADC): label cells
+    // as the coarse quantizer (the judged ann_ivf contract), PQ codes
+    // trained on RESIDUALS qa − centroid(cell), search probes nprobe
+    // cells and ADC-scores only their code rows via q·x ≈ q·c +
+    // Σ lut[code_m]. Same no-oracle rationale as ann_pq_topk (Lloyd
+    // loops); ProductQuantizerSpec pins recall ≥ the flat-PQ floor and
+    // partitioning invariance.
+    ("ann_ivfpq_topk",
+      (s: SparkSession, dir: String) => {
+        val pq = graft.operators.ProductQuantizer
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "ivfpq_v1".hashCode.toLong)
+        val root = s"target/graft_ivfpq/$fp"
+        LlmOps.synchronized {
+          if (!new java.io.File(s"$root/_DONE").exists()) {
+            val cents = pq.cellCentroids(emb, "label")
+            cents.write.mode("overwrite").parquet(s"$root/cents")
+            val books = pq.trainResidual(s, emb, "label",
+              s.read.parquet(s"$root/cents"), m = 16, ksub = 64, iters = 2)
+            books.write.mode("overwrite").parquet(s"$root/books")
+            pq.encodeIvf(s, emb, "label", s.read.parquet(s"$root/cents"),
+              s.read.parquet(s"$root/books"), m = 16)
+              .write.mode("overwrite").parquet(s"$root/enc")
+            new java.io.File(s"$root/_DONE").createNewFile()
+          }
+        }
+        pq.searchIvfAdcRerank(s, qs, s.read.parquet(s"$root/enc"),
+          s.read.parquet(s"$root/books"), s.read.parquet(s"$root/cents"),
+          emb, m = 16, ksub = 64, k = 5, nprobe = 3, shortlist = 64)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // SemDeDup semantic dedup (cluster-then-prune, Abbas et al. 2023):
     // one Lloyd reassignment against exact-integer seed centroids, then
     // near-dup pairs scored only WITHIN each assigned cluster — the

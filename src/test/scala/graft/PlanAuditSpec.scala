@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "q48_percentiles" -> "4-row literal percentile frame broadcast against ranked groups",
     "ann_ivf_topk" -> "probe scoring: queries × broadcast centroid-mean frame (cells ≪ corpus) by design",
     "ann_pq_topk" -> "ADC scoring: code table × broadcast per-query LUT frame (queries ≪ corpus) by design",
+    "ann_ivfpq_topk" -> "probe scoring: queries × broadcast centroid frame (cells ≪ corpus) by design; ADC itself joins on cell",
     "text_bm25" -> "single-row cross join (corpus stats N/avgdl/df broadcast back onto docs)",
     "text_perplexity" -> "single-row cross join (total-token count N broadcast onto the vocab)",
     "text_ccnet_buckets" -> "single-row cross join (the shared lmSurprisal N-broadcast shape)",
@@ -89,7 +90,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val mustUseBoundedTopK: Seq[String] = Seq(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "sample_capped")
+    "ann_ivfpq_topk", "sample_capped")
 
   test("top-k queries rank through the bounded-heap operator") {
     mustUseBoundedTopK.foreach { name =>

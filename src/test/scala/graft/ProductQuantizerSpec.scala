@@ -94,4 +94,82 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(b1 == b7, "codebooks must be partition-invariant")
     assert(r1 == r7, "ADC rankings must be partition-invariant")
   }
+
+  test("IVF+PQ residual coding: raw-ADC recall beats the flat-PQ floor at the same M·Ksub budget") {
+    val cents = ProductQuantizer.cellCentroids(emb, "label")
+    val books = ProductQuantizer.trainResidual(spark, emb, "label", cents,
+      M, Ksub, iters = 3)
+    val enc = ProductQuantizer.encodeIvf(spark, emb, "label", cents, books, M)
+    assert(enc.count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = graft.operators.Similarity.bruteTopKExact(queries, emb, 10)
+    val e = exact.select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe ALL cells so the comparison isolates residual coding from
+    // probe misses: same corpus coverage as flat searchAdc, same code
+    // budget, only the coding target differs
+    val nCells = cents.count().toInt
+    val raw = ProductQuantizer.searchIvfAdc(spark, queries, enc, books,
+      cents, M, Ksub, k = 11, nprobe = nCells)
+    val a = raw.select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2).toSet
+    val rawRecall = a.intersect(e).size.toDouble / e.size
+    assert(rawRecall >= 0.6,
+      f"residual raw-ADC recall@10 $rawRecall%.2f — coding residuals " +
+        "must lift the 0.4 flat-PQ floor (cells absorb coarse position)")
+    val self = raw.filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.forall { case (q, n) => q == n },
+      "every self-query must rank itself first")
+    // full-coverage re-rank recovers the true top-10
+    val rerankedFull = ProductQuantizer.searchIvfAdcRerank(spark, queries,
+      enc, books, cents, emb, M, Ksub, k = 11, nprobe = nCells,
+      shortlist = 64)
+    val rf = rerankedFull.select(col("q_id"), col("neighbor_id")).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).filter(p => p._1 != p._2).toSet
+    val recallFull = rf.intersect(e).size.toDouble / e.size
+    assert(recallFull >= 0.8,
+      f"IVF+PQ re-ranked recall@10 $recallFull%.2f at full probe coverage")
+    // production shape: at nprobe=3 recall is CAPPED by probe coverage
+    // (neighbors in unprobed cells are invisible by construction — the
+    // judged ann_ivf query shares this ceiling); the composed search
+    // must ATTAIN that ceiling, not lose further recall to coding
+    val ivfCeiling = graft.operators.Similarity
+      .ivfTopKExact(queries, emb, "label", k = 11, nprobe = 3)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).filter(p => p._1 != p._2).toSet
+    val ceil = ivfCeiling.intersect(e).size.toDouble / e.size
+    val reranked = ProductQuantizer.searchIvfAdcRerank(spark, queries,
+      enc, books, cents, emb, M, Ksub, k = 11, nprobe = 3, shortlist = 64)
+    val r = reranked.select(col("q_id"), col("neighbor_id")).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).filter(p => p._1 != p._2).toSet
+    val recall = r.intersect(e).size.toDouble / e.size
+    assert(recall >= ceil - 0.05,
+      f"IVF+PQ nprobe=3 recall $recall%.2f fell below its own probe " +
+        f"ceiling $ceil%.2f — residual coding must not cost recall " +
+        "beyond probe misses")
+  }
+
+  test("IVF+PQ bit-determinism: centroids, books, and rankings identical on any partitioning") {
+    def run(part: Int): (Set[String], Set[String], Set[String]) = {
+      val e = emb.repartition(part)
+      val cents = ProductQuantizer.cellCentroids(e, "label")
+      val books = ProductQuantizer.trainResidual(spark, e, "label", cents,
+        M, Ksub, iters = 2)
+      val enc = ProductQuantizer.encodeIvf(spark, e, "label", cents, books, M)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val res = ProductQuantizer.searchIvfAdc(spark, queries, enc, books,
+        cents, M, Ksub, k = 5, nprobe = 3)
+      (cents.collect().map(_.toString).toSet,
+        books.collect().map(_.toString).toSet,
+        res.collect().map(_.toString).toSet)
+    }
+    val (c1, b1, r1) = run(2)
+    val (c7, b7, r7) = run(7)
+    assert(c1 == c7, "cell centroids must be partition-invariant")
+    assert(b1 == b7, "residual codebooks must be partition-invariant")
+    assert(r1 == r7, "IVF+PQ rankings must be partition-invariant")
+  }
 }
