@@ -40,8 +40,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Fixed calibration job: data-independent, sf-independent CPU work
+    // (hash-sum over a generated range). Its wall-clock moves with the
+    // machine's ambient load exactly as the query times do, so
+    // BASELINE-vs-BENCH per-query ratios recorded in DIFFERENT sessions
+    // normalize by the calibration ratio — the round-6 verdict's
+    // "baseline session ran 1.6× hotter" signal loss. Median of three.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1600000000L, 1L, cpus.toInt)
+          .selectExpr("bit_xor(xxhash64(id))") // overflow-free under ANSI
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm codegen
+      Seq.fill(3)(once()).sorted.apply(1)
+    }
+
     // warm-up: absorb session + parquet footer + codegen first-hit cost
     exec("q01_counts")
+    val calib = calibrate()
 
     // per query: one untimed warm execution (file-index + codegen caches),
     // then the timed run — steady-state plan cost, which is what scales;
@@ -74,14 +93,14 @@ object Bench {
       .mkString("{", ",", "}")
     val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,"queries":$qs,"gc_ms":$gcs,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     // The consumer tail-parses stdout with a bounded window, so the final
     // stdout line must stay small (<200 bytes): summary fields only. The
     // full per-query + gc detail goes to the BENCH_OUT file and stderr.
     // The compact line lands on stdout EXACTLY ONCE — after spark.stop(),
     // so no shutdown logging interleaves and it is the last line this
     // main emits.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
