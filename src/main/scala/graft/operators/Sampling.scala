@@ -108,4 +108,50 @@ object Sampling {
       Seq(groupCol), Seq(("__qok", true), (idCol, true)), k)
       .drop("__qok")
   }
+
+  /** Sharded training export — the production counterpart of the
+    * judged `sample_shards` manifest: physically write each shard's
+    * rows IN TRAINING ORDER ([[orderKey]] asc, id tiebreak) so a
+    * trainer streams files sequentially with zero read-time sorting.
+    *
+    * Layout: `out/shard=S/part-*.parquet`, files in NAME order =
+    * training order. `filesPerShard` scales the range partitioning
+    * (`repartitionByRange` on `(shard, orderKey, id)`): every output
+    * partition holds a CONTIGUOUS key range, so task order — and
+    * therefore part-file name order — extends the training order
+    * across files. Range boundaries come from the partitioner's
+    * sampling, which is the point at 100 TB: boundaries adapt to the
+    * data, so one shard is never a single write task and no fixed
+    * arithmetic split can collapse (membership and ORDER are the
+    * contract; where a shard's file boundaries fall is load
+    * balancing). The write's partitionBy ordering requirement is
+    * already satisfied by the in-partition sort, so the writer adds
+    * no second sort.
+    */
+  def exportShards(df: DataFrame, idCol: String, shards: Int, out: String,
+      filesPerShard: Int = 1): Unit = {
+    require(shards > 0 && filesPerShard > 0)
+    df.withColumn("shard", hashBucketK(col(idCol), shards))
+      .withColumn("__ok", orderKey(col(idCol)))
+      .repartitionByRange(shards * filesPerShard, col("shard"), col("__ok"),
+        col(idCol))
+      .sortWithinPartitions(col("shard"), col("__ok"), col(idCol))
+      .drop("__ok")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(out)
+  }
+
+  /** One shard's data files in training order (part-file name order —
+    * range-partitioned task order). Reading these sequentially IS
+    * reading the shard in training order; the manifest's `head_doc`
+    * is row 1 of file 1.
+    */
+  def shardFiles(spark: org.apache.spark.sql.SparkSession, out: String,
+      shard: Int): Seq[String] = {
+    val root = new java.io.File(out)
+    root.listFiles().toSeq
+      .filter(_.getName == s"shard=$shard").flatMap(_.listFiles().toSeq)
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(_.getAbsolutePath)
+  }
 }

@@ -128,6 +128,45 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("exportShards: files read back in manifest order — slices ascend, rows in training order") {
+    val sp = graft.operators.Sampling
+    val docsDf = Tables(spark, sf, "documents").select("doc_id", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("shard_export").toString
+    sp.exportShards(docsDf, "doc_id", shards = 4, out, filesPerShard = 2)
+
+    val all = docsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byShard = all.groupBy(d => bucketK(d._1, 4))
+    val manifest = docsDf
+      .withColumn("shard", sp.hashBucketK(col("doc_id"), 4))
+      .groupBy("shard")
+      .agg(min_by(col("doc_id"),
+        struct(sp.orderKey(col("doc_id")), col("doc_id"))).as("head_doc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    byShard.keySet.foreach { s =>
+      val files = sp.shardFiles(spark, out, s.toInt)
+      assert(files.nonEmpty, s"shard $s wrote no files")
+      // concatenated file order IS training order: the order key never
+      // decreases across the whole shard, files and slices included
+      val ids = files.flatMap(f => spark.read.parquet(f)
+        .select("doc_id").collect().map(_.getLong(0)))
+      val keys = ids.map(id => (orderKey(id), id))
+      assert(keys == keys.sorted,
+        s"shard $s not in training order across its files")
+      assert(ids.head == manifest(s),
+        s"shard $s first row must be the manifest head_doc")
+      assert(ids.toSet == byShard(s).map(_._1).toSet,
+        s"shard $s membership must match the hash assignment")
+      seen ++= ids
+    }
+    assert(seen.size == all.length, "shards must partition the corpus")
+    // filesPerShard=2 actually split: some shard holds ≥2 files
+    assert(byShard.keySet.exists(s =>
+      sp.shardFiles(spark, out, s.toInt).size >= 2),
+      "range partitioning produced no multi-file shard")
+  }
+
   test("NaiveBayes.trainScore: disjoint vocabularies classify train AND holdout perfectly") {
     import spark.implicits._
     val vocabs = Map(
