@@ -1,9 +1,10 @@
 package graft.table
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graftshim.GraftStreamingShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming source over a [[GraftTable]] — the table format
@@ -37,7 +38,7 @@ import org.apache.spark.sql.types.StructType
   * from the table's beginning).
   */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "grafttable"
 
@@ -57,6 +58,35 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
+
+  /** `writeStream.format("grafttable")` — exactly-once appends into the
+    * table via the txn ledger: the sink tags every commit with
+    * `(appId, batchId)` and [[GraftTable.append]] no-ops a replayed
+    * batch, so the engine's at-least-once re-delivery upgrades to
+    * exactly-once table contents. `appId` defaults to the query's
+    * checkpoint location (stable across restarts of the same query —
+    * the identity that MUST pin the ledger); override with option
+    * `txnAppId` when several queries share a checkpoint dir layout.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"grafttable sink supports Append output mode only, got $outputMode")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "grafttable sink needs a checkpointLocation (or explicit " +
+          "txnAppId) to key its exactly-once ledger"))
+    new GraftTableSink(rootOf(parameters), appId)
+  }
+}
+
+class GraftTableSink(root: String, appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    GraftTable.append(data.sparkSession, root,
+      GraftStreamingShim.batchFrame(data), txn = Some((appId, batchId)))
+  override def toString: String = s"GraftTableSink[$root]"
 }
 
 /** A committed table version as a stream offset. */

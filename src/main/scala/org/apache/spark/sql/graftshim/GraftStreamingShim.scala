@@ -23,4 +23,14 @@ object GraftStreamingShim {
       schema: StructType): DataFrame =
     spark.asInstanceOf[ClassicSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse door, for a V1 `Sink.addBatch`: the DataFrame Spark
+    * hands a sink carries a streaming-tagged plan that batch writers
+    * reject — re-tag it as a batch frame over the same rows (what
+    * Delta's sink does for the same reason).
+    */
+  def batchFrame(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[ClassicSparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = false)
 }

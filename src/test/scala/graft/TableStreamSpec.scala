@@ -71,6 +71,40 @@ class TableStreamSpec extends SparkSpec {
     assert(got.distinct().count() == 45)
   }
 
+  test("sink: streamed appends land exactly-once through the txn ledger, restart-safe") {
+    val src = freshRoot() // stream table-to-table: source is also a table
+    val dst = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_tsink_ckpt").toString
+    GraftTable.append(spark, src, rows(0, 25))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("grafttable").option("path", src)
+        .load()
+        .writeStream.format("grafttable").option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(GraftTable.read(spark, dst).count() == 25)
+    GraftTable.append(spark, src, rows(25, 60))
+    runOnce() // second life must append ONLY version 1's rows
+    val got = GraftTable.read(spark, dst)
+    assert(got.count() == 60 && got.distinct().count() == 60)
+    assert(got.except(GraftTable.read(spark, src)).isEmpty)
+    // ledger recorded the sink's app under the checkpoint identity
+    val txns = GraftTable.snapshot(spark, dst).txns
+    assert(txns.size == 1 && txns.head._2 >= 1,
+      s"expected one ledger entry at batch >= 1, got $txns")
+    // a manual replay of an already-committed batch is a no-op
+    val v = GraftTable.snapshot(spark, dst).version
+    GraftTable.append(spark, dst, rows(0, 5).toDF("id", "key", "v"),
+      txn = Some((txns.head._1, 0L)))
+    assert(GraftTable.snapshot(spark, dst).version == v,
+      "replayed ledger batch must not commit")
+  }
+
   test("startingVersion skips history; removal commit stops the stream with the contract error") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 20))
