@@ -304,6 +304,67 @@ object EngineOps {
                  GROUP BY l_returnflag)
                ORDER BY _commit_version, _change_type, l_returnflag""")),
 
+    // Merge-on-read deletion vectors judged END-TO-END: lineitem lands
+    // in two append commits, then deleteWhereDv masks every low-
+    // quantity row — scattered across ALL files, the selective-delete
+    // shape DVs exist for (a CoW delete would rewrite the whole
+    // table; the DV commit writes one small position parquet and
+    // touches no data file). The judged output is BOTH sides of the
+    // contract: the post-delete table state (masked read path) and
+    // the DV commit's change feed (exactly the newly-masked rows),
+    // each hash-checked against relational reconstruction from the
+    // raw table. Build is write-once with txn-tagged appends; the DV
+    // delete only runs at exactly the post-append version.
+    ("table_dv_delete",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate")
+        val src = new java.io.File(s"$dir/lineitem.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "dv_v1".hashCode.toLong)
+        val root = s"target/graft_table/dv_$fp"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 2L) {
+            gt.append(s, root,
+              li.filter(col("l_shipdate") < "1995-01-01"),
+              txn = Some(("dv_build", 0L)))
+            gt.append(s, root,
+              li.filter(col("l_shipdate") >= "1995-01-01"),
+              txn = Some(("dv_build", 1L)))
+            if (gt.snapshot(s, root).version == 1L)
+              gt.deleteWhereDv(s, root, "l_quantity <= 10", prune = None)
+          }
+        }
+        val state = gt.read(s, root)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("l_quantity")).as("sum_qty"))
+          .withColumn("section", lit("state"))
+        val cdc = gt.changes(s, root, 1L, 2L)
+          .filter(col("_change_type") === "delete")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("l_quantity")).as("sum_qty"))
+          .withColumn("section", lit("cdc_delete"))
+        state.unionByName(cdc)
+          .select("section", "l_returnflag", "n", "sum_qty")
+          .orderBy("section", "l_returnflag")
+      },
+      Some(s"""SELECT * FROM (
+                 SELECT 'state' AS section, l_returnflag,
+                        COUNT(*) AS n,
+                        ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                 FROM lineitem WHERE NOT (l_quantity <= 10)
+                 GROUP BY l_returnflag
+                 UNION ALL
+                 SELECT 'cdc_delete', l_returnflag,
+                        COUNT(*), ${Canonical.moneySumSql("l_quantity")}
+                 FROM lineitem WHERE l_quantity <= 10
+                 GROUP BY l_returnflag)
+               ORDER BY section, l_returnflag""")),
+
     // Incremental MV maintenance judged END-TO-END as a stateful
     // LIFECYCLE: source table built from lineitem (append pre-1994,
     // rollup MV created there, append 1994-95, CoW-delete pre-1993-06),

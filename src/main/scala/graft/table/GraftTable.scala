@@ -21,8 +21,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * storage layer a 100 TB pipeline needs under its MERGE / compaction /
   * Z-order / incremental-state operators: atomic multi-file commits,
   * snapshot isolation, time travel, schema evolution, zone-map file
-  * skipping, copy-on-write delete, and idempotent (exactly-once)
-  * streaming appends. Same architecture as the published Delta Lake
+  * skipping, copy-on-write delete, merge-on-read deletion vectors,
+  * and idempotent (exactly-once) streaming appends. Same architecture
+  * as the published Delta Lake
   * design (Armbrust et al., VLDB 2020): an ordered JSON commit log over
   * immutable data files, with periodic checkpoints so readers replay
   * O(interval) entries, not O(history).
@@ -70,13 +71,26 @@ object GraftTable {
     */
   final case class ColStats(tpe: String, min: Any, max: Any, nulls: Long)
 
+  /** A deletion vector: `path` (root-relative) of a parquet file of
+    * `(file string, pos long)` rows — the deleted ROW POSITIONS of one
+    * or more data files — and `rows`, the count of positions belonging
+    * to the data file that carries this reference. One DV parquet may
+    * serve several data files of the same commit (each filters to its
+    * own `file` at read).
+    */
+  final case class DvRef(path: String, rows: Long)
+
   /** One immutable data file. `path` is root-relative. `blooms` maps
     * column → base64 [[FileBloom]] bitset (present only for columns
-    * declared via [[setBloomColumns]] at write time).
+    * declared via [[setBloomColumns]] at write time). `dv` is the
+    * file's deletion vector, if a merge-on-read delete has masked rows
+    * out ([[deleteWhereDv]]); zone maps and blooms stay those of the
+    * PHYSICAL file — conservative, never wrong.
     */
   final case class AddFile(path: String, rows: Long,
       stats: Map[String, ColStats],
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      dv: Option[DvRef] = None)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
@@ -106,6 +120,7 @@ object GraftTable {
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None // already committed — idempotent replay
       else {
+        enforceConstraints(spark, root, df)
         val schema = mergedSchema(snap, df)
         Some((writeData(spark, root, df), Nil, schema, txn))
       }
@@ -114,6 +129,7 @@ object GraftTable {
   /** Replace the whole table content in one atomic commit. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commitRetry(spark, root) { snap =>
+      enforceConstraints(spark, root, df)
       Some((writeData(spark, root, df), snap.files.map(_.path),
         df.schema, None))
     }
@@ -138,6 +154,80 @@ object GraftTable {
         val remaining = readFiles(spark, root, snap, touched)
           .filter(s"NOT ($condSql)")
         Some((writeData(spark, root, remaining), touched.map(_.path),
+          snap.schema, None))
+      }
+    }
+
+  /** MERGE-ON-READ delete via deletion vectors (the Delta/Iceberg v2
+    * "position delete" shape): instead of rewriting every touched
+    * file ([[deleteWhere]]'s copy-on-write), the commit writes one
+    * small parquet of `(file, pos)` DELETED POSITIONS and re-adds the
+    * touched files carrying that reference. Readers apply the mask;
+    * the data files are untouched. This is the 100 TB move for
+    * selective deletes (GDPR erasure, bad-batch retraction): deleting
+    * 0.1% of rows costs O(matches), not a rewrite of every multi-GB
+    * file that contains one of them. [[purgeDeletes]] is the
+    * compaction that folds masks back into clean files.
+    *
+    * A re-delete on an already-masked file UNIONS positions (the new
+    * DV is self-contained — one reference per file, no chains), and
+    * only newly-matched rows count as changes in the CDC feed.
+    * Commits where the predicate matches nothing (or only
+    * already-deleted rows) are no-ops.
+    */
+  def deleteWhereDv(spark: SparkSession, root: String, condSql: String,
+      prune: Option[Range]): Long =
+    commitRetry(spark, root) { snap =>
+      val touched = prune match {
+        case Some(r) => prunedFilesAll(snap, Seq(r))
+        case None => snap.files
+      }
+      if (touched.isEmpty) None
+      else {
+        // new deletions = matches among LIVE rows (existing DVs applied,
+        // so re-deletes are idempotent and CDC stays exact)
+        val newDels = readMasked(spark, root, snap.schema, touched)
+          .filter(condSql)
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        val newCounts = newDels.groupBy("file").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (newCounts.isEmpty) None
+        else {
+          val hit = touched.filter(f => newCounts.contains(f.path))
+          // total mask per hit file = old DV rows ∪ new matches
+          val full = dvFrame(spark, root, hit.filter(_.dv.isDefined))
+            .map(_.unionByName(newDels)).getOrElse(newDels)
+          val dir = s"data/dv-${UUID.randomUUID().toString}"
+          full.repartition(1).sortWithinPartitions("file", "pos")
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(root, dir).toString)
+          val fs = new Path(root, dir).getFileSystem(hadoopConf(spark))
+          val dvFile = fs.listStatus(new Path(root, dir))
+            .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
+          val dvPath = s"$dir/$dvFile"
+          val adds = hit.map { f =>
+            val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(f.path)
+            f.copy(dv = Some(DvRef(dvPath, total)))
+          }
+          Some((adds, hit.map(_.path), snap.schema, None))
+        }
+      }
+    }
+
+  /** Fold deletion vectors back into clean files: every DV-carrying
+    * file is rewritten WITHOUT its masked rows (copy-on-write) in one
+    * atomic commit; the DV parquets become unreferenced at the tip and
+    * are reclaimed by [[vacuum]] once their last referencing log entry
+    * expires. O(masked files), not O(table) — the steady-state
+    * maintenance pass that bounds read-side mask cost.
+    */
+  def purgeDeletes(spark: SparkSession, root: String): Long =
+    commitRetry(spark, root) { snap =>
+      val masked = snap.files.filter(_.dv.isDefined)
+      if (masked.isEmpty) None
+      else {
+        val live = readFiles(spark, root, snap, masked)
+        Some((writeData(spark, root, live), masked.map(_.path),
           snap.schema, None))
       }
     }
@@ -168,6 +258,7 @@ object GraftTable {
       val target = readFiles(spark, root, snap, touched)
       val merged = graft.operators.Merge
         .applyChangelog(target, changes, keys, versionCol, opCol, deleteOp)
+      enforceConstraints(spark, root, merged)
       Some((writeData(spark, root, merged), touched.map(_.path),
         snap.schema, None))
     }
@@ -412,22 +503,39 @@ object GraftTable {
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val (fs, logDir) = logFs(spark, root)
     val tip = snapshot(spark, root, Some(toVersion)) // validates the bound
-    def readPaths(schema: StructType, ps: Seq[String]): DataFrame =
-      if (ps.isEmpty)
+    // a side reads LIVE rows: each file's deletion vector (as recorded
+    // on that side of the commit — adds carry theirs, removes carry
+    // theirs in removeDvs) applies before the bag-diff, so a DV delete
+    // commit surfaces exactly its newly-masked rows as deletes
+    def readSide(schema: StructType,
+        refs: Seq[(String, Option[DvRef])]): DataFrame =
+      if (refs.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(ps.map(p => new Path(root, p).toString): _*)
+      else readMasked(spark, root, schema,
+        refs.map { case (p, d) => AddFile(p, 0L, Map.empty, Map.empty, d) })
+        .select(schema.fieldNames.map(col).toSeq: _*)
     val perCommit = ((fromVersion + 1) to toVersion).map { v =>
       val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
       val schema = DataType.fromJson(node.get("schema").asText)
         .asInstanceOf[StructType]
       val adds = node.get("adds").elements().asScala
-        .map(_.get("path").asText).toSeq
+        .map(f => (f.get("path").asText,
+          if (f.hasNonNull("dv"))
+            Some(DvRef(f.get("dv").get("path").asText,
+              f.get("dv").get("rows").asLong))
+          else None)).toSeq
+      val removeDvs: Map[String, DvRef] =
+        if (node.hasNonNull("removeDvs"))
+          node.get("removeDvs").properties().asScala.map { e =>
+            e.getKey -> DvRef(e.getValue.get("path").asText,
+              e.getValue.get("rows").asLong)
+          }.toMap
+        else Map.empty
       val removes = node.get("removes").elements().asScala
-        .map(_.asText).toSeq
-      val addsDf = readPaths(schema, adds)
-      val remsDf = readPaths(schema, removes)
+        .map(p => (p.asText, removeDvs.get(p.asText))).toSeq
+      val addsDf = readSide(schema, adds)
+      val remsDf = readSide(schema, removes)
       val ins =
         if (removes.isEmpty) addsDf
         else if (adds.isEmpty) addsDf.limit(0)
@@ -442,7 +550,7 @@ object GraftTable {
     }
     perCommit.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
-        readPaths(tip.schema, Nil)
+        readSide(tip.schema, Nil)
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(0L)).limit(0)
       }
@@ -457,7 +565,11 @@ object GraftTable {
   def restore(spark: SparkSession, root: String, toVersion: Long): Long =
     commitRetry(spark, root) { snap =>
       val old = snapshot(spark, root, Some(toVersion))
-      if (old.files.map(_.path) == snap.files.map(_.path)) None
+      // identity = path + deletion vector: a DV commit changes CONTENT
+      // under unchanged paths, and restoring across it must swing the
+      // mask even though no data file moved
+      if (old.files.map(f => (f.path, f.dv)) ==
+          snap.files.map(f => (f.path, f.dv))) None
       else Some((old.files, snap.files.map(_.path), old.schema, None))
     }
 
@@ -526,16 +638,27 @@ object GraftTable {
     // no longer lists it) OR any checkpoint's full state lists it —
     // after expireVersions the checkpoint at the retention cutoff is
     // the only reference to files added before it
+    // an AddFile node references its data path AND its deletion
+    // vector's parquet (readers of any retained version need both)
+    def addRefs(f: JsonNode): Seq[String] =
+      f.get("path").asText +:
+        (if (f.hasNonNull("dv")) Seq(f.get("dv").get("path").asText) else Nil)
     val referenced = fs.listStatus(logDir).map(_.getPath.getName)
       .flatMap { n =>
         val p = new Path(logDir, n)
         if (n.matches("\\d{8}\\.json")) {
           val node = mapper.readTree(readString(fs, p))
-          node.get("adds").elements().asScala.map(_.get("path").asText).toSeq ++
-            node.get("removes").elements().asScala.map(_.asText).toSeq
+          val rmDvs =
+            if (node.hasNonNull("removeDvs"))
+              node.get("removeDvs").properties().asScala
+                .map(_.getValue.get("path").asText).toSeq
+            else Nil
+          node.get("adds").elements().asScala.flatMap(addRefs).toSeq ++
+            node.get("removes").elements().asScala.map(_.asText).toSeq ++
+            rmDvs
         } else if (n.matches("\\d{8}\\.ckpt\\.json"))
           mapper.readTree(readString(fs, p))
-            .get("files").elements().asScala.map(_.get("path").asText).toSeq
+            .get("files").elements().asScala.flatMap(addRefs).toSeq
         else Nil
       }.toSet
     val dataDir = new Path(root, "data")
@@ -576,7 +699,10 @@ object GraftTable {
         case None => return snap.version
         case Some((adds, removes, schema, txn)) =>
           val v = snap.version + 1
-          val entry = entryJson(v, adds, removes, schema, txn)
+          val removeDvs = snap.files
+            .filter(f => removes.contains(f.path) && f.dv.isDefined)
+            .map(f => f.path -> f.dv.get).toMap
+          val entry = entryJson(v, adds, removes, removeDvs, schema, txn)
           if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v), entry)) {
             maybeCheckpoint(spark, root, fs, logDir, v)
             return v
@@ -679,22 +805,83 @@ object GraftTable {
     * metadata per (file, column).
     */
   def setBloomColumns(spark: SparkSession, root: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Unit =
+    updateProps(spark, root) { node =>
+      val arr = node.putArray("bloomCols")
+      cols.foreach(arr.add)
+    }
+
+  /** Declare CHECK constraints (name → boolean SQL expression) that
+    * every subsequent [[append]] / [[overwrite]] / [[merge]] batch must
+    * satisfy — the storage-level data-quality gate (the Delta
+    * `ADD CONSTRAINT` shape): a batch with any violating row is
+    * REFUSED before anything is committed, with per-constraint
+    * violation counts in the error. SQL semantics: a row violates only
+    * when the expression is FALSE (NULL passes — spell NOT NULL as
+    * `col IS NOT NULL`). Validation is ONE aggregate pass over the
+    * incoming batch — O(batch), never O(table).
+    */
+  def setConstraints(spark: SparkSession, root: String,
+      constraints: Map[String, String]): Unit =
+    updateProps(spark, root) { node =>
+      val cn = node.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
+    }
+
+  private def updateProps(spark: SparkSession, root: String)(
+      f: ObjectNode => Unit): Unit = {
     val (fs, logDir) = logFs(spark, root)
     fs.mkdirs(logDir)
-    val node = mapper.createObjectNode()
-    val arr = node.putArray("bloomCols")
-    cols.foreach(arr.add)
-    writeString(fs, new Path(logDir, "_props.json"),
-      mapper.writeValueAsString(node))
+    val p = new Path(logDir, "_props.json")
+    val node =
+      if (fs.exists(p))
+        mapper.readTree(readString(fs, p)).asInstanceOf[ObjectNode]
+      else mapper.createObjectNode()
+    f(node)
+    writeString(fs, p, mapper.writeValueAsString(node))
   }
 
-  private def bloomColumns(spark: SparkSession, root: String): Seq[String] = {
+  private def readProps(spark: SparkSession, root: String): Option[JsonNode] = {
     val (fs, logDir) = logFs(spark, root)
     val p = new Path(logDir, "_props.json")
-    if (!fs.exists(p)) Nil
-    else mapper.readTree(readString(fs, p)).get("bloomCols")
-      .elements().asScala.map(_.asText).toSeq
+    if (!fs.exists(p)) None else Some(mapper.readTree(readString(fs, p)))
+  }
+
+  private def bloomColumns(spark: SparkSession, root: String): Seq[String] =
+    readProps(spark, root).filter(_.hasNonNull("bloomCols"))
+      .map(_.get("bloomCols").elements().asScala.map(_.asText).toSeq)
+      .getOrElse(Nil)
+
+  private def tableConstraints(spark: SparkSession,
+      root: String): Seq[(String, String)] =
+    readProps(spark, root).filter(_.hasNonNull("constraints"))
+      .map(_.get("constraints").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toSeq.sortBy(_._1))
+      .getOrElse(Nil)
+
+  /** Refuse `df` if any declared constraint has a violating row. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+      df: DataFrame): Unit = {
+    val cons = tableConstraints(spark, root)
+      // a constraint on a column this batch doesn't carry yet (schema
+      // evolution) cannot be evaluated — treated as passing, the rows
+      // read back as NULL which CHECK semantics admit
+      .filter { case (_, e) =>
+        scala.util.Try(df.filter(expr(e)).queryExecution.analyzed).isSuccess
+      }
+    if (cons.nonEmpty) {
+      val aggs = cons.map { case (n, e) =>
+        sum(when(coalesce(expr(e), lit(true)) === false, 1L)
+          .otherwise(0L)).as(n)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      val bad = cons.zipWithIndex.collect {
+        case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$n (`$e`): ${row.getLong(i)} rows"
+      }
+      require(bad.isEmpty,
+        s"constraint violation, batch refused: ${bad.mkString("; ")}")
+    }
   }
 
   /** Per-file row count + per-column min/max/nulls from the footer. */
@@ -817,7 +1004,8 @@ object GraftTable {
   }
 
   private def entryJson(v: Long, adds: Seq[AddFile], removes: Seq[String],
-      schema: StructType, txn: Option[(String, Long)]): String = {
+      removeDvs: Map[String, DvRef], schema: StructType,
+      txn: Option[(String, Long)]): String = {
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("schema", schema.json)
@@ -825,6 +1013,17 @@ object GraftTable {
     adds.foreach(f => a.add(addFileNode(f)))
     val rm = node.putArray("removes")
     removes.foreach(rm.add)
+    // the DV each removed file carried AT REMOVAL — self-contained so
+    // the change feed can reconstruct the remove side's LIVE rows
+    // without replaying a previous snapshot
+    if (removeDvs.nonEmpty) {
+      val rd = node.putObject("removeDvs")
+      removeDvs.toSeq.sortBy(_._1).foreach { case (p, d) =>
+        val dn = rd.putObject(p)
+        dn.put("path", d.path)
+        dn.put("rows", d.rows)
+      }
+    }
     txn.foreach { case (app, b) =>
       node.put("txnApp", app); node.put("txnBatch", b)
     }
@@ -851,6 +1050,11 @@ object GraftTable {
       val bl = node.putObject("blooms")
       f.blooms.toSeq.sortBy(_._1).foreach { case (c, b) => bl.put(c, b) }
     }
+    f.dv.foreach { d =>
+      val dn = node.putObject("dv")
+      dn.put("path", d.path)
+      dn.put("rows", d.rows)
+    }
     node
   }
 
@@ -870,7 +1074,12 @@ object GraftTable {
         n.get("blooms").properties().asScala
           .map(e => e.getKey -> e.getValue.asText).toMap
       else Map.empty[String, String]
-    AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms)
+    val dv =
+      if (n.hasNonNull("dv"))
+        Some(DvRef(n.get("dv").get("path").asText,
+          n.get("dv").get("rows").asLong))
+      else None
+    AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv)
   }
 
   // ---------- IO helpers ----------
@@ -895,14 +1104,78 @@ object GraftTable {
       extra.foldLeft(snap.schema)((s, f) => s.add(f.copy(nullable = true)))
     }
 
+  /** The LIVE rows of `files` under `snap.schema` — deletion vectors
+    * applied. Files without a DV take the plain parquet path (no
+    * metadata columns, no join — the common case stays the fast
+    * case); DV'd files read with `_metadata.{file_path,row_index}` and
+    * anti-join their positions out. The DV frame is bounded by
+    * deleted-row count (and [[purgeDeletes]] is the maintenance move
+    * when it grows), so the anti-join broadcasts.
+    */
   private[table] def readFiles(spark: SparkSession, root: String, snap: Snapshot,
-      files: Seq[AddFile]): DataFrame =
-    if (files.isEmpty)
-      spark.createDataFrame(
+      files: Seq[AddFile]): DataFrame = {
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    val (dved, clean) = files.partition(_.dv.isDefined)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(snap.schema)
+        .parquet(clean.map(f => new Path(root, f.path).toString): _*))
+    val dvedDf =
+      if (dved.isEmpty) None
+      else Some(readMasked(spark, root, snap.schema, dved)
+        .select(cols: _*))
+    (cleanDf, dvedDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else
-      spark.read.schema(snap.schema)
-        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+    }
+  }
+
+  /** DV-applied read of DV-carrying files, KEEPING the row identity
+    * columns `__file` (root-relative path) and `__pos` (row index in
+    * the physical file) — the frame [[deleteWhereDv]] computes new
+    * deletions over.
+    */
+  private def readMasked(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[AddFile]): DataFrame = {
+    val tagged = taggedRead(spark, root, schema, files.map(_.path))
+    dvFrame(spark, root, files) match {
+      case None => tagged
+      case Some(dv) => tagged.join(broadcast(dv),
+        tagged("__file") === dv("file") && tagged("__pos") === dv("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Raw read of `paths` plus `__file`/`__pos` identity columns. The
+    * root-relative path is recovered from `_metadata.file_path`'s last
+    * two components (`data/<commit>/<part>` — the layout invariant).
+    */
+  private def taggedRead(spark: SparkSession, root: String,
+      schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.schema(schema)
+      .parquet(paths.map(p => new Path(root, p).toString): _*)
+      .withColumn("__file", regexp_extract(
+        col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Union of the distinct DV parquets `files` reference, filtered to
+    * those files' rows: `(file, pos)`.
+    */
+  private def dvFrame(spark: SparkSession, root: String,
+      files: Seq[AddFile]): Option[DataFrame] = {
+    val withDv = files.filter(_.dv.isDefined)
+    if (withDv.isEmpty) None
+    else {
+      val paths = withDv.map(_.path).toSet
+      val dvPaths = withDv.map(_.dv.get.path).distinct
+      Some(spark.read
+        .parquet(dvPaths.map(p => new Path(root, p).toString): _*)
+        .filter(col("file").isin(paths.toSeq: _*)))
+    }
+  }
 
   private def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+import graft.table.GraftTable.Range
+
+/** Merge-on-read deletion vectors: a DV delete masks rows without
+  * rewriting data files, readers/time-travel/CDC all see exactly the
+  * live rows, purge folds masks back into clean files, and vacuum
+  * keeps every referenced DV parquet alive.
+  */
+class GraftTableDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_dv").toString
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
+
+  private def dataFileNames(root: String): Set[String] =
+    GraftTable.snapshot(spark, root).files.map(_.path).toSet
+
+  test("DV delete: rows masked, data files untouched, time travel intact") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 50))
+    GraftTable.append(spark, root, rows(50, 100))
+    val before = dataFileNames(root)
+    val v = GraftTable.deleteWhereDv(spark, root, "id >= 20 AND id < 30",
+      Some(Range("id", Some(20L), Some(29L))))
+    assert(v == 2)
+    // same physical data files, now carrying a DV
+    assert(dataFileNames(root) == before,
+      "merge-on-read must not rewrite or add data files")
+    val snap = GraftTable.snapshot(spark, root)
+    val masked = snap.files.filter(_.dv.isDefined)
+    assert(masked.nonEmpty && masked.map(_.dv.get.rows).sum == 10,
+      s"touched files mask 10 rows total: ${snap.files.map(_.dv)}")
+    // read sees live rows only
+    val got = GraftTable.read(spark, root).select("id").as[Long].collect().sorted
+    assert(got.toSeq == ((0L until 20) ++ (30L until 100)))
+    // time travel to the pre-delete version still sees everything
+    assert(GraftTable.read(spark, root, Some(1)).count() == 100)
+    // physical rows stat unchanged (zone maps conservative)
+    assert(snap.files.map(_.rows).sum == 100)
+  }
+
+  test("re-delete unions positions; no-match and already-deleted predicates are no-ops") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 40))
+    GraftTable.deleteWhereDv(spark, root, "id < 5", None)
+    val v1 = GraftTable.snapshot(spark, root).version
+    // same predicate again: everything already masked → NO new commit
+    assert(GraftTable.deleteWhereDv(spark, root, "id < 5", None) == v1)
+    // disjoint predicate: masks union
+    GraftTable.deleteWhereDv(spark, root, "id >= 35", None)
+    val dvRows = GraftTable.snapshot(spark, root).files.flatMap(_.dv.map(_.rows))
+    assert(dvRows.sum == 10, s"5 + 5 masked positions total: $dvRows")
+    assert(GraftTable.read(spark, root).count() == 30)
+    // predicate matching nothing: no commit
+    val tip = GraftTable.snapshot(spark, root).version
+    assert(GraftTable.deleteWhereDv(spark, root, "id > 1000", None) == tip)
+  }
+
+  test("CDC: a DV commit emits exactly the newly-masked rows as deletes") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 30))
+    GraftTable.deleteWhereDv(spark, root, "id < 10", None) // v1
+    GraftTable.deleteWhereDv(spark, root, "id < 15", None) // v2: only 10..14 new
+    val c1 = GraftTable.changes(spark, root, 0, 1)
+    assert(c1.filter(col("_change_type") === "insert").count() == 0)
+    assert(c1.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 10))
+    val c2 = GraftTable.changes(spark, root, 1, 2)
+    assert(c2.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 15))
+    // whole-range feed composes
+    val all = GraftTable.changes(spark, root, -1, 2)
+    assert(all.filter(col("_change_type") === "insert").count() == 30)
+    assert(all.filter(col("_change_type") === "delete").count() == 15)
+  }
+
+  test("purgeDeletes folds masks into clean files; DV parquets reclaimed after retention") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 60))
+    GraftTable.deleteWhereDv(spark, root, "id % 3 = 0", None)
+    assert(GraftTable.read(spark, root).count() == 40)
+    val v = GraftTable.purgeDeletes(spark, root)
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.version == v && snap.files.forall(_.dv.isEmpty),
+      "purge must leave no masked file")
+    assert(snap.files.map(_.rows).sum == 40,
+      "purged files hold exactly the live rows")
+    assert(GraftTable.read(spark, root).select("id").as[Long].collect()
+      .forall(_ % 3 != 0))
+    // double purge is a no-op
+    assert(GraftTable.purgeDeletes(spark, root) == v)
+    // vacuum now: DV parquet still log-referenced (v1's entry) → kept
+    val keptDv = GraftTable.vacuum(spark, root)
+    assert(!keptDv.exists(_.contains("dv-")),
+      s"DV parquet still referenced by retained entries: $keptDv")
+    // CDC across the purge window still reads both sides (DV + files)
+    val c = GraftTable.changes(spark, root, 0, 2)
+    assert(c.filter(col("_change_type") === "delete").count() == 20)
+    // the purge entry's removeDvs still references the DV (the change
+    // feed reads the remove side through it) — expiry only reclaims
+    // once THAT entry leaves the retention window
+    GraftTable.expireVersions(spark, root, keepLast = 1)
+    assert(!GraftTable.vacuum(spark, root).exists(_.contains("dv-")),
+      "DV must survive while the purge entry is retained")
+    GraftTable.append(spark, root, rows(100, 105)) // push the window past it
+    GraftTable.expireVersions(spark, root, keepLast = 1)
+    val reclaimed = GraftTable.vacuum(spark, root)
+    assert(reclaimed.exists(_.contains("dv-")),
+      s"unreferenced DV parquet must be reclaimed: $reclaimed")
+    assert(GraftTable.read(spark, root).count() == 45)
+  }
+
+  test("DV interacts with scans, appendsSince contract, and restore") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 50))
+    GraftTable.deleteWhereDv(spark, root, "id >= 40", None) // v1
+    // zone-pruned scan over a masked file returns live rows only
+    val s = GraftTable.scan(spark, root, Range("id", Some(30L), Some(49L)))
+    assert(s.select("id").as[Long].collect().sorted.toSeq == (30L until 40))
+    // a DV commit is a removal for the appends contract
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.appendsSince(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("non-append commit"))
+    // restore to pre-delete re-exposes the masked rows (metadata only)
+    GraftTable.restore(spark, root, 0L)
+    assert(GraftTable.read(spark, root).count() == 50)
+    // and restore BACK to the masked version applies the DV again
+    GraftTable.restore(spark, root, 1L)
+    assert(GraftTable.read(spark, root).count() == 40)
+  }
+
+  test("CHECK constraints: violating batches refused atomically, valid ones pass") {
+    val root = freshRoot()
+    GraftTable.setConstraints(spark, root, Map(
+      "id_nonneg" -> "id >= 0",
+      "key_present" -> "key IS NOT NULL"))
+    GraftTable.append(spark, root, rows(0, 10)) // valid
+    val vBefore = GraftTable.snapshot(spark, root).version
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root,
+        Seq((-1L, "bad", 0.0), (5L, null, 0.0), (6L, "ok", 1.0))
+          .toDF("id", "key", "v"))
+    }
+    assert(e.getMessage.contains("id_nonneg") &&
+      e.getMessage.contains("key_present"),
+      s"both violations must be named: ${e.getMessage}")
+    assert(GraftTable.snapshot(spark, root).version == vBefore,
+      "a refused batch must commit nothing")
+    assert(GraftTable.read(spark, root).count() == 10)
+    // NULL result of a CHECK passes (SQL semantics): v > 0 on a null v
+    GraftTable.setConstraints(spark, root, Map("v_pos" -> "v > 0"))
+    GraftTable.append(spark, root,
+      Seq((20L, "k20", Option.empty[Double])).toDF("id", "key", "v"))
+    assert(GraftTable.read(spark, root).count() == 11)
+    // merge output is validated too
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.merge(spark, root,
+        Seq((3L, "k3", -5.0, 9L, "U")).toDF("id", "key", "v", "ver", "op"),
+        Seq("id"), "ver", "op")
+    }
+    assert(e2.getMessage.contains("v_pos"))
+  }
+
+  test("CoW operations compose with DVs: compact drops masks, merge sees live rows") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 30))
+    GraftTable.deleteWhereDv(spark, root, "id < 10", None)
+    // compaction reads DV-applied rows and writes clean files
+    GraftTable.compact(spark, root, targetFiles = 1)
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.forall(_.dv.isEmpty) && snap.files.map(_.rows).sum == 20)
+    // a changelog merge over a masked table sees live rows only
+    val root2 = freshRoot()
+    GraftTable.append(spark, root2, rows(0, 20))
+    GraftTable.deleteWhereDv(spark, root2, "id >= 15", None)
+    val ch = Seq((3L, "k3x", 99.0, 1L, "U"), (100L, "k100", 1.0, 1L, "U"))
+      .toDF("id", "key", "v", "ver", "op")
+    GraftTable.merge(spark, root2, ch, Seq("id"), "ver", "op")
+    val got = GraftTable.read(spark, root2)
+    assert(got.count() == 16) // 15 live + 1 insert
+    assert(got.filter(col("id") === 3).select("key").head.getString(0) == "k3x")
+    assert(got.filter(col("id") >= 15 && col("id") < 100).count() == 0,
+      "masked rows must not resurrect through a merge")
+  }
+}
