@@ -122,7 +122,7 @@ object GraftTable {
       else {
         enforceConstraints(spark, root, df)
         val schema = mergedSchema(snap, df)
-        Some((writeData(spark, root, df), Nil, schema, txn))
+        Some((writeData(spark, root, df, schema), Nil, schema, txn))
       }
     }
 
@@ -130,7 +130,7 @@ object GraftTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commitRetry(spark, root) { snap =>
       enforceConstraints(spark, root, df)
-      Some((writeData(spark, root, df), snap.files.map(_.path),
+      Some((writeData(spark, root, df, df.schema), snap.files.map(_.path),
         df.schema, None))
     }
 
@@ -153,8 +153,8 @@ object GraftTable {
       else {
         val remaining = readFiles(spark, root, snap, touched)
           .filter(s"NOT ($condSql)")
-        Some((writeData(spark, root, remaining), touched.map(_.path),
-          snap.schema, None))
+        Some((writeData(spark, root, remaining, snap.schema),
+          touched.map(_.path), snap.schema, None))
       }
     }
 
@@ -227,7 +227,7 @@ object GraftTable {
       if (masked.isEmpty) None
       else {
         val live = readFiles(spark, root, snap, masked)
-        Some((writeData(spark, root, live), masked.map(_.path),
+        Some((writeData(spark, root, live, snap.schema), masked.map(_.path),
           snap.schema, None))
       }
     }
@@ -259,7 +259,7 @@ object GraftTable {
       val merged = graft.operators.Merge
         .applyChangelog(target, changes, keys, versionCol, opCol, deleteOp)
       enforceConstraints(spark, root, merged)
-      Some((writeData(spark, root, merged), touched.map(_.path),
+      Some((writeData(spark, root, merged, snap.schema), touched.map(_.path),
         snap.schema, None))
     }
 
@@ -279,7 +279,7 @@ object GraftTable {
         .repartitionByRange(targetFiles, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
-      Some((writeData(spark, root, keyed), snap.files.map(_.path),
+      Some((writeData(spark, root, keyed, snap.schema), snap.files.map(_.path),
         snap.schema, None))
     }
 
@@ -290,7 +290,7 @@ object GraftTable {
     commitRetry(spark, root) { snap =>
       val all = readFiles(spark, root, snap, snap.files)
         .repartition(targetFiles)
-      Some((writeData(spark, root, all), snap.files.map(_.path),
+      Some((writeData(spark, root, all, snap.schema), snap.files.map(_.path),
         snap.schema, None))
     }
 
@@ -309,7 +309,7 @@ object GraftTable {
       else {
         val merged = readFiles(spark, root, snap, small)
           .repartition(targetFiles)
-        Some((writeData(spark, root, merged), small.map(_.path),
+        Some((writeData(spark, root, merged, snap.schema), small.map(_.path),
           snap.schema, None))
       }
     }
@@ -609,8 +609,9 @@ object GraftTable {
     if (addPaths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
+    else spark.read.schema(physicalSchema(schema))
       .parquet(addPaths.map(p => new Path(root, p).toString): _*)
+      .select(toLogicalCols(schema): _*)
   }
 
   /** Commit metadata, newest first — the DESCRIBE HISTORY analogue. */
@@ -738,32 +739,119 @@ object GraftTable {
     fs.rename(tmp, new Path(logDir, ckptName(v)))
   }
 
+  // ---------- column mapping (rename/drop without rewrite) ----------
+
+  /** Rename a column METADATA-ONLY (the Delta column-mapping "name
+    * mode" upgrade semantic): the field keeps its PHYSICAL parquet
+    * name (recorded in the logical schema's field metadata), only the
+    * logical name changes — no data file is touched, every version
+    * stays time-travelable under the schema it was committed with.
+    * Reads translate physical → logical at scan; appends translate
+    * back at write.
+    */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+      newName: String): Long =
+    commitRetry(spark, root) { snap =>
+      require(snap.schema.fieldNames.contains(oldName),
+        s"renameColumn: no column $oldName")
+      require(!snap.schema.fieldNames.contains(newName),
+        s"renameColumn: column $newName already exists")
+      val schema = StructType(snap.schema.fields.map { f =>
+        if (f.name != oldName) f
+        else f.copy(name = newName, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysKey, physName(f)).build())
+      })
+      Some((Nil, Nil, schema, None))
+    }
+
+  /** Drop a column METADATA-ONLY: the field leaves the logical schema;
+    * the physical column stays in the immutable files (pruned at scan,
+    * reclaimed naturally as CoW maintenance rewrites them). A later
+    * re-add of the same logical name gets a FRESH physical name
+    * ([[mergedSchema]]), so dropped data can never resurrect.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long =
+    commitRetry(spark, root) { snap =>
+      require(snap.schema.fieldNames.contains(name),
+        s"dropColumn: no column $name")
+      require(snap.schema.fields.length > 1,
+        "dropColumn: cannot drop the last column")
+      Some((Nil, Nil,
+        StructType(snap.schema.fields.filterNot(_.name == name)), None))
+    }
+
+  private val PhysKey = "graftPhys"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  private def physName(schema: StructType, logical: String): String =
+    schema.fields.find(_.name == logical).map(physName).getOrElse(logical)
+
+  /** The schema as stored in parquet: physical names, no metadata. */
+  private def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physName(f), f.dataType,
+        f.nullable)))
+
+  /** Rename a physically-named frame's columns to their logical names. */
+  private def toLogicalCols(schema: StructType): Seq[org.apache.spark.sql.Column] =
+    schema.fields.map(f => col(physName(f)).as(f.name)).toSeq
+
+  /** Rename the logical columns present in `df` to physical names for
+    * writing (columns not in the table schema pass through unchanged —
+    * they are the NEW columns whose physical name IS their logical
+    * name at this point; [[mergedSchema]] assigned it).
+    */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.filter(f => physName(f) != f.name)
+      .foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d.withColumnRenamed(f.name, physName(f))
+        else d
+      }
+
   // ---------- data files + footer stats ----------
 
   /** Write `df` under `data/<uuid>/` and harvest zone maps from the
     * parquet footers — metadata-only, no second read of the data.
+    * Columns land under their PHYSICAL names (`tableSchema`'s column
+    * mapping); stats and blooms are keyed back by LOGICAL name as of
+    * this commit, so pruning stays name-stable for readers of this
+    * version (a later rename simply stops pruning on pre-rename
+    * files — conservative, never wrong).
     */
   private[table] def writeData(spark: SparkSession, root: String,
-      df: DataFrame): Seq[AddFile] = {
+      df: DataFrame, tableSchema: StructType): Seq[AddFile] = {
     val commitId = UUID.randomUUID().toString
     val dir = new Path(new Path(root, "data"), commitId)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    toPhysical(df, tableSchema)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    val physToLogical = tableSchema.fields
+      .map(f => physName(f) -> f.name).toMap
     val fs = dir.getFileSystem(hadoopConf(spark))
     val files = fs.listStatus(dir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map { st =>
         val (rows, stats) = footerStats(st.getPath, hadoopConf(spark))
-        AddFile(s"data/$commitId/${st.getPath.getName}", rows, stats)
+        AddFile(s"data/$commitId/${st.getPath.getName}", rows,
+          stats.map { case (c, s) => physToLogical.getOrElse(c, c) -> s })
       }.toSeq
     val bcols = bloomColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
     if (bcols.isEmpty) files
     else {
-      val blooms = fileBlooms(spark, dir.toString, df.schema, bcols)
+      val physSchema = StructType(df.schema.fields.map(f =>
+        tableSchema.fields.find(_.name == f.name)
+          .map(tf => f.copy(name = physName(tf))).getOrElse(f)))
+      val blooms = fileBlooms(spark, dir.toString, physSchema,
+        bcols.map(c => physName(tableSchema, c)))
       files.map { f =>
         val base = f.path.substring(f.path.lastIndexOf('/') + 1)
-        f.copy(blooms = blooms.getOrElse(base, Map.empty))
+        f.copy(blooms = blooms.getOrElse(base, Map.empty)
+          .map { case (c, b) => physToLogical.getOrElse(c, c) -> b })
       }
     }
   }
@@ -1101,7 +1189,16 @@ object GraftTable {
         !have.contains(f.name) ||
           snap.schema(f.name).dataType == f.dataType),
         "append schema conflicts with the table schema on a shared column")
-      extra.foldLeft(snap.schema)((s, f) => s.add(f.copy(nullable = true)))
+      extra.foldLeft(snap.schema) { (s, f) =>
+        // a column added to an EXISTING table gets a fresh physical
+        // name: if this logical name was ever dropped, its old physical
+        // column may still sit in immutable files, and reading it back
+        // under the re-added column would resurrect deleted data
+        val phys = s"${f.name}-${UUID.randomUUID().toString.take(8)}"
+        s.add(f.copy(nullable = true, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysKey, phys).build()))
+      }
     }
 
   /** The LIVE rows of `files` under `snap.schema` — deletion vectors
@@ -1118,8 +1215,9 @@ object GraftTable {
     val (dved, clean) = files.partition(_.dv.isDefined)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(snap.schema)
-        .parquet(clean.map(f => new Path(root, f.path).toString): _*))
+      else Some(spark.read.schema(physicalSchema(snap.schema))
+        .parquet(clean.map(f => new Path(root, f.path).toString): _*)
+        .select(toLogicalCols(snap.schema): _*))
     val dvedDf =
       if (dved.isEmpty) None
       else Some(readMasked(spark, root, snap.schema, dved)
@@ -1155,11 +1253,12 @@ object GraftTable {
     */
   private def taggedRead(spark: SparkSession, root: String,
       schema: StructType, paths: Seq[String]): DataFrame =
-    spark.read.schema(schema)
+    spark.read.schema(physicalSchema(schema))
       .parquet(paths.map(p => new Path(root, p).toString): _*)
-      .withColumn("__file", regexp_extract(
-        col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
-      .withColumn("__pos", col("_metadata.row_index"))
+      .select(toLogicalCols(schema) :+
+        regexp_extract(col("_metadata.file_path"),
+          "(data/[^/]+/[^/]+)$", 1).as("__file") :+
+        col("_metadata.row_index").as("__pos"): _*)
 
   /** Union of the distinct DV parquets `files` reference, filtered to
     * those files' rows: `(file, pos)`.

@@ -48,7 +48,7 @@ object IncrementalRollup {
       .repartitionByRange(targetFiles, col(key))
       .sortWithinPartitions(key)
     GraftTable.commitRetry(spark, mvRoot) { mvSnap =>
-      Some((GraftTable.writeData(spark, mvRoot, full),
+      Some((GraftTable.writeData(spark, mvRoot, full, full.schema),
         mvSnap.files.map(_.path), full.schema,
         Some((appId(sourceRoot), srcSnap.version))))
     }
@@ -115,7 +115,7 @@ object IncrementalRollup {
                     lit(0).cast(target.schema("s").dataType)))
                 .cast(target.schema("s").dataType).as("s"))
             .filter(col("n") > 0)
-          Some((GraftTable.writeData(spark, mvRoot, merged),
+          Some((GraftTable.writeData(spark, mvRoot, merged, mvSnap.schema),
             touched.map(_.path), mvSnap.schema,
             Some((appId(sourceRoot), srcV))))
         }

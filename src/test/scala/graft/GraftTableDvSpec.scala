@@ -139,6 +139,60 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("column mapping: rename/drop are metadata-only; re-add never resurrects dropped data") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 20))
+    val filesBefore = dataFileNames(root)
+
+    // rename: no files touched, reads translate, appends translate back
+    GraftTable.renameColumn(spark, root, "v", "value")
+    assert(dataFileNames(root) == filesBefore, "rename must move no data")
+    assert(GraftTable.read(spark, root).columns.toSeq ==
+      Seq("id", "key", "value"))
+    assert(GraftTable.read(spark, root)
+      .agg(sum("value")).head.getDouble(0) == (0 until 20).map(_ * 10.0).sum)
+    GraftTable.append(spark, root,
+      Seq((100L, "k100", 5.5)).toDF("id", "key", "value"))
+    assert(GraftTable.read(spark, root)
+      .filter(col("id") === 100).select("value").head.getDouble(0) == 5.5)
+    // time travel: the pre-rename version reads under its own schema
+    assert(GraftTable.read(spark, root, Some(0)).columns.contains("v"))
+
+    // zone-map pruning: post-rename files prune on the NEW name;
+    // pre-rename files keep their stats under the OLD name (they stop
+    // pruning on the new name — conservative, never wrong) and still
+    // prune at their own time-travel version
+    val snap = GraftTable.snapshot(spark, root)
+    val pruned = GraftTable.prunedFilesAll(snap,
+      Seq(Range("value", Some(1000.0), Some(2000.0))))
+    assert(pruned.size == snap.files.size - 1,
+      s"the post-rename file must prune on 'value': " +
+        s"${pruned.size}/${snap.files.size}")
+    val snap0 = GraftTable.snapshot(spark, root, Some(0))
+    val pruned0 = GraftTable.prunedFilesAll(snap0,
+      Seq(Range("v", Some(0.0), Some(10.0))))
+    assert(pruned0.size < snap0.files.size,
+      "pre-rename files must still prune under their own version")
+
+    // drop: metadata-only; re-added same-name column starts NULL
+    GraftTable.dropColumn(spark, root, "value")
+    assert(GraftTable.read(spark, root).columns.toSeq == Seq("id", "key"))
+    assert(dataFileNames(root).size == filesBefore.size + 1)
+    GraftTable.append(spark, root,
+      Seq((200L, "k200", 7.7)).toDF("id", "key", "value"))
+    val re = GraftTable.read(spark, root)
+    assert(re.columns.toSeq == Seq("id", "key", "value"))
+    assert(re.filter(col("id") === 200).select("value").head.getDouble(0) == 7.7)
+    // the old files' dropped physical column must NOT leak back in
+    assert(re.filter(col("id") < 100).select("value").collect()
+      .forall(_.isNullAt(0)),
+      "dropped data resurrected through a re-added column name")
+    // restore across the rename/drop swings the schema back, data intact
+    GraftTable.restore(spark, root, 0L)
+    val r0 = GraftTable.read(spark, root)
+    assert(r0.columns.toSeq == Seq("id", "key", "v") && r0.count() == 20)
+  }
+
   test("CHECK constraints: violating batches refused atomically, valid ones pass") {
     val root = freshRoot()
     GraftTable.setConstraints(spark, root, Map(
