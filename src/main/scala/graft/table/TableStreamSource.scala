@@ -47,17 +47,24 @@ class GraftTableSourceProvider extends StreamSourceProvider
       throw new IllegalArgumentException(
         "grafttable source requires option 'path' (the table root)"))
 
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    val base =
+      GraftTable.snapshot(sqlContext.sparkSession, rootOf(parameters)).schema
     (shortName(),
-      GraftTable.snapshot(sqlContext.sparkSession, rootOf(parameters)).schema)
+      if (cdf(parameters)) GraftTableSource.cdcSchema(base) else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
+      readChangeFeed = cdf(parameters))
 
   /** `writeStream.format("grafttable")` — exactly-once appends into the
     * table via the txn ledger: the sink tags every commit with
@@ -94,13 +101,32 @@ case class TableVersionOffset(version: Long) extends Offset {
   override def json: String = version.toString
 }
 
+object GraftTableSource {
+  /** The change-feed schema: data columns + the CDC pair columns. */
+  def cdcSchema(base: StructType): StructType = base
+    .add("_change_type", org.apache.spark.sql.types.StringType)
+    .add("_commit_version", org.apache.spark.sql.types.LongType)
+}
+
+/** `readChangeFeed = true` streams [[GraftTable.changes]] per commit
+  * instead of appended rows (the Delta CDF streaming analogue): every
+  * commit KIND is consumable — CoW deletes, DV deletes, merges — as
+  * insert/delete row pairs, which is what lets a downstream
+  * incremental materialization follow a MUTABLE table where the plain
+  * appends source must stop. Still O(files touched per commit), still
+  * deterministic per version range (immutable files + self-contained
+  * entry metadata), so replay stays exactly-once.
+  */
 class GraftTableSource(spark: SparkSession, root: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, readChangeFeed: Boolean = false) extends Source {
 
   // Pinned at source creation: appends may widen the schema mid-stream,
   // but a streaming query's schema is fixed at analysis — new columns
   // appear on restart, as with the file and Delta sources.
-  override val schema: StructType = GraftTable.snapshot(spark, root).schema
+  private val tableSchema: StructType = GraftTable.snapshot(spark, root).schema
+  override val schema: StructType =
+    if (readChangeFeed) GraftTableSource.cdcSchema(tableSchema)
+    else tableSchema
 
   private def versionOf(o: Offset): Long = o match {
     case TableVersionOffset(v) => v
@@ -116,7 +142,13 @@ class GraftTableSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val batch =
-      GraftTable.appendsBetween(spark, root, from, versionOf(end), schema)
+      if (readChangeFeed)
+        GraftTable.changes(spark, root, from, versionOf(end))
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toSeq: _*)
+      else
+        GraftTable.appendsBetween(spark, root, from, versionOf(end),
+          tableSchema)
     // MicroBatchExecution requires isStreaming = true on a V1 batch —
     // re-tag the parquet-scan plan through the one sanctioned door.
     GraftStreamingShim.streamingFrame(spark,

@@ -105,6 +105,35 @@ class TableStreamSpec extends SparkSpec {
       "replayed ledger batch must not commit")
   }
 
+  test("change-feed stream: CoW and DV deletes flow as CDC pairs where the appends source must stop") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 30)) // v0
+    val q = spark.readStream.format("grafttable").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tcdf_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tcdf_out").count() == 30) // v0 inserts
+      GraftTable.deleteWhere(spark, root, "id < 5", None) // v1: CoW
+      GraftTable.deleteWhereDv(spark, root, "id >= 25", None) // v2: DV
+      GraftTable.append(spark, root, rows(100, 110)) // v3
+      q.processAllAvailable()
+      val got = spark.table("tcdf_out")
+      // the stream accumulated exactly the batch change feed
+      val expect = GraftTable.changes(spark, root, -1, 3)
+      assert(got.count() == expect.count())
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        "streamed CDC must equal the batch change feed row-for-row")
+      // per-commit shape: v1 emits 5 deletes, v2 emits 5 deletes, no
+      // carried-over rows leak from the CoW rewrite
+      val byV = got.groupBy("_commit_version", "_change_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(byV((1L, "delete")) == 5 && byV.get((1L, "insert")).isEmpty)
+      assert(byV((2L, "delete")) == 5 && byV((3L, "insert")) == 10)
+    } finally q.stop()
+  }
+
   test("startingVersion skips history; removal commit stops the stream with the contract error") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 20))
