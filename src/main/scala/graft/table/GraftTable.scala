@@ -183,36 +183,68 @@ object GraftTable {
         case None => snap.files
       }
       if (touched.isEmpty) None
+      else commitDv(spark, root, snap, touched,
+        readMasked(spark, root, snap.schema, touched).filter(condSql))
+    }
+
+  /** [[deleteWhereDv]] for a KEY SET instead of a predicate — the
+    * curation shape ("delete these N duplicate doc ids"): candidate
+    * files prune by the key set's [min,max] (plus per-key blooms via
+    * the range), and the matches come from a LEFT SEMI join against
+    * the key frame — distributed, so the key set can be another
+    * DataFrame of any size, not an IN-list. Everything else (position
+    * union, CDC exactness, no-op on already-deleted) is the DV commit
+    * contract.
+    */
+  def deleteKeysDv(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String): Long =
+    commitRetry(spark, root) { snap =>
+      val mm = keys.agg(min(col(keyCol)), max(col(keyCol))).head
+      if (mm.isNullAt(0)) None
       else {
-        // new deletions = matches among LIVE rows (existing DVs applied,
-        // so re-deletes are idempotent and CDC stays exact)
-        val newDels = readMasked(spark, root, snap.schema, touched)
-          .filter(condSql)
-          .select(col("__file").as("file"), col("__pos").as("pos"))
-        val newCounts = newDels.groupBy("file").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        if (newCounts.isEmpty) None
-        else {
-          val hit = touched.filter(f => newCounts.contains(f.path))
-          // total mask per hit file = old DV rows ∪ new matches
-          val full = dvFrame(spark, root, hit.filter(_.dv.isDefined))
-            .map(_.unionByName(newDels)).getOrElse(newDels)
-          val dir = s"data/dv-${UUID.randomUUID().toString}"
-          full.repartition(1).sortWithinPartitions("file", "pos")
-            .write.mode(SaveMode.ErrorIfExists)
-            .parquet(new Path(root, dir).toString)
-          val fs = new Path(root, dir).getFileSystem(hadoopConf(spark))
-          val dvFile = fs.listStatus(new Path(root, dir))
-            .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
-          val dvPath = s"$dir/$dvFile"
-          val adds = hit.map { f =>
-            val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(f.path)
-            f.copy(dv = Some(DvRef(dvPath, total)))
-          }
-          Some((adds, hit.map(_.path), snap.schema, None))
-        }
+        val touched = prunedFilesAll(snap,
+          Seq(Range(keyCol, Some(mm.get(0)), Some(mm.get(1)))))
+        if (touched.isEmpty) None
+        else commitDv(spark, root, snap, touched,
+          readMasked(spark, root, snap.schema, touched)
+            .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+              "left_semi"))
       }
     }
+
+  /** Shared DV-commit body: `matches` are the LIVE rows to mask (with
+    * their `__file`/`__pos` identity); returns the commit triple or
+    * None when nothing new is masked.
+    */
+  private def commitDv(spark: SparkSession, root: String, snap: Snapshot,
+      touched: Seq[AddFile], matches: DataFrame)
+      : Option[(Seq[AddFile], Seq[String], StructType,
+        Option[(String, Long)])] = {
+    val newDels = matches
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    val newCounts = newDels.groupBy("file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) None
+    else {
+      val hit = touched.filter(f => newCounts.contains(f.path))
+      // total mask per hit file = old DV rows ∪ new matches
+      val full = dvFrame(spark, root, hit.filter(_.dv.isDefined))
+        .map(_.unionByName(newDels)).getOrElse(newDels)
+      val dir = s"data/dv-${UUID.randomUUID().toString}"
+      full.repartition(1).sortWithinPartitions("file", "pos")
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(root, dir).toString)
+      val fs = new Path(root, dir).getFileSystem(hadoopConf(spark))
+      val dvFile = fs.listStatus(new Path(root, dir))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
+      val dvPath = s"$dir/$dvFile"
+      val adds = hit.map { f =>
+        val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(f.path)
+        f.copy(dv = Some(DvRef(dvPath, total)))
+      }
+      Some((adds, hit.map(_.path), snap.schema, None))
+    }
+  }
 
   /** Fold deletion vectors back into clean files: every DV-carrying
     * file is rewritten WITHOUT its masked rows (copy-on-write) in one

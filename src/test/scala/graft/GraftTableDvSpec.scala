@@ -139,6 +139,40 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("deleteKeysDv: corpus dedup writes its duplicate set as one DV commit") {
+    val root = freshRoot()
+    // corpus with KNOWN duplicates: the documents table plus a copy
+    // under shifted ids — the curation pipeline's input shape
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val shift = docs.count()
+    GraftTable.append(spark, root, docs)
+    GraftTable.append(spark, root,
+      docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    // detect: exact dedup keeps the min id per text, the rest are dups
+    val dups = GraftTable.read(spark, root)
+      .groupBy(md5(col("text"))).agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr("filter(ids, x -> x != array_min(ids))"))
+        .as("doc_id"))
+    val nDups = dups.count()
+    assert(nDups == shift, "every shifted copy is a duplicate")
+    // delete the duplicate KEY SET as one DV commit — no data rewrite
+    val before = dataFileNames(root)
+    GraftTable.deleteKeysDv(spark, root, dups, "doc_id")
+    assert(dataFileNames(root) == before, "dedup delete must rewrite nothing")
+    val live = GraftTable.read(spark, root)
+    assert(live.count() == shift, "exactly the canonical docs survive")
+    assert(live.agg(max(col("doc_id"))).head.getLong(0) < 2 * shift)
+    assert(live.select(md5(col("text"))).distinct().count() == shift,
+      "no duplicate text survives")
+    // CDC of the dedup commit = exactly the dropped duplicates
+    val tip = GraftTable.snapshot(spark, root).version
+    val cdc = GraftTable.changes(spark, root, tip - 1, tip)
+    assert(cdc.filter(col("_change_type") === "delete").count() == nDups)
+    assert(cdc.filter(col("_change_type") === "insert").count() == 0)
+    // idempotent: the same key set again masks nothing new
+    assert(GraftTable.deleteKeysDv(spark, root, dups, "doc_id") == tip)
+  }
+
   test("column mapping: rename/drop are metadata-only; re-add never resurrects dropped data") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 20))
