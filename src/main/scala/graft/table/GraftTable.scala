@@ -660,8 +660,18 @@ object GraftTable {
   /** Delete every data file no log version references (lost-race
     * orphans and half-written staging). Time travel to EVERY retained
     * version stays valid — only truly unreachable files go.
+    *
+    * `minAgeMs` additionally spares unreferenced files younger than
+    * the threshold (by modification time) — the tombstone-retention
+    * guard for readers that pinned a `Snapshot` OBJECT before a
+    * concurrent expiry dereferenced its files: a pinned scan holds no
+    * lock, so "don't reclaim anything newer than the longest-running
+    * query" is the published Delta VACUUM contract. Default 0 keeps
+    * the existing aggressive behavior for tests and single-writer
+    * maintenance.
     */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String,
+      minAgeMs: Long = 0L): Seq[String] = {
     val (fs, logDir) = logFs(spark, root)
     // a file is live if ANY remaining log entry REFERENCES it (adds OR
     // removes — changes() reads both sides of a retained CoW commit,
@@ -697,10 +707,12 @@ object GraftTable {
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Nil
     val removed = mutable.Buffer[String]()
+    val cutoffMs = System.currentTimeMillis() - minAgeMs
     fs.listStatus(dataDir).foreach { d =>
       fs.listStatus(d.getPath).foreach { f =>
         val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
-        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_")) {
+        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_") &&
+            f.getModificationTime < cutoffMs) {
           fs.delete(f.getPath, false)
           removed += rel
         }

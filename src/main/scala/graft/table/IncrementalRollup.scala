@@ -122,4 +122,29 @@ object IncrementalRollup {
       }
     }
   }
+
+  /** CONTINUOUS maintenance: subscribe the MV to the source's change
+    * feed (`readChangeFeed` stream) and [[refresh]] on every
+    * micro-batch — the MV follows a mutable source (appends, CoW and
+    * DV deletes, merges) with streaming latency. The stream is the
+    * TRIGGER, not the delivery channel: refresh reads its own
+    * version-bounded change range and commits under the MV ledger, so
+    * re-delivered or overlapping triggers are absorbed and the result
+    * is exactly-once regardless of the engine's replay behavior.
+    */
+  def follow(spark: SparkSession, sourceRoot: String, mvRoot: String,
+      key: String, sumCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("grafttable")
+      .option("path", sourceRoot)
+      .option("readChangeFeed", "true")
+      .option("startingVersion",
+        appliedVersion(spark, sourceRoot, mvRoot).toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, sourceRoot, mvRoot, key, sumCol); ()
+      }
+      .start()
 }

@@ -139,6 +139,23 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("vacuum min-age guard spares young unreferenced files for pinned readers") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    val pinned = GraftTable.snapshot(spark, root)
+    GraftTable.overwrite(spark, root, rows(100, 105))
+    GraftTable.append(spark, root, rows(200, 202)) // push the window
+    GraftTable.expireVersions(spark, root, keepLast = 1)
+    // age-guarded vacuum reclaims nothing this young…
+    assert(GraftTable.vacuum(spark, root, minAgeMs = 3600L * 1000).isEmpty)
+    // …so the pinned pre-expiry snapshot's files still read
+    val pinnedPaths = pinned.files
+      .map(f => new org.apache.hadoop.fs.Path(root, f.path).toString)
+    assert(spark.read.parquet(pinnedPaths: _*).count() == 10)
+    // the aggressive default reclaims the stranded files
+    assert(GraftTable.vacuum(spark, root).nonEmpty)
+  }
+
   test("deleteKeysDv: corpus dedup writes its duplicate set as one DV commit") {
     val root = freshRoot()
     // corpus with KNOWN duplicates: the documents table plus a copy

@@ -90,6 +90,29 @@ class IncrementalRollupSpec extends SparkSpec {
       GraftTable.snapshot(spark, src).version)
   }
 
+  test("follow: the MV tracks a mutable source continuously off the change-feed stream") {
+    val base = Files.createTempDirectory("inc_follow")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    val initial = (0L until 300L).map(i => (i % 10, i, i * 2))
+      .toDF("grp", "id", "v")
+    GraftTable.append(spark, src, initial)
+    IncrementalRollup.create(spark, src, mv, "grp", "v")
+    val q = IncrementalRollup.follow(spark, src, mv, "grp", "v",
+      s"$base/ckpt")
+    try {
+      GraftTable.append(spark, src,
+        (300L until 400L).map(i => (i % 10, i, i * 2)).toDF("grp", "id", "v"))
+      q.processAllAvailable()
+      assert(mvContent(mv) == recompute(src), "MV lagged an append")
+      // a DV delete flows through the change feed too
+      GraftTable.deleteWhereDv(spark, src, "id < 50", None)
+      q.processAllAvailable()
+      assert(mvContent(mv) == recompute(src), "MV lagged a DV delete")
+      assert(IncrementalRollup.appliedVersion(spark, src, mv) ==
+        GraftTable.snapshot(spark, src).version)
+    } finally q.stop()
+  }
+
   test("NULL group keys: the null group maintains as one row, never drops or splits") {
     val base = Files.createTempDirectory("inc_rollup_null")
     val (src, mv) = (s"$base/src", s"$base/mv")

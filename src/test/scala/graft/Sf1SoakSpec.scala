@@ -49,4 +49,35 @@ class Sf1SoakSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("full-inventory oracle hash gate at sf1", SlowTest) {
     soakGenerated(scale = 1000, dirName = "soak-sf1")
   }
+
+  // the DV cost model at scale: masking a 0.1%-selectivity key set on a
+  // multi-million-row table must write positions, not data — the commit
+  // adds ZERO data files and the masked read returns exactly the
+  // survivors
+  test("deletion vectors at sf1: O(matches) commit on a 6M-row table", SlowTest) {
+    import org.apache.spark.sql.functions._
+    import graft.table.GraftTable
+    val spark = SparkSpec.session
+    val dataDir = new java.io.File("target/soak-sf1").getAbsolutePath
+    assume(new java.io.File(s"$dataDir/lineitem.parquet").exists(),
+      "run the sf1 soak first (generates the dataset)")
+    val root = java.nio.file.Files.createTempDirectory("soak_dv").toString
+    val li = spark.read.parquet(s"$dataDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    GraftTable.append(spark, root, li)
+    val total = li.count()
+    val before = GraftTable.snapshot(spark, root).files
+    val t0 = System.nanoTime()
+    GraftTable.deleteWhereDv(spark, root,
+      "l_orderkey % 997 = 0", prune = None) // ~0.1% scattered everywhere
+    val secs = (System.nanoTime() - t0) / 1e9
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.map(_.path) == before.map(_.path),
+      "DV delete at scale must add no data files")
+    val masked = snap.files.flatMap(_.dv.map(_.rows)).sum
+    val expected = li.filter("l_orderkey % 997 = 0").count()
+    assert(masked == expected, s"masked $masked of expected $expected")
+    assert(GraftTable.read(spark, root).count() == total - expected)
+    info(f"sf1 DV delete: $expected of $total rows masked in $secs%.1f s")
+  }
 }
