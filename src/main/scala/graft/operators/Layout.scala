@@ -41,6 +41,36 @@ object Layout {
         s"((($y >> $i) & 1) << ${2 * i + 1})")
     }.mkString("(", " | ", ")")
 
+  /** Morton interleave of the low `bits` bits of N non-negative
+    * integer columns (bit i of column j lands at position N·i + j) —
+    * [[zorderKey2]] generalized to any dimensionality. N·bits ≤ 62
+    * keeps the result in a signed BIGINT, so higher dimension counts
+    * trade per-dimension resolution (e.g. 4 columns × 15 bits): the
+    * standard Z-order budget arithmetic.
+    */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"zorderKeyN needs >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"n*bits must be <= 62, got $n x $bits")
+    val cs = cols.map(_.cast("bigint"))
+    (0 until bits).flatMap { i =>
+      cs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Oracle-side spelling of [[zorderKeyN]] (same unrolled bit loop). */
+  def zorderKeyNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        s"((($c >> $i) & 1) << ${n * i + j})"
+      }
+    }.mkString("(", " | ", ")")
+  }
+
   /** Cluster a frame for writing: range-partition on the key (files
     * cover disjoint key ranges) and sort within partitions (row groups
     * within a file are tight too). `numFiles` targets the intended

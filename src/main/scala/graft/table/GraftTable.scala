@@ -304,10 +304,18 @@ object GraftTable {
     */
   def zorderBy(spark: SparkSession, root: String, xCol: String,
       yCol: String, targetFiles: Int, bits: Int = 16): Long =
+    zorderByCols(spark, root, Seq(xCol, yCol), targetFiles, bits)
+
+  /** [[zorderBy]] over N dimensions ([[graft.operators.Layout.zorderKeyN]]):
+    * N·bits ≤ 62, so more clustered dimensions trade per-dimension
+    * resolution — the standard Z-order budget.
+    */
+  def zorderByCols(spark: SparkSession, root: String, cols: Seq[String],
+      targetFiles: Int, bits: Int = 16): Long =
     commitRetry(spark, root) { snap =>
       val keyed = readFiles(spark, root, snap, snap.files)
         .withColumn("__zkey",
-          graft.operators.Layout.zorderKey2(col(xCol), col(yCol), bits))
+          graft.operators.Layout.zorderKeyN(cols.map(col), bits))
         .repartitionByRange(targetFiles, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
@@ -656,6 +664,38 @@ object GraftTable {
         (v, node.get("adds").size(), node.get("removes").size())
       }.toSeq
   }
+
+  /** Resolve a wall-clock instant to the version in effect then: the
+    * NEWEST retained commit whose recorded timestamp is <= `tsMs` —
+    * the "AS OF TIMESTAMP" half of time travel (the "AS OF version"
+    * half is [[read]]'s `version` argument). Commit timestamps come
+    * from the writer's clock at entry-build time; ordering follows
+    * versions, not clocks, so a skewed clock can only blur WHICH
+    * version an instant resolves to, never the content of one.
+    * Instants before the first retained commit are an error (its
+    * entries may be retention-expired); instants after the tip
+    * resolve to the tip.
+    */
+  def versionAt(spark: SparkSession, root: String, tsMs: Long): Long = {
+    val (fs, logDir) = logFs(spark, root)
+    val entries = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toLong).sorted
+      .map { v =>
+        val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+        // pre-timestamp entries (older table generations) sort first
+        (v, if (node.hasNonNull("ts")) node.get("ts").asLong else 0L)
+      }
+    require(entries.nonEmpty, s"no commits at $root")
+    val at = entries.filter(_._2 <= tsMs)
+    require(at.nonEmpty,
+      s"no retained commit at or before ts=$tsMs (earliest retained is " +
+        s"version ${entries.head._1} at ts=${entries.head._2})")
+    at.map(_._1).max
+  }
+
+  /** The table AS OF a wall-clock instant. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    read(spark, root, Some(versionAt(spark, root, tsMs)))
 
   /** Delete every data file no log version references (lost-race
     * orphans and half-written staging). Time travel to EVERY retained
@@ -1140,6 +1180,7 @@ object GraftTable {
       txn: Option[(String, Long)]): String = {
     val node = mapper.createObjectNode()
     node.put("version", v)
+    node.put("ts", System.currentTimeMillis())
     node.put("schema", schema.json)
     val a = node.putArray("adds")
     adds.foreach(f => a.add(addFileNode(f)))

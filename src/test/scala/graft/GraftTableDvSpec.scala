@@ -139,6 +139,28 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("time travel by timestamp: instants resolve to the version in effect then") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    Thread.sleep(15)
+    val betweenV0V1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    GraftTable.append(spark, root, rows(10, 25))
+    Thread.sleep(15)
+    GraftTable.deleteWhereDv(spark, root, "id < 3", None)
+    // an instant between commits reads the earlier state
+    assert(GraftTable.versionAt(spark, root, betweenV0V1) == 0L)
+    assert(GraftTable.readAsOf(spark, root, betweenV0V1).count() == 10)
+    // the future resolves to the tip (with its DV applied)
+    val now = System.currentTimeMillis() + 1000
+    assert(GraftTable.versionAt(spark, root, now) == 2L)
+    assert(GraftTable.readAsOf(spark, root, now).count() == 22)
+    // before the first commit is a contract error
+    intercept[IllegalArgumentException] {
+      GraftTable.versionAt(spark, root, 1L)
+    }
+  }
+
   test("vacuum min-age guard spares young unreferenced files for pinned readers") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 10))

@@ -27,6 +27,60 @@ class LayoutSpec extends SparkSpec {
     got.foreach { case (x, y, z) => assert(z === morton(x, y, 16), s"($x,$y)") }
   }
 
+  test("zorderKeyN: n=2 IS zorderKey2; n=3 interleaves all three dimensions") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(100)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val both = pts.toDF("x", "y")
+      .select(Layout.zorderKey2(col("x"), col("y")).as("z2"),
+        Layout.zorderKeyN(Seq(col("x"), col("y")), 16).as("zn"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (z2, zn) => assert(z2 == zn) }
+    // n=3 reference interleave
+    def morton3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    val tri = Seq.fill(100)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got3 = tri.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zorderKeyN(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (a, b, c, z) => assert(z == morton3(a, b, c, 10)) }
+    // SQL spelling agrees
+    tri.toDF("a", "b", "c").createOrReplaceTempView("zpts3")
+    val viaSql = spark.sql(s"SELECT ${Layout.zorderKeyNSql(Seq("a", "b", "c"), 10)} AS z " +
+      "FROM zpts3 ORDER BY z").as[Long].collect().toSeq
+    assert(viaSql == got3.map(_._4).sorted.toSeq)
+    // budget guard
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(Seq(col("a"), col("b"), col("c")), 21)
+    }
+  }
+
+  test("3-dimension table Z-order: every dimension prunes after one re-cluster") {
+    import graft.table.GraftTable
+    import graft.table.GraftTable.Range
+    val root = java.nio.file.Files.createTempDirectory("zn_table").toString
+    val rnd = new scala.util.Random(3)
+    val rowsDf = (0 until 4000).map { _ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong,
+        rnd.nextInt(1024).toLong)
+    }.toDF("a", "b", "c")
+    GraftTable.append(spark, root, rowsDf)
+    GraftTable.zorderByCols(spark, root, Seq("a", "b", "c"),
+      targetFiles = 16, bits = 10)
+    val snap = GraftTable.snapshot(spark, root)
+    Seq("a", "b", "c").foreach { d =>
+      val kept = GraftTable.prunedFilesAll(snap,
+        Seq(Range(d, Some(0L), Some(63L)))).size
+      assert(kept < snap.files.size,
+        s"dimension $d must prune after 3-way Z-order: $kept/${snap.files.size}")
+    }
+    // correctness: the re-cluster moved no rows
+    assert(GraftTable.read(spark, root).count() == 4000)
+  }
+
   test("zorderKeySql is the same function through the SQL frontend") {
     val pts = (0 until 100).map(i => ((i * 37L) % 256, (i * 91L) % 256))
     pts.toDF("x", "y").createOrReplaceTempView("zpts")
