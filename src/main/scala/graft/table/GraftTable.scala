@@ -222,11 +222,15 @@ object GraftTable {
         Option[(String, Long)])] = {
     val newDels = matches
       .select(col("__file").as("file"), col("__pos").as("pos"))
+    // keyed by the data/<commit>/<part> SUFFIX (what `__file` extracts):
+    // for a local file path == suffix; for a [[clone]]d file the
+    // AddFile path is absolute into the source tree and only the
+    // suffix matches
     val newCounts = newDels.groupBy("file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (newCounts.isEmpty) None
     else {
-      val hit = touched.filter(f => newCounts.contains(f.path))
+      val hit = touched.filter(f => newCounts.contains(fileKey(f.path)))
       // total mask per hit file = old DV rows ∪ new matches
       val full = dvFrame(spark, root, hit.filter(_.dv.isDefined))
         .map(_.unionByName(newDels)).getOrElse(newDels)
@@ -239,7 +243,7 @@ object GraftTable {
         .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
       val dvPath = s"$dir/$dvFile"
       val adds = hit.map { f =>
-        val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(f.path)
+        val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(fileKey(f.path))
         f.copy(dv = Some(DvRef(dvPath, total)))
       }
       Some((adds, hit.map(_.path), snap.schema, None))
@@ -823,6 +827,37 @@ object GraftTable {
     fs.rename(tmp, new Path(logDir, ckptName(v)))
   }
 
+  /** SHALLOW CLONE: a new table whose first commit references the
+    * source's data (and DV) files BY ABSOLUTE PATH — zero bytes
+    * copied, O(metadata) (the Delta SHALLOW CLONE semantic). The
+    * clone is immediately independent: its appends/deletes/renames
+    * commit to its own log (a DV delete on cloned files masks
+    * positions in the clone only), while the referenced source files
+    * stay immutable by the source's own contract. The clone's
+    * [[vacuum]] only ever scans the clone's own `data/` dir, so it
+    * can never reclaim source files; dropping source HISTORY that the
+    * clone still references (source `expireVersions` + `vacuum`) is
+    * the documented shared-fate caveat of every shallow clone — clone
+    * from a version you retain, or [[compact]] the clone to localize
+    * it.
+    *
+    * @param version source version to clone (None = tip)
+    */
+  def clone(spark: SparkSession, sourceRoot: String, targetRoot: String,
+      version: Option[Long] = None): Long = {
+    val src = snapshot(spark, sourceRoot, version)
+    require(src.version >= 0, s"clone: source table $sourceRoot is empty")
+    def abs(p: String): String = new Path(sourceRoot, p).toString
+    val adds = src.files.map { f =>
+      f.copy(path = abs(f.path), dv = f.dv.map(d => d.copy(path = abs(d.path))))
+    }
+    commitRetry(spark, targetRoot) { snap =>
+      require(snap.version < 0,
+        s"clone: target $targetRoot already exists (version ${snap.version})")
+      Some((adds, Nil, src.schema, None))
+    }
+  }
+
   // ---------- column mapping (rename/drop without rewrite) ----------
 
   /** Rename a column METADATA-ONLY (the Delta column-mapping "name
@@ -1353,13 +1388,23 @@ object GraftTable {
     val withDv = files.filter(_.dv.isDefined)
     if (withDv.isEmpty) None
     else {
-      val paths = withDv.map(_.path).toSet
+      val paths = withDv.map(f => fileKey(f.path)).toSet
       val dvPaths = withDv.map(_.dv.get.path).distinct
       Some(spark.read
         .parquet(dvPaths.map(p => new Path(root, p).toString): _*)
         .filter(col("file").isin(paths.toSeq: _*)))
     }
   }
+
+  /** A data file's identity key — the trailing `data/<commit>/<part>`
+    * of its path, the same shape [[taggedRead]]'s `__file` column
+    * extracts from `_metadata.file_path`. Local AddFile paths equal
+    * their key; [[clone]]d AddFiles carry absolute source paths and
+    * only the key matches across the two spellings.
+    */
+  private val FileKeyRe = "(data/[^/]+/[^/]+)$".r
+  private def fileKey(path: String): String =
+    FileKeyRe.findFirstIn(path).getOrElse(path)
 
   private def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

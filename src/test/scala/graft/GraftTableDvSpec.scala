@@ -139,6 +139,45 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("shallow clone: zero-copy branch, DV deletes mask the clone only, vacuum is scoped") {
+    val srcRoot = freshRoot()
+    GraftTable.append(spark, srcRoot, rows(0, 40))
+    GraftTable.append(spark, srcRoot, rows(40, 60))
+    val cloneRoot = freshRoot() + "/branch"
+    GraftTable.clone(spark, srcRoot, cloneRoot)
+    // zero bytes copied: the clone has no data dir of its own yet
+    assert(!new java.io.File(cloneRoot, "data").exists(),
+      "shallow clone must copy no data files")
+    assert(GraftTable.read(spark, cloneRoot).count() == 60)
+    // a DV delete on the clone masks CLONED (absolute-path) files —
+    // the suffix-key matching — and leaves the source untouched
+    GraftTable.deleteWhereDv(spark, cloneRoot, "id < 10", None)
+    assert(GraftTable.read(spark, cloneRoot).count() == 50)
+    assert(GraftTable.read(spark, srcRoot).count() == 60,
+      "source must not see the clone's delete")
+    // diverge the clone with its own append; the source stays put
+    GraftTable.append(spark, cloneRoot, rows(100, 105))
+    assert(GraftTable.read(spark, cloneRoot).count() == 55)
+    assert(GraftTable.read(spark, srcRoot).count() == 60)
+    // clone-side vacuum can only scan the clone's own data dir
+    assert(GraftTable.vacuum(spark, cloneRoot).isEmpty)
+    assert(GraftTable.read(spark, srcRoot).count() == 60)
+    // compact localizes the clone: all-relative paths afterwards
+    GraftTable.compact(spark, cloneRoot, targetFiles = 2)
+    assert(GraftTable.snapshot(spark, cloneRoot).files
+      .forall(f => !f.path.startsWith("/") && !f.path.contains(":")),
+      "compaction must localize the clone")
+    assert(GraftTable.read(spark, cloneRoot).count() == 55)
+    // cloning an old version branches history
+    val oldClone = freshRoot() + "/old"
+    GraftTable.clone(spark, srcRoot, oldClone, Some(0L))
+    assert(GraftTable.read(spark, oldClone).count() == 40)
+    // a clone refuses to overwrite an existing table
+    intercept[IllegalArgumentException] {
+      GraftTable.clone(spark, srcRoot, cloneRoot)
+    }
+  }
+
   test("time travel by timestamp: instants resolve to the version in effect then") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 10))
