@@ -426,6 +426,89 @@ object GraftTable {
     readFiles(spark, root, snap, files).filter(cond)
   }
 
+  /** [[scanAll]] with the ranges EXTRACTED from a SQL predicate — the
+    * ergonomic scan path: conjunctive `col <op> literal` bounds
+    * (`=`, `<`, `<=`, `>`, `>=`, `BETWEEN`, and `AND`s of them)
+    * become zone-map/bloom pruning ranges automatically, everything
+    * else stays in the exact residual filter. Extraction is
+    * CONSERVATIVE: a sub-expression it can't turn into a bound prunes
+    * nothing (ORs, functions, casts) — never wrong, at worst a full
+    * scan, and the full predicate always re-applies on the survivors.
+    */
+  def scanWhere(spark: SparkSession, root: String, condSql: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, root, version)
+    val files = prunedFilesAll(snap, rangesOf(spark, condSql))
+    readFiles(spark, root, snap, files).filter(condSql)
+  }
+
+  /** The pruning ranges implied by `condSql`'s conjunctive
+    * column-vs-literal comparisons (shared by [[scanWhere]]; exposed
+    * for tests).
+    */
+  def rangesOf(spark: SparkSession, condSql: String): Seq[Range] = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def lit(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => Option(v) match {
+        case Some(u: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(u.toString)
+        case Some(d: org.apache.spark.sql.types.Decimal) => Some(d.toBigDecimal)
+        case other => other
+      }
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[Range] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, v) => (attr(a), lit(v)) match {
+        case (Some(c), Some(x)) => Seq(Range(c, Some(x), Some(x)))
+        case _ => (attr(v), lit(a)) match { // literal = col
+          case (Some(c), Some(x)) => Seq(Range(c, Some(x), Some(x)))
+          case _ => Nil
+        }
+      }
+      case GreaterThanOrEqual(a, v) => bound(attr(a), lit(v), lo = true) ++
+        bound(attr(v), lit(a), lo = false)
+      case GreaterThan(a, v) => bound(attr(a), lit(v), lo = true) ++
+        bound(attr(v), lit(a), lo = false) // open bound kept closed: conservative
+      case LessThanOrEqual(a, v) => bound(attr(a), lit(v), lo = false) ++
+        bound(attr(v), lit(a), lo = true)
+      case LessThan(a, v) => bound(attr(a), lit(v), lo = false) ++
+        bound(attr(v), lit(a), lo = true)
+      // BETWEEN parses as the unresolved 'between' function
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts == Seq("between") && f.arguments.size == 3 =>
+        (attr(f.arguments(0)), lit(f.arguments(1)), lit(f.arguments(2))) match {
+          case (Some(c), lo, hi) if lo.isDefined || hi.isDefined =>
+            Seq(Range(c, lo, hi))
+          case _ => Nil
+        }
+      case _ => Nil // OR / functions / anything else: no pruning
+    }
+    def bound(c: Option[String], v: Option[Any], lo: Boolean): Seq[Range] =
+      (c, v) match {
+        case (Some(cc), Some(x)) =>
+          if (lo) Seq(Range(cc, Some(x), None)) else Seq(Range(cc, None, Some(x)))
+        case _ => Nil
+      }
+    walk(parsed)
+  }
+
+  /** Exact row count from METADATA alone: Σ physical rows − Σ masked
+    * positions — O(log), zero data IO (every commit recorded both).
+    */
+  def rowCount(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val snap = snapshot(spark, root, version)
+    snap.files.map(_.rows).sum - snap.files.flatMap(_.dv.map(_.rows)).sum
+  }
+
   /** The file subset a [[scan]] would open — exposed so tests (and
     * operators) can assert skipping, not just result equality. Zone
     * maps prune first; for an exact POINT probe (lo == hi) on a

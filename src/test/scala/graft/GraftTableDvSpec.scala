@@ -139,6 +139,40 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("scanWhere extracts pruning ranges from SQL; rowCount is metadata-only") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 100)) // 8 range-disjoint files
+    // conjunctive bounds prune; result ≡ full filter
+    val conds = Seq(
+      "id >= 20 AND id <= 30",
+      "id BETWEEN 20 AND 30",
+      "20 <= id AND id < 31",
+      "id = 55 AND v > 0.0")
+    conds.foreach { c =>
+      val snap = GraftTable.snapshot(spark, root)
+      val pruned = GraftTable.prunedFilesAll(snap,
+        GraftTable.rangesOf(spark, c))
+      assert(pruned.size < snap.files.size, s"no pruning for: $c")
+      val got = GraftTable.scanWhere(spark, root, c)
+        .select("id").as[Long].collect().sorted.toSeq
+      val expect = GraftTable.read(spark, root).filter(c)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"scanWhere diverged for: $c")
+    }
+    // OR and functions are conservative: no ranges, full results
+    assert(GraftTable.rangesOf(spark, "id < 5 OR id > 90").isEmpty)
+    assert(GraftTable.scanWhere(spark, root, "id < 5 OR id > 90").count() ==
+      14)
+    assert(GraftTable.rangesOf(spark, "abs(id) = 3").isEmpty)
+    // metadata row count tracks appends and DV masks without data IO
+    assert(GraftTable.rowCount(spark, root) == 100)
+    GraftTable.deleteWhereDv(spark, root, "id % 10 = 0", None)
+    assert(GraftTable.rowCount(spark, root) == 90)
+    assert(GraftTable.rowCount(spark, root, Some(0)) == 100)
+    assert(GraftTable.rowCount(spark, root) ==
+      GraftTable.read(spark, root).count())
+  }
+
   test("shallow clone: zero-copy branch, DV deletes mask the clone only, vacuum is scoped") {
     val srcRoot = freshRoot()
     GraftTable.append(spark, srcRoot, rows(0, 40))
