@@ -620,9 +620,13 @@ object GraftTable {
     * which every carried-over row cancels — so layout-only commits
     * ([[compact]], [[zorderBy]]) contribute nothing and the cost is
     * O(files touched between the versions), exactly like the commits
-    * themselves. Needs no change files on disk because CoW commits
-    * already preserve both sides' files immutably ([[vacuum]] keeps
-    * every log-referenced file alive).
+    * themselves. DV commits are cheaper still: a file paired on both
+    * sides with only its deletion vector changed diffs the POSITION
+    * parquets (metadata-scale) and fetches exactly the delta rows —
+    * O(changed rows), not O(live rows of the touched files). Needs no
+    * change files on disk because CoW commits already preserve both
+    * sides' files immutably ([[vacuum]] keeps every log-referenced
+    * file alive).
     */
   def changes(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
@@ -661,16 +665,49 @@ object GraftTable {
         else Map.empty
       val removes = node.get("removes").elements().asScala
         .map(p => (p.asText, removeDvs.get(p.asText))).toSeq
-      val addsDf = readSide(schema, adds)
-      val remsDf = readSide(schema, removes)
-      val ins =
-        if (removes.isEmpty) addsDf
-        else if (adds.isEmpty) addsDf.limit(0)
+      // PAIRED files (same path on both sides, only the DV differs —
+      // a DV delete or a restore across one) take the position-diff
+      // fast path: the changed rows are exactly the DV delta, a
+      // METADATA-scale except over the position parquets followed by
+      // one row fetch from only the paired files. The O(live rows)
+      // two-sided bag-diff would be correct but reads the whole
+      // touched content twice — on a DV commit that is O(table).
+      val addM = adds.toMap
+      val remM = removes.toMap
+      val paired = addM.keySet.intersect(remM.keySet)
+      val changedPairs = paired.filter(p => addM(p) != remM(p)).toSeq.sorted
+      val uAdds = adds.filterNot(a => paired.contains(a._1))
+      val uRems = removes.filterNot(r => paired.contains(r._1))
+      def posFrame(refs: Seq[(String, Option[DvRef])]): DataFrame =
+        dvFrame(spark, root, refs.collect { case (p, Some(d)) =>
+          AddFile(p, 0L, Map.empty, Map.empty, Some(d)) })
+          .getOrElse(spark.range(0)
+            .select(lit("").as("file"), col("id").as("pos")))
+      val (pairIns, pairDel) =
+        if (changedPairs.isEmpty) (None, None)
+        else {
+          val newPos = posFrame(changedPairs.map(p => p -> addM(p)))
+          val oldPos = posFrame(changedPairs.map(p => p -> remM(p)))
+          val tagged = taggedRead(spark, root, schema, changedPairs)
+          def fetch(pos: DataFrame): DataFrame =
+            tagged.join(broadcast(pos),
+              tagged("__file") === pos("file") && tagged("__pos") === pos("pos"))
+              .select(schema.fieldNames.map(col).toSeq: _*)
+          (Some(fetch(oldPos.exceptAll(newPos))), // DV shrank: resurrected
+            Some(fetch(newPos.exceptAll(oldPos)))) // DV grew: deleted
+        }
+      val addsDf = readSide(schema, uAdds)
+      val remsDf = readSide(schema, uRems)
+      val ins0 =
+        if (uRems.isEmpty) addsDf
+        else if (uAdds.isEmpty) addsDf.limit(0)
         else addsDf.exceptAll(remsDf)
-      val del =
-        if (adds.isEmpty) remsDf
-        else if (removes.isEmpty) remsDf.limit(0)
+      val del0 =
+        if (uAdds.isEmpty) remsDf
+        else if (uRems.isEmpty) remsDf.limit(0)
         else remsDf.exceptAll(addsDf)
+      val ins = pairIns.map(ins0.unionByName(_)).getOrElse(ins0)
+      val del = pairDel.map(del0.unionByName(_)).getOrElse(del0)
       ins.withColumn("_change_type", lit("insert"))
         .unionByName(del.withColumn("_change_type", lit("delete")))
         .withColumn("_commit_version", lit(v))
