@@ -36,15 +36,27 @@ object IncrementalRollup {
     * record the source version it reflects.
     */
   def create(spark: SparkSession, sourceRoot: String, mvRoot: String,
-      key: String, sumCol: String, targetFiles: Int = 8): Long = {
+      key: String, sumCol: String, targetFiles: Int = 8): Long =
+    createMulti(spark, sourceRoot, mvRoot, key, Seq(sumCol), targetFiles)
+
+  /** [[create]] over SEVERAL summed columns: the MV holds
+    * `(key, n, s, s_1, …, s_{k-1})` — the first sum keeps the
+    * historical name `s`, the rest are `s_<i>` by position. One MV,
+    * one refresh pass, any number of maintained measures.
+    */
+  def createMulti(spark: SparkSession, sourceRoot: String, mvRoot: String,
+      key: String, sumCols: Seq[String], targetFiles: Int = 8): Long = {
+    require(sumCols.nonEmpty, "at least one summed column")
     val srcSnap = GraftTable.snapshot(spark, sourceRoot)
     require(srcSnap.version >= 0, s"source table $sourceRoot is empty")
     // range-cluster the MV on the group key so later refreshes prune:
     // a delta confined to a key range rewrites only the files whose
     // zone maps overlap it
+    val aggs = count(lit(1)).as("n") +:
+      sumCols.zipWithIndex.map { case (c, i) => sum(col(c)).as(sName(i)) }
     val full = GraftTable.read(spark, sourceRoot)
       .groupBy(key)
-      .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("s"))
+      .agg(aggs.head, aggs.tail: _*)
       .repartitionByRange(targetFiles, col(key))
       .sortWithinPartitions(key)
     GraftTable.commitRetry(spark, mvRoot) { mvSnap =>
@@ -53,6 +65,8 @@ object IncrementalRollup {
         Some((appId(sourceRoot), srcSnap.version))))
     }
   }
+
+  private def sName(i: Int): String = if (i == 0) "s" else s"s_$i"
 
   /** The source version the MV currently reflects (−1 = never built). */
   def appliedVersion(spark: SparkSession, sourceRoot: String,
@@ -65,7 +79,14 @@ object IncrementalRollup {
     * txn ledger).
     */
   def refresh(spark: SparkSession, sourceRoot: String, mvRoot: String,
-      key: String, sumCol: String): Long = {
+      key: String, sumCol: String): Long =
+    refreshMulti(spark, sourceRoot, mvRoot, key, Seq(sumCol))
+
+  /** [[refresh]] for a [[createMulti]] MV — `sumCols` must match the
+    * create call (same columns, same order).
+    */
+  def refreshMulti(spark: SparkSession, sourceRoot: String, mvRoot: String,
+      key: String, sumCols: Seq[String]): Long = {
     val srcV = GraftTable.snapshot(spark, sourceRoot).version
     GraftTable.commitRetry(spark, mvRoot) { mvSnap =>
       val applied = mvSnap.txns.getOrElse(appId(sourceRoot), -1L)
@@ -74,10 +95,12 @@ object IncrementalRollup {
       else {
         val sgn = when(col("_change_type") === "insert", lit(1L))
           .otherwise(lit(-1L))
+        val dAggs = sum(sgn).as("dn") +: sumCols.zipWithIndex.map {
+          case (c, i) => sum(sgn * col(c)).as(s"d${sName(i)}")
+        }
         val delta = GraftTable.changes(spark, sourceRoot, applied, srcV)
           .groupBy(key)
-          .agg(sum(sgn).as("dn"),
-            sum(sgn * col(sumCol)).as("ds"))
+          .agg(dAggs.head, dAggs.tail: _*)
         // one groups-sized pass: the non-null key range AND whether a
         // NULL group key appears in the delta (min/max ignore nulls,
         // so the range alone would misclassify an all-null delta as
@@ -104,16 +127,18 @@ object IncrementalRollup {
           // null-safe (<=>) join: a plain equi-join never matches NULL
           // to NULL, which would split the null group into duplicate
           // MV rows with partial counts
+          val sumExprs = sumCols.indices.map { i =>
+            val n = sName(i)
+            val t = target.schema(n).dataType
+            (coalesce(col(n), lit(0).cast(t)) +
+              coalesce(col(s"d$n"), lit(0).cast(t))).cast(t).as(n)
+          }
           val merged = target.alias("t")
             .join(delta.alias("d"),
               col(s"t.$key") <=> col(s"d.$key"), "full_outer")
-            .select(coalesce(col(s"t.$key"), col(s"d.$key")).as(key),
+            .select(coalesce(col(s"t.$key"), col(s"d.$key")).as(key) +:
               (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-                .as("n"),
-              (coalesce(col("s"), lit(0).cast(target.schema("s").dataType))
-                + coalesce(col("ds"),
-                    lit(0).cast(target.schema("s").dataType)))
-                .cast(target.schema("s").dataType).as("s"))
+                .as("n") +: sumExprs: _*)
             .filter(col("n") > 0)
           Some((GraftTable.writeData(spark, mvRoot, merged, mvSnap.schema),
             touched.map(_.path), mvSnap.schema,

@@ -90,6 +90,34 @@ class IncrementalRollupSpec extends SparkSpec {
       GraftTable.snapshot(spark, src).version)
   }
 
+  test("multi-measure MV: several sums maintain in one refresh, ≡ full recompute") {
+    val base = Files.createTempDirectory("inc_multi")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    val initial = (0L until 500L).map(i => (i % 20, i, i * 3, i % 7))
+      .toDF("grp", "id", "v", "w")
+    GraftTable.append(spark, src, initial)
+    IncrementalRollup.createMulti(spark, src, mv, "grp", Seq("v", "w"))
+    def recomputeMulti() =
+      GraftTable.read(spark, src).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("w")).as("s_1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def mvMulti() = GraftTable.read(spark, mv)
+      .select("grp", "n", "s", "s_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(mvMulti() == recomputeMulti())
+    // append + DV delete, one refresh maintains BOTH measures
+    GraftTable.append(spark, src,
+      (500L until 600L).map(i => (i % 20, i, i * 3, i % 7))
+        .toDF("grp", "id", "v", "w"))
+    GraftTable.deleteWhereDv(spark, src, "id % 9 = 0", None)
+    IncrementalRollup.refreshMulti(spark, src, mv, "grp", Seq("v", "w"))
+    assert(mvMulti() == recomputeMulti(),
+      "multi-measure refresh diverged from full recompute")
+  }
+
   test("follow: the MV tracks a mutable source continuously off the change-feed stream") {
     val base = Files.createTempDirectory("inc_follow")
     val (src, mv) = (s"$base/src", s"$base/mv")
