@@ -947,6 +947,36 @@ object GraftTable {
     fs.rename(tmp, new Path(logDir, ckptName(v)))
   }
 
+  /** One-call steady-state maintenance — the nightly-cron surface a
+    * production table needs, each step already O(debt) not O(table):
+    * fold deletion vectors back into clean files once the mask debt
+    * crosses `purgeAtMaskRatio` of physical rows (read-side cost
+    * bound), compact the small-file debt, expire log history past
+    * `keepVersions`, and vacuum what nothing references (sparing files
+    * younger than `vacuumMinAgeMs` for pinned readers). Every step is
+    * individually idempotent and crash-safe, so `maintain` is too.
+    * Returns (purged?, compacted?, expired versions, vacuumed files).
+    */
+  def maintain(spark: SparkSession, root: String,
+      smallFileRows: Long = 100000L,
+      keepVersions: Int = 30,
+      purgeAtMaskRatio: Double = 0.1,
+      vacuumMinAgeMs: Long = 0L): (Boolean, Boolean, Seq[Long], Seq[String]) = {
+    val snap = snapshot(spark, root)
+    val physical = math.max(1L, snap.files.map(_.rows).sum)
+    val masked = snap.files.flatMap(_.dv.map(_.rows)).sum
+    val vBefore = snap.version
+    val purged =
+      if (masked.toDouble / physical >= purgeAtMaskRatio && masked > 0)
+        purgeDeletes(spark, root) > vBefore
+      else false
+    val vMid = snapshot(spark, root).version
+    val compacted = compactSmall(spark, root, smallFileRows) > vMid
+    val expired = expireVersions(spark, root, keepVersions)
+    val vacuumed = vacuum(spark, root, vacuumMinAgeMs)
+    (purged, compacted, expired, vacuumed)
+  }
+
   /** SHALLOW CLONE: a new table whose first commit references the
     * source's data (and DV) files BY ABSOLUTE PATH — zero bytes
     * copied, O(metadata) (the Delta SHALLOW CLONE semantic). The

@@ -139,6 +139,34 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 40)
   }
 
+  test("maintain: one idempotent call drives purge, compaction, expiry, vacuum by debt") {
+    val root = freshRoot()
+    // build up every kind of debt: small files, heavy mask, history
+    (0 until 4).foreach(i =>
+      GraftTable.append(spark, root, rows(i * 25, i * 25 + 25)))
+    GraftTable.deleteWhereDv(spark, root, "id % 2 = 0", None) // 50% mask
+    val (purged, compacted, _, _) =
+      GraftTable.maintain(spark, root, smallFileRows = 1000,
+        keepVersions = 2, purgeAtMaskRatio = 0.1)
+    assert(purged, "50% mask debt must trigger a purge")
+    assert(compacted, "small-file debt must trigger compaction")
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.forall(_.dv.isEmpty))
+    assert(GraftTable.read(spark, root).count() == 50)
+    // caught-up: a second pass changes nothing but may vacuum strays
+    val v = snap.version
+    val (p2, c2, e2, _) = GraftTable.maintain(spark, root,
+      smallFileRows = 1000, keepVersions = 2, purgeAtMaskRatio = 0.1)
+    assert(!p2 && !c2 && e2.isEmpty)
+    assert(GraftTable.snapshot(spark, root).version == v,
+      "caught-up maintenance must not commit")
+    // light mask debt below the ratio is left alone
+    GraftTable.deleteWhereDv(spark, root, "id = 1", None)
+    val (p3, _, _, _) = GraftTable.maintain(spark, root,
+      smallFileRows = 1, keepVersions = 10, purgeAtMaskRatio = 0.5)
+    assert(!p3, "mask debt under the ratio must not purge")
+  }
+
   test("scanWhere extracts pruning ranges from SQL; rowCount is metadata-only") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 100)) // 8 range-disjoint files
