@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Canonical
+import graft.functions.FixedLog2
+
+/** DSIR-style data selection (Xie et al., NeurIPS 2023 — "Data
+  * Selection for Language Models via Importance Resampling") under the
+  * repo's exact-integer contract: hashed-unigram bag-of-words features
+  * (bucket = md5-derived [[Canonical.xhash]] mod B), Laplace-smoothed
+  * bucket unigram models for the TARGET distribution vs the RAW
+  * corpus, and the per-document importance log-ratio
+  *
+  *   log ŵ(doc) = Σ_b c_b · (log p̂_target(b) − log p̂_raw(b))
+  *
+  * computed entirely in 1/64-bit fixed-point integer logs
+  * ([[FixedLog2.qlog2]]) — bit-identical on any engine or
+  * partitioning. The published method resamples with Gumbel noise; the
+  * judged contract here is the DETERMINISTIC variant — keep the top-k
+  * raw documents by importance weight (score desc, doc_id tiebreak) —
+  * the same selection pressure, reproducible.
+  *
+  * Scale shape (the 100 TB read): one narrow tokenize→hash pass over
+  * the corpus; the two models are B-row aggregates with map-side
+  * partials (B ≪ corpus — the hashing trick's entire point); scoring
+  * joins per-doc bucket counts against the BROADCAST B-row model, so
+  * the only corpus-sized exchange is the per-(doc, bucket) count; the
+  * final top-k is TakeOrderedAndProject (no global sort).
+  */
+object Dsir {
+
+  /** Top-k raw docs (rows NOT satisfying `targetCond`) most resembling
+    * the target distribution (rows satisfying it). Output:
+    * `(doc_id, score)`, score = 1/64-bit fixed-point importance log.
+    *
+    * @param docs       frame with `doc_id` and `text`
+    * @param targetCond marks the rows that DEFINE the target
+    * @param buckets    hashed feature dimension B
+    */
+  def importanceTopK(docs: DataFrame, targetCond: Column, buckets: Int,
+      k: Int): DataFrame = {
+    require(buckets > 0 && k > 0)
+    val toks = docs
+      .select(col("doc_id"), targetCond.as("tgt"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    // dense grid: unseen buckets still carry the smoothed prior
+    val model = docs.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"),
+        FixedLog2.qlog2(coalesce(col("ct"), lit(0L)) + 1).as("qt"),
+        FixedLog2.qlog2(coalesce(col("cr"), lit(0L)) + 1).as("qr"))
+    val totals = counts.agg(
+      FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
+      FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
+    toks.filter(!col("tgt"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * (col("qt") - col("qr"))).as("s1"),
+        sum("c").as("t"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (col("s1") + col("t") * (col("qr_tot") - col("qt_tot"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle: the SAME integer program re-derived relationally —
+    * same hash, same Laplace smoothing, same fixed-point log table
+    * (the CTEs come from [[FixedLog2.qlog2CteSql]], generated from one
+    * threshold array, so engine and oracle cannot drift).
+    */
+  def importanceTopKOracleSql(targetCondSql: String, buckets: Int,
+      k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ($targetCondSql) AS tgt,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, tgt,
+       |         ${Canonical.xhashSql("tok")} % $buckets AS b
+       |  FROM toks WHERE tok <> ''),
+       |cnt AS (
+       |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |         SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+       |  FROM tb GROUP BY b),
+       |grid AS (SELECT CAST(range AS BIGINT) AS b FROM range($buckets)),
+       |m_in AS (
+       |  SELECT grid.b, COALESCE(cnt.ct, 0) + 1 AS xt,
+       |         COALESCE(cnt.cr, 0) + 1 AS xr
+       |  FROM grid LEFT JOIN cnt ON grid.b = cnt.b),
+       |${FixedLog2.qlog2CteSql("mt", "m_in", "b", "xt")},
+       |${FixedLog2.qlog2CteSql("mr", "m_in", "b", "xr")},
+       |model AS (
+       |  SELECT mtq.b, mtq.q AS qt, mrq.q AS qr
+       |  FROM mtq JOIN mrq ON mtq.b = mrq.b),
+       |tot_in AS (
+       |  SELECT COALESCE(SUM(CASE WHEN tgt THEN 1 ELSE 0 END), 0)
+       |           + $buckets AS xt,
+       |         COALESCE(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END), 0)
+       |           + $buckets AS xr
+       |  FROM tb),
+       |${FixedLog2.qlog2CteSql("tt", "tot_in", "xr", "xt")},
+       |${FixedLog2.qlog2CteSql("tr", "tot_in", "xt", "xr")},
+       |db AS (
+       |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tb WHERE NOT tgt GROUP BY doc_id, b),
+       |sc AS (
+       |  SELECT d.doc_id,
+       |         CAST(SUM(d.c * (m.qt - m.qr))
+       |           + SUM(d.c) * ((SELECT q FROM trq) - (SELECT q FROM ttq))
+       |           AS BIGINT) AS score
+       |  FROM db d JOIN model m ON d.b = m.b
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+}

@@ -1201,6 +1201,20 @@ object LlmOps {
                     FROM sc)
               SELECT doc_id, lang AS pred_lang, score
               FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // DSIR-style importance selection (Xie et al. 2023): hashed-unigram
+    // bucket models (B=256) for the target distribution (source src0)
+    // vs the raw corpus, per-doc importance log-ratio in 1/64-bit
+    // fixed-point integer logs, deterministic top-20 selection. The
+    // oracle re-derives the whole program — hash, smoothing, log
+    // table, score, selection — from the same constants.
+    ("sample_dsir",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dsir.importanceTopK(docs(s, dir),
+          col("source") === "src0", buckets = 256, k = 20)
+          .orderBy(col("score").desc, col("doc_id")),
+      Some(graft.operators.Dsir.importanceTopKOracleSql(
+        "source = 'src0'", buckets = 256, k = 20))),
   )
 
   def queries: Map[String, Q] =

@@ -158,6 +158,101 @@ object GraftTable {
       }
     }
 
+  /** Copy-on-write UPDATE … SET … WHERE — the third DML verb next to
+    * [[deleteWhere]] and [[merge]]. Files whose zone maps prove no row
+    * matches `condSql` survive untouched; every other file is
+    * rewritten with the SET expressions applied to matching rows. SQL
+    * UPDATE semantics: ALL set expressions evaluate against the
+    * PRE-update row (one projection, so a later SET never observes an
+    * earlier one), and each updated column casts back to its declared
+    * table type — the schema is invariant under update. The change
+    * feed surfaces an update as the bag-diff pair (delete of the old
+    * row, insert of the new one); untouched carried-over rows cancel.
+    * Cost O(files overlapping the predicate range), never O(table).
+    *
+    * @param sets column → SQL expression over the pre-update row
+    */
+  def updateWhere(spark: SparkSession, root: String, condSql: String,
+      sets: Seq[(String, String)], prune: Option[Range] = None): Long =
+    commitRetry(spark, root) { snap =>
+      val unknown = sets.map(_._1).filterNot(snap.schema.fieldNames.contains)
+      require(unknown.isEmpty, s"updateWhere: no such column(s) $unknown")
+      val touched = prune match {
+        case Some(r) => prunedFilesAll(snap, Seq(r))
+        case None => snap.files
+      }
+      if (touched.isEmpty) None
+      else {
+        val base = readFiles(spark, root, snap, touched)
+        val cond = expr(condSql)
+        val out = base.select(snap.schema.fields.map { f =>
+          sets.find(_._1 == f.name) match {
+            case Some((_, e)) =>
+              when(cond, expr(e).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+        enforceConstraints(spark, root, out)
+        Some((writeData(spark, root, out, snap.schema), touched.map(_.path),
+          snap.schema, None))
+      }
+    }
+
+  /** Range delete with a METADATA-ONLY fast path — the "drop
+    * partition" move: every file whose zone map proves ALL its rows
+    * fall inside `range` (min ≥ lo, max ≤ hi, zero nulls) is dropped
+    * from the log WITHOUT being read or rewritten, and only files
+    * PARTIALLY overlapping the range go through the copy-on-write
+    * rewrite. On a table laid out by the range column (ingest-ordered
+    * appends, [[zorderBy]], or one-file-per-partition-value writes)
+    * retiring a day/month/source is O(log metadata) + a rewrite of at
+    * most the two boundary files — at 100 TB the difference between a
+    * commit that finishes in milliseconds and rewriting terabytes to
+    * drop them.
+    *
+    * Conservative proofs only: string bounds engage the fast path only
+    * when pure ASCII (parquet's truncated bounds stay outside-safe:
+    * stat-min ≤ true-min and stat-max ≥ true-max, so containment
+    * checks against stat bounds imply containment of the true rows);
+    * a column with no stats or any nulls always takes the rewrite
+    * path. Dropped files surface in the change feed as deletes of
+    * every (DV-surviving) row, same as any removed-without-readd file.
+    */
+  def deleteRange(spark: SparkSession, root: String, range: Range): Long =
+    commitRetry(spark, root) { snap =>
+      val touched = prunedFilesAll(snap, Seq(range))
+      if (touched.isEmpty) None
+      else {
+        val (dropped, partial) = touched.partition(fullyCovered(_, range))
+        val adds =
+          if (partial.isEmpty) Seq.empty[AddFile]
+          else writeData(spark, root,
+            readFiles(spark, root, snap, partial)
+              // coalesce: a NULL range column never matches the delete
+              // predicate, so NULL rows SURVIVE (NOT(null) would drop them)
+              .filter(s"NOT coalesce((${residual(range)}), false)"),
+            snap.schema)
+        Some((adds, (dropped ++ partial).map(_.path), snap.schema, None))
+      }
+    }
+
+  /** Zone-map proof that EVERY row of `f` lies inside `r` — the
+    * [[deleteRange]] fast-path test. Inverse-direction conservatism
+    * from [[mayMatch]]: here a wrong "true" would drop live rows, so
+    * the proof requires stats present, zero nulls, and (for strings)
+    * ASCII-pure bounds and probes.
+    */
+  private[table] def fullyCovered(f: AddFile, r: Range): Boolean =
+    f.stats.get(r.col).exists { s =>
+      val asciiSafe = s.tpe != "str" ||
+        (Seq(s.min, s.max) ++ r.lo ++ r.hi)
+          .forall(_.toString.forall(_ < 128))
+      asciiSafe && s.nulls == 0 &&
+        r.lo.forall(lo => cmp(s.tpe, s.min, lo) >= 0) &&
+        r.hi.forall(hi => cmp(s.tpe, s.max, hi) <= 0)
+    }
+
   /** MERGE-ON-READ delete via deletion vectors (the Delta/Iceberg v2
     * "position delete" shape): instead of rewriting every touched
     * file ([[deleteWhere]]'s copy-on-write), the commit writes one
@@ -298,6 +393,131 @@ object GraftTable {
       Some((writeData(spark, root, merged, snap.schema), touched.map(_.path),
         snap.schema, None))
     }
+
+  /** Tri-clause MERGE INTO — the general DML verb over the table
+    * format (the SQL/Delta `MERGE` shape, of which [[merge]]'s
+    * changelog apply is the latest-wins special case):
+    *
+    *   - WHEN MATCHED [AND `matchedDeleteCond`] THEN DELETE
+    *   - WHEN MATCHED [AND `matchedUpdateCond`] THEN UPDATE SET …
+    *   - WHEN NOT MATCHED [AND `notMatchedInsertCond`] THEN INSERT …
+    *
+    * Clause precedence for a matched row: delete first, then update,
+    * else carry unchanged (the fixed evaluation order; conditions make
+    * any other composition expressible). Expression namespace: TARGET
+    * columns by their own names, SOURCE non-key columns as
+    * `src_<name>` — conditions and SET/INSERT expressions may read
+    * both sides of the match. INSERT expressions cover any subset of
+    * non-key columns (the rest land NULL); key columns always take the
+    * source key. Every produced value casts to the declared table
+    * type, so the schema is invariant.
+    *
+    * Source keys must be UNIQUE — a target row matched by two source
+    * rows has no well-defined result, and like Delta the call REFUSES
+    * (one count-distinct pass over the source, O(source)).
+    *
+    * `txn` is the (appId, batchId) exactly-once tag [[append]] takes:
+    * a replayed batch is a commit NO-OP. Non-optional for streaming
+    * upserts (foreachBatch + mergeInto): unlike an append, a replayed
+    * MERGE is not naturally idempotent (`tc + src_delta` applied twice
+    * is wrong), so the ledger is what upgrades the engine's
+    * at-least-once re-delivery to exactly-once table contents.
+    *
+    * Copy-on-write at file granularity, same pruning as [[merge]]:
+    * with a single merge key, files zone-map-disjoint from the
+    * source's [min,max] key range provably hold no matched row and
+    * survive untouched — cost O(files overlapping the change range) +
+    * one shuffle join against the source, never O(table). Composite
+    * keys rewrite every file. The change feed shows an update as its
+    * bag-diff delete+insert pair; carried rows cancel.
+    */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String],
+      matchedUpdate: Seq[(String, String)] = Nil,
+      matchedUpdateCond: Option[String] = None,
+      matchedDelete: Option[String] = None,
+      notMatchedInsert: Option[Seq[(String, String)]] = None,
+      notMatchedInsertCond: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    require(matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
+      notMatchedInsert.nonEmpty, "mergeInto: no clauses given")
+    require(keys.nonEmpty, "mergeInto: keys must be non-empty")
+    val srcCount = source.count()
+    val distinctKeys = source.select(keys.map(col): _*).distinct().count()
+    require(srcCount == distinctKeys,
+      s"mergeInto: source keys must be unique ($srcCount rows, " +
+        s"$distinctKeys distinct keys) — a row matched twice is undefined")
+    if (srcCount == 0) return snapshot(spark, root).version // no-op
+    commitRetry(spark, root) { snap =>
+      if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
+        None // already committed — idempotent replay (commit no-op)
+      else mergeBuild(spark, root, snap, source, keys, matchedUpdate,
+        matchedUpdateCond, matchedDelete, notMatchedInsert,
+        notMatchedInsertCond, txn)
+    }
+  }
+
+  private def mergeBuild(spark: SparkSession, root: String, snap: Snapshot,
+      source: DataFrame, keys: Seq[String],
+      matchedUpdate: Seq[(String, String)],
+      matchedUpdateCond: Option[String],
+      matchedDelete: Option[String],
+      notMatchedInsert: Option[Seq[(String, String)]],
+      notMatchedInsertCond: Option[String],
+      txn: Option[(String, Long)])
+      : Option[(Seq[AddFile], Seq[String], StructType,
+        Option[(String, Long)])] = {
+      val badSet = matchedUpdate.map(_._1)
+        .filterNot(snap.schema.fieldNames.contains)
+      require(badSet.isEmpty, s"mergeInto: no such column(s) $badSet")
+      val touched =
+        if (keys.size != 1) snap.files
+        else {
+          val k = keys.head
+          val mm = source.agg(min(col(k)), max(col(k))).head
+          if (mm.isNullAt(0)) Seq.empty
+          else prunedFilesAll(snap,
+            Seq(Range(k, Some(mm.get(0)), Some(mm.get(1)))))
+        }
+      val src = source.select(keys.map(col) ++ source.columns
+        .filterNot(keys.contains).map(c => col(c).as(s"src_$c")): _*)
+        .withColumn("__s", lit(true))
+      val target = readFiles(spark, root, snap, touched)
+        .withColumn("__t", lit(true))
+      val j = target.join(src, keys, "full_outer")
+      val isT = coalesce(col("__t"), lit(false))
+      val isS = coalesce(col("__s"), lit(false))
+      val matched = isT && isS
+      val doDel = matched && matchedDelete
+        .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(false))
+      val doUpd = matched && !doDel && lit(matchedUpdate.nonEmpty) &&
+        matchedUpdateCond.map(c => coalesce(expr(c), lit(false)))
+          .getOrElse(lit(true))
+      val doIns = !isT && isS && lit(notMatchedInsert.nonEmpty) &&
+        notMatchedInsertCond.map(c => coalesce(expr(c), lit(false)))
+          .getOrElse(lit(true))
+      val inserts = notMatchedInsert.getOrElse(Nil).toMap
+      val out = j
+        .filter((isT && !doDel) || doIns)
+        .select(snap.schema.fields.map { f =>
+          val base =
+            if (keys.contains(f.name)) col(f.name) // using-join: coalesced
+            else inserts.get(f.name) match {
+              case Some(e) => when(doIns, expr(e).cast(f.dataType))
+                .otherwise(col(f.name))
+              case None => when(doIns, lit(null).cast(f.dataType))
+                .otherwise(col(f.name))
+            }
+          (matchedUpdate.find(_._1 == f.name) match {
+            case Some((_, e)) =>
+              when(doUpd, expr(e).cast(f.dataType)).otherwise(base)
+            case None => base
+          }).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      enforceConstraints(spark, root, out)
+      Some((writeData(spark, root, out, snap.schema), touched.map(_.path),
+        snap.schema, txn))
+  }
 
   /** Re-cluster the table on a Morton key of two non-negative bounded
     * dimensions ([[graft.operators.Layout.zorderKey2]]) — one atomic

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_ccnet_buckets" -> "single-row cross join (the shared lmSurprisal N-broadcast shape)",
     "dedup_semantic" -> "SemDeDup assignment: corpus × broadcast centroid-mean frame (cells ≪ corpus) by design",
     "text_nb_lang" -> "NB scoring: doc-term frequencies × broadcast per-language prior frame (#langs rows) by design",
+    "sample_dsir" -> "single-row cross join (the two model-total logs broadcast onto per-doc scores)",
   )
 
   /** Allowed but not required: plans that flip between a subquery
