@@ -42,25 +42,50 @@ object Dsir {
   def importanceTopK(docs: DataFrame, targetCond: Column, buckets: Int,
       k: Int): DataFrame = {
     require(buckets > 0 && k > 0)
-    val toks = docs
+    val spark = docs.sparkSession
+    def toks = docs
       .select(col("doc_id"), targetCond.as("tgt"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
-    val counts = toks.groupBy("b").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    // TRAIN pass (one corpus scan): the two bucket models, materialized
+    // to B rows on the driver — the hashing trick's whole point is that
+    // the model is B-sized, so "collect the model" is the published
+    // two-phase DSIR shape, not a driver bottleneck. A lazy
+    // formulation forks this lineage three ways (model, totals,
+    // scores) and Catalyst's per-branch column pruning defeats
+    // exchange reuse — measured as the corpus being tokenized and
+    // md5-hashed three times. Aggregating per (side, TOKEN) first
+    // means the md5 contract hash runs once per distinct token of the
+    // post-partial-agg frame, not once per corpus token — map-side
+    // combine shrinks the stream to vocabulary size before any hashing.
+    val counted = toks.groupBy("tgt", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
+      .groupBy("b").agg(
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), col("c")).otherwise(0L)).as("cr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // dense grid: unseen buckets still carry the smoothed prior
-    val model = docs.sparkSession.range(buckets).select(col("id").as("b"))
-      .join(counts, Seq("b"), "left")
-      .select(col("b"),
-        FixedLog2.qlog2(coalesce(col("ct"), lit(0L)) + 1).as("qt"),
-        FixedLog2.qlog2(coalesce(col("cr"), lit(0L)) + 1).as("qr"))
-    val totals = counts.agg(
+    import spark.implicits._
+    val modelIn = (0L until buckets).map { b =>
+      val (ct, cr) = counted.getOrElse(b, (0L, 0L))
+      (b, ct, cr)
+    }.toDF("b", "ct", "cr")
+    // the qlog2 COLUMN program (the cross-engine contract) applied on
+    // the local B-row relation — no second derivation to drift
+    val model = modelIn.select(col("b"),
+      FixedLog2.qlog2(col("ct") + 1).as("qt"),
+      FixedLog2.qlog2(col("cr") + 1).as("qr"))
+    val totals = modelIn.agg(
       FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
       FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
+    // SCORE pass (the second and last corpus scan) — same discipline:
+    // count per (doc, token) with map-side partials, hash the
+    // collapsed frame, then fold tokens into buckets
     toks.filter(!col("tgt"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
+      .groupBy("doc_id", "b").agg(sum("c").as("c"))
       .join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(sum(col("c") * (col("qt") - col("qr"))).as("s1"),

@@ -80,4 +80,57 @@ class Sf1SoakSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(GraftTable.read(spark, root).count() == total - expected)
     info(f"sf1 DV delete: $expected of $total rows masked in $secs%.1f s")
   }
+
+  // the DML cost models at scale: on a 6M-row table laid out by key,
+  // an aligned range delete is METADATA-ONLY (no file read, no file
+  // written), and a pruned UPDATE rewrites only the files overlapping
+  // its predicate range — both must stay O(touched), never O(table)
+  test("range delete + pruned update at sf1: O(touched) commits", SlowTest) {
+    import org.apache.spark.sql.functions._
+    import graft.table.GraftTable
+    import graft.table.GraftTable.Range
+    val spark = SparkSpec.session
+    val dataDir = new java.io.File("target/soak-sf1").getAbsolutePath
+    assume(new java.io.File(s"$dataDir/lineitem.parquet").exists(),
+      "run the sf1 soak first (generates the dataset)")
+    val root = java.nio.file.Files.createTempDirectory("soak_dml").toString
+    val li = spark.read.parquet(s"$dataDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // lay out by key: 16 range-partitioned files → zone maps tile the
+    // key domain (the layout a real ingest-by-day table has for free)
+    GraftTable.append(spark, root,
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"))
+    val total = li.count()
+    val files = GraftTable.snapshot(spark, root).files
+    assert(files.size == 16)
+    // pick a cut that exactly covers the first file's key range
+    val f0max = files
+      .minBy(_.stats("l_orderkey").min.asInstanceOf[Number].longValue)
+      .stats("l_orderkey").max.asInstanceOf[Number].longValue
+    val t0 = System.nanoTime()
+    val v = GraftTable.deleteRange(spark, root,
+      Range("l_orderkey", None, Some(f0max)))
+    val delSecs = (System.nanoTime() - t0) / 1e9
+    val e = GraftTable.history(spark, root).find(_._1 == v).get
+    assert(e._2 == 0, "aligned range delete must write NO data files")
+    val expectDel = li.filter(col("l_orderkey") <= f0max).count()
+    assert(GraftTable.read(spark, root).count() == total - expectDel)
+    // pruned update: touch only the top of the key domain
+    val hiCut = files.map(_.stats("l_orderkey").min.asInstanceOf[Number]
+      .longValue).max // last file's min
+    val before = GraftTable.snapshot(spark, root).files.map(_.path).toSet
+    val t1 = System.nanoTime()
+    GraftTable.updateWhere(spark, root, s"l_orderkey >= $hiCut",
+      Seq("l_quantity" -> "l_quantity + 1"),
+      prune = Some(Range("l_orderkey", Some(hiCut), None)))
+    val updSecs = (System.nanoTime() - t1) / 1e9
+    val after = GraftTable.snapshot(spark, root).files.map(_.path).toSet
+    val carried = before.intersect(after).size
+    assert(carried >= 13,
+      s"pruned update must carry the untouched files (carried $carried of 15)")
+    info(f"sf1 DML: aligned delete of $expectDel rows in $delSecs%.2f s " +
+      f"(0 files written), pruned update in $updSecs%.1f s " +
+      s"(carried $carried files)")
+  }
 }
