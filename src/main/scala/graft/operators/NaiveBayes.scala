@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.FixedLog2.qlog2
@@ -25,8 +24,9 @@ import graft.functions.FixedLog2.qlog2
   * Shape at scale: one token explode over the corpus, two grouped
   * counts over the MODEL frame (vocab-sized, not corpus-sized), an
   * equi-join of doc-term frequencies against the model, and a
-  * #labels-row prior frame broadcast across tokens. The argmax window
-  * partitions by document. No pairwise anything.
+  * #labels-row prior frame broadcast across tokens. The argmax is one
+  * `min_by` aggregate (map-side combinable — no per-document window
+  * sort). No pairwise anything.
   */
 object NaiveBayes {
 
@@ -57,8 +57,14 @@ object NaiveBayes {
       .withColumn("term", col("tf") * (coalesce(col("c_q"), lit(0L)) - col("denom_q")))
       .groupBy(idCol, labelCol)
       .agg(sum(col("term")).as("score"))
-    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col(labelCol))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(id, col(labelCol).as("pred"), col("score"))
+    // argmax via one aggregate (map-side combinable; score DESC, label
+    // ASC tiebreak — min of (−score, label)) instead of a grouped
+    // row_number window, which would sort every (doc, label) row
+    // inside per-doc partitions
+    scored.groupBy(idCol)
+      .agg(min_by(struct(col(labelCol), col("score")),
+        struct((-col("score")).as("ns"), col(labelCol))).as("best"))
+      .select(id, col(s"best.$labelCol").as("pred"),
+        col("best.score").as("score"))
   }
 }

@@ -1738,16 +1738,19 @@ object GraftTable {
   }
 
   /** Raw read of `paths` plus `__file`/`__pos` identity columns. The
-    * root-relative path is recovered from `_metadata.file_path`'s last
-    * two components (`data/<commit>/<part>` — the layout invariant).
+    * root-relative path is recovered as `_metadata.file_path`'s last
+    * THREE components (`data/<commit>/<part>` — the layout invariant).
+    * `substring_index` rather than a regexp: the extraction runs per
+    * ROW, not per file, so on a masked scan of N rows a regex is N
+    * regex executions for a value that only changes per file —
+    * measured as a visible slice of DV-masked read time.
     */
   private def taggedRead(spark: SparkSession, root: String,
       schema: StructType, paths: Seq[String]): DataFrame =
     spark.read.schema(physicalSchema(schema))
       .parquet(paths.map(p => new Path(root, p).toString): _*)
       .select(toLogicalCols(schema) :+
-        regexp_extract(col("_metadata.file_path"),
-          "(data/[^/]+/[^/]+)$", 1).as("__file") :+
+        substring_index(col("_metadata.file_path"), "/", -3).as("__file") :+
         col("_metadata.row_index").as("__pos"): _*)
 
   /** Union of the distinct DV parquets `files` reference, filtered to
