@@ -410,6 +410,79 @@ object EngineOps {
                FROM lineitem
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Range DELETE with the metadata-only fast path judged END-TO-END:
+    // lineitem lands in two commits split at a data-derived but
+    // ORACLE-EXACT boundary (half the max orderkey, integer division —
+    // no partitioner sampling in the contract), then deleteRange cuts
+    // at exactly that boundary: every low-side file is PROVABLY fully
+    // covered (its zone-map max ≤ the cut) and drops from the log
+    // without being read; the high side's files are never candidates.
+    // The drop-partition shape, hash-judged: the output is the
+    // post-delete state AND the delete commit's change feed (which for
+    // a dropped-file commit is every dropped row), both against
+    // relational reconstruction at the same boundary. The DML soak
+    // proves the 0-files-written cost model at sf1; this query pins
+    // the CONTENT contract under the DuckDB hash gate.
+    ("table_delete_range",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        val cut = li.agg(max(col("l_orderkey"))).head.get(0)
+          .asInstanceOf[Number].longValue / 2
+        val src = new java.io.File(s"$dir/lineitem.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "rng_v1".hashCode.toLong)
+        val root = s"target/graft_table/rng_$fp"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 2L) {
+            gt.append(s, root, li.filter(col("l_orderkey") <= cut),
+              txn = Some(("rng_build", 0L)))
+            gt.append(s, root, li.filter(col("l_orderkey") > cut),
+              txn = Some(("rng_build", 1L)))
+            if (gt.snapshot(s, root).version == 1L)
+              gt.deleteRange(s, root,
+                graft.table.GraftTable.Range("l_orderkey", None, Some(cut)))
+          }
+        }
+        val v = gt.snapshot(s, root).version
+        val state = gt.read(s, root)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("l_quantity")).as("sum_qty"),
+            min(col("l_orderkey")).as("min_key"))
+          .withColumn("section", lit("state"))
+        val cdc = gt.changes(s, root, v - 1, v)
+          .filter(col("_change_type") === "delete")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("l_quantity")).as("sum_qty"),
+            min(col("l_orderkey")).as("min_key"))
+          .withColumn("section", lit("cdc_delete"))
+        state.unionByName(cdc)
+          .select("section", "l_returnflag", "n", "sum_qty", "min_key")
+          .orderBy("section", "l_returnflag")
+      },
+      Some(s"""WITH cut AS (
+                 SELECT CAST(MAX(l_orderkey) AS BIGINT) / 2 AS k
+                 FROM lineitem),
+               state AS (
+                 SELECT 'state' AS section, l_returnflag,
+                        COUNT(*) AS n,
+                        ${Canonical.moneySumSql("l_quantity")} AS sum_qty,
+                        MIN(l_orderkey) AS min_key
+                 FROM lineitem, cut WHERE l_orderkey > cut.k
+                 GROUP BY l_returnflag),
+               cdc AS (
+                 SELECT 'cdc_delete' AS section, l_returnflag,
+                        COUNT(*) AS n,
+                        ${Canonical.moneySumSql("l_quantity")} AS sum_qty,
+                        MIN(l_orderkey) AS min_key
+                 FROM lineitem, cut WHERE l_orderkey <= cut.k
+                 GROUP BY l_returnflag)
+               SELECT * FROM (SELECT * FROM state UNION ALL SELECT * FROM cdc)
+               ORDER BY section, l_returnflag""")),
+
     // Tri-clause MERGE INTO judged END-TO-END: the orders table (keyed
     // by o_orderkey, money as exact cents) lands in two append
     // commits, then ONE mergeInto applies updates (k%7=0: add a

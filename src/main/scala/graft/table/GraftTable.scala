@@ -442,8 +442,10 @@ object GraftTable {
     require(matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
       notMatchedInsert.nonEmpty, "mergeInto: no clauses given")
     require(keys.nonEmpty, "mergeInto: keys must be non-empty")
-    val srcCount = source.count()
-    val distinctKeys = source.select(keys.map(col): _*).distinct().count()
+    // one aggregate pass: row count and exact key-distinct together
+    val cnts = source.agg(count(lit(1)),
+      count_distinct(struct(keys.map(col): _*))).head
+    val (srcCount, distinctKeys) = (cnts.getLong(0), cnts.getLong(1))
     require(srcCount == distinctKeys,
       s"mergeInto: source keys must be unique ($srcCount rows, " +
         s"$distinctKeys distinct keys) — a row matched twice is undefined")
