@@ -618,6 +618,43 @@ object GraftTable {
       !n.contains("ckpt") => v }.toSeq.distinct.sorted
   }
 
+  /** One-row operational summary of the table — the `DESCRIBE DETAIL`
+    * surface an operator points a dashboard at: version, file count,
+    * physical vs live row counts, DV mask debt (the [[maintain]]
+    * trigger), bytes on disk, small-file debt, declared bloom columns
+    * and constraints, and log entry/checkpoint counts. Computed from
+    * the LOG plus one file-status listing of the referenced files —
+    * zero data IO, O(files) metadata.
+    */
+  def describeDetail(spark: SparkSession, root: String,
+      smallFileRows: Long = 100000L): DataFrame = {
+    val snap = snapshot(spark, root)
+    val (fs, logDir) = logFs(spark, root)
+    val names = if (fs.exists(logDir))
+      fs.listStatus(logDir).map(_.getPath.getName) else Array.empty[String]
+    val bytes = snap.files.map { f =>
+      val p = new Path(root, f.path)
+      try p.getFileSystem(hadoopConf(spark)).getFileStatus(p).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    val physical = snap.files.map(_.rows).sum
+    val masked = snap.files.flatMap(_.dv.map(_.rows)).sum
+    import spark.implicits._
+    Seq((root, snap.version, snap.files.size.toLong, physical,
+      physical - masked, masked, bytes,
+      snap.files.count(_.rows < smallFileRows).toLong,
+      snap.files.count(_.dv.isDefined).toLong,
+      bloomColumns(spark, root).mkString(","),
+      tableConstraints(spark, root).map(_._1).mkString(","),
+      names.count(_.matches("\\d{8}\\.json")).toLong,
+      names.count(_.matches("\\d{8}\\.ckpt\\.json")).toLong,
+      snap.txns.size.toLong))
+      .toDF("root", "version", "num_files", "physical_rows", "live_rows",
+        "masked_rows", "size_bytes", "small_files", "dv_files",
+        "bloom_columns", "constraints", "log_entries", "checkpoints",
+        "txn_apps")
+  }
+
   /** The table as of `version` (None = latest). */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {

@@ -247,6 +247,27 @@ class GraftTableDmlSpec extends SparkSpec {
     assert(out.size == 11)
   }
 
+  test("describeDetail: live rows, mask debt and layout counts track the lifecycle") {
+    val root = freshRoot()
+    GraftTable.setBloomColumns(spark, root, Seq("s"))
+    GraftTable.append(spark, root, rows(0, 50).coalesce(1))
+    GraftTable.append(spark, root, rows(50, 100).coalesce(1))
+    GraftTable.deleteWhereDv(spark, root, "id % 10 = 0", prune = None)
+    val d = GraftTable.describeDetail(spark, root).head
+    assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("num_files") == 2L)
+    assert(d.getAs[Long]("physical_rows") == 100L)
+    assert(d.getAs[Long]("masked_rows") == 10L)
+    assert(d.getAs[Long]("live_rows") == 90L)
+    assert(d.getAs[Long]("dv_files") == 2L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("bloom_columns") == "s")
+    assert(d.getAs[Long]("log_entries") == 3L)
+    // live_rows must agree with the actual masked read
+    assert(GraftTable.read(spark, root).count() ==
+      d.getAs[Long]("live_rows"))
+  }
+
   test("mergeInto: insert-only merge into an empty-overlap region commits new rows") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 10))
