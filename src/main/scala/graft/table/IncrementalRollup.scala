@@ -148,6 +148,140 @@ object IncrementalRollup {
     }
   }
 
+  /** [[create]] for an MV that also maintains MIN/MAX of `extCol`:
+    * `(key, n, s, mn, mx)`. Extremes are the classically "hard"
+    * incremental aggregates — an insert updates them monotonically,
+    * but deleting the stored extreme needs the group's NEXT-best
+    * value, which no delta carries. [[refreshExtremes]] handles that
+    * with the textbook dirty-group repair: affected groups (and only
+    * those) re-aggregate from a zone-map-pruned scan of the source AS
+    * OF the refresh version.
+    */
+  def createExtremes(spark: SparkSession, sourceRoot: String, mvRoot: String,
+      key: String, sumCol: String, extCol: String,
+      targetFiles: Int = 8): Long = {
+    val srcSnap = GraftTable.snapshot(spark, sourceRoot)
+    require(srcSnap.version >= 0, s"source table $sourceRoot is empty")
+    val full = GraftTable.read(spark, sourceRoot)
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("s"),
+        min(col(extCol)).as("mn"), max(col(extCol)).as("mx"))
+      .repartitionByRange(targetFiles, col(key))
+      .sortWithinPartitions(key)
+    GraftTable.commitRetry(spark, mvRoot) { mvSnap =>
+      Some((GraftTable.writeData(spark, mvRoot, full, full.schema),
+        mvSnap.files.map(_.path), full.schema,
+        Some((appId(sourceRoot), srcSnap.version))))
+    }
+  }
+
+  /** Refresh a [[createExtremes]] MV. Counts and sums maintain from
+    * the CDC deltas exactly as [[refreshMulti]]; extremes split
+    * per group:
+    *
+    *   - CLEAN (no delete at-or-beyond the stored extreme): the new
+    *     extreme is the monotone merge `least(mn, min(inserts))` /
+    *     `greatest(mx, max(inserts))` — O(changes), no source read;
+    *   - DIRTY (some delete ≤ stored min or ≥ stored max — the stored
+    *     extreme may be gone): the group re-aggregates from the source
+    *     AS OF the refresh version, scanned through zone-map pruning
+    *     on the dirty keys' range + a null-safe semi join — O(source
+    *     files overlapping the dirty keys), never O(source).
+    *
+    * Equality with a from-scratch aggregate is the spec'd contract;
+    * deleting a DUPLICATED extreme value is conservatively dirty
+    * (repair recomputes the same value — correct, just not free).
+    */
+  def refreshExtremes(spark: SparkSession, sourceRoot: String,
+      mvRoot: String, key: String, sumCol: String, extCol: String): Long = {
+    val srcV = GraftTable.snapshot(spark, sourceRoot).version
+    GraftTable.commitRetry(spark, mvRoot) { mvSnap =>
+      val applied = mvSnap.txns.getOrElse(appId(sourceRoot), -1L)
+      require(applied >= 0, s"MV $mvRoot was never created for $sourceRoot")
+      if (applied >= srcV) None
+      else {
+        val ins = col("_change_type") === "insert"
+        val sgn = when(ins, lit(1L)).otherwise(lit(-1L))
+        val delta = GraftTable.changes(spark, sourceRoot, applied, srcV)
+          .groupBy(key)
+          .agg(sum(sgn).as("dn"), sum(sgn * col(sumCol)).as("ds"),
+            min(when(ins, col(extCol))).as("ins_mn"),
+            max(when(ins, col(extCol))).as("ins_mx"),
+            min(when(!ins, col(extCol))).as("del_mn"),
+            max(when(!ins, col(extCol))).as("del_mx"))
+        val mm = delta.agg(min(col(key)), max(col(key)),
+          sum(when(col(key).isNull, 1L).otherwise(0L))).head
+        val hasNullKey = !mm.isNullAt(2) && mm.getLong(2) > 0
+        if (mm.isNullAt(0) && !hasNullKey)
+          Some((Nil, Nil, mvSnap.schema, Some((appId(sourceRoot), srcV))))
+        else {
+          val touched = mvSnap.files.filter { f =>
+            val rangeHit = !mm.isNullAt(0) && GraftTable.mayMatch(f,
+              GraftTable.Range(key, Some(mm.get(0)), Some(mm.get(1))))
+            val nullHit = hasNullKey && f.stats.get(key).forall(_.nulls > 0)
+            rangeHit || nullHit
+          }
+          val target = GraftTable.readFiles(spark, mvRoot, mvSnap, touched)
+          val j = target.alias("t")
+            .join(delta.alias("d"),
+              col(s"t.$key") <=> col(s"d.$key"), "full_outer")
+            .withColumn("__k", coalesce(col(s"t.$key"), col(s"d.$key")))
+            // dirty: a delete reached the stored extreme — or the
+            // group has deletes but no stored row (inconsistent-feed
+            // guard, recompute is always safe)
+            .withColumn("__dirty", col("del_mn").isNotNull &&
+              (col("n").isNull || col("del_mn") <= col("mn") ||
+                col("del_mx") >= col("mx")))
+          val clean = j.filter(!col("__dirty"))
+            .select(col("__k").as(key),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("s"), lit(0).cast(target.schema("s").dataType)) +
+                coalesce(col("ds"), lit(0).cast(target.schema("s").dataType)))
+                .cast(target.schema("s").dataType).as("s"),
+              least(col("mn"), col("ins_mn")).as("mn"),
+              greatest(col("mx"), col("ins_mx")).as("mx"))
+            .filter(col("n") > 0)
+          // dirty-group repair: bounded source re-aggregation
+          val dirtyAgg = j.filter(col("__dirty"))
+            .agg(min(col("__k")), max(col("__k")),
+              sum(when(col("__k").isNull, 1L).otherwise(0L)),
+              count(lit(1))).head
+          val merged =
+            if (dirtyAgg.getLong(3) == 0L) clean
+            else {
+              val dirtyNull = !dirtyAgg.isNullAt(2) && dirtyAgg.getLong(2) > 0
+              val srcSnap = GraftTable.snapshot(spark, sourceRoot, Some(srcV))
+              val srcFiles = srcSnap.files.filter { f =>
+                val rangeHit = !dirtyAgg.isNullAt(0) && GraftTable.mayMatch(f,
+                  GraftTable.Range(key, Some(dirtyAgg.get(0)),
+                    Some(dirtyAgg.get(1))))
+                val nullHit = dirtyNull && f.stats.get(key).forall(_.nulls > 0)
+                rangeHit || nullHit
+              }
+              val dirtyKeys = j.filter(col("__dirty"))
+                .select(col("__k").as(key))
+              val rec = GraftTable
+                .readFiles(spark, sourceRoot, srcSnap, srcFiles)
+                .alias("s")
+                .join(dirtyKeys.alias("k"),
+                  col(s"s.$key") <=> col(s"k.$key"), "left_semi")
+                .groupBy(key)
+                .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("s"),
+                  min(col(extCol)).as("mn"), max(col(extCol)).as("mx"))
+              clean.unionByName(rec
+                .select(col(key), col("n"),
+                  col("s").cast(target.schema("s").dataType).as("s"),
+                  col("mn"), col("mx")))
+            }
+          Some((GraftTable.writeData(spark, mvRoot, merged, mvSnap.schema),
+            touched.map(_.path), mvSnap.schema,
+            Some((appId(sourceRoot), srcV))))
+        }
+      }
+    }
+  }
+
   /** CONTINUOUS maintenance: subscribe the MV to the source's change
     * feed (`readChangeFeed` stream) and [[refresh]] on every
     * micro-batch — the MV follows a mutable source (appends, CoW and

@@ -185,4 +185,64 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(mvN(mv) == recomputeN(src))
     assert(!mvN(mv).exists(_._1.isEmpty), "null group fully cancelled must drop")
   }
+
+  private def recomputeExt(src: String) =
+    GraftTable.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  private def mvExt(mv: String) =
+    GraftTable.read(spark, mv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("extremes MV: monotone inserts clean, deleted extremes repair, ≡ recompute") {
+    val base = Files.createTempDirectory("inc_ext")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    // values chosen so each group's min is 0·g and max is 9000+g
+    val initial = (0L until 100L).flatMap(g =>
+      (0L until 10L).map(i => (g, g * 100 + i, i * 1000 + g)))
+      .toDF("grp", "id", "v")
+      .repartitionByRange(4, col("grp")).sortWithinPartitions("grp")
+    GraftTable.append(spark, src, initial)
+    IncrementalRollup.createExtremes(spark, src, mv, "grp", "v", "v",
+      targetFiles = 4)
+    assert(mvExt(mv) == recomputeExt(src), "create must equal recompute")
+
+    // CLEAN refresh: inserts that extend some maxima, touch no minima
+    GraftTable.append(spark, src,
+      (0L until 20L).map(g => (g, 20000 + g, 50000L + g)).toDF("grp", "id", "v"))
+    IncrementalRollup.refreshExtremes(spark, src, mv, "grp", "v", "v")
+    assert(mvExt(mv) == recomputeExt(src),
+      "insert-only refresh must equal recompute (monotone path)")
+
+    // DIRTY refresh: delete the stored MAX of groups 0-19 (the 50000+g
+    // rows) AND the stored MIN of group 7 — repair must find the
+    // next-best extremes from the source
+    GraftTable.deleteWhere(spark, src, "v >= 50000 OR (grp = 7 AND v = 7)",
+      prune = None)
+    val before = GraftTable.snapshot(spark, mv)
+    IncrementalRollup.refreshExtremes(spark, src, mv, "grp", "v", "v")
+    assert(mvExt(mv) == recomputeExt(src),
+      "deleting stored extremes must trigger exact repair")
+    // the delta was confined to groups 0-19: disjoint MV files survive
+    val after = GraftTable.snapshot(spark, mv)
+    assert(before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet).size == 3,
+      "only the overlapping MV file may rewrite")
+
+    // group fully deleted → leaves the MV; replayed refresh is a no-op
+    GraftTable.deleteWhere(spark, src, "grp = 5",
+      Some(GraftTable.Range("grp", Some(5L), Some(5L))))
+    IncrementalRollup.refreshExtremes(spark, src, mv, "grp", "v", "v")
+    assert(mvExt(mv) == recomputeExt(src))
+    assert(!mvExt(mv).exists(_._1 == 5L))
+    val v0 = GraftTable.snapshot(spark, mv).version
+    IncrementalRollup.refreshExtremes(spark, src, mv, "grp", "v", "v")
+    assert(GraftTable.snapshot(spark, mv).version == v0,
+      "caught-up refresh must not commit")
+  }
 }
