@@ -1080,6 +1080,14 @@ object GraftTable {
   def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     read(spark, root, Some(versionAt(spark, root, tsMs)))
 
+  /** [[restore]] to the state AS OF a wall-clock instant — the
+    * accident-undo spelled the way an operator thinks ("put it back
+    * to how it was at 14:05"), resolved through [[versionAt]]'s
+    * version-ordered clock contract and then metadata-only.
+    */
+  def restoreAsOf(spark: SparkSession, root: String, tsMs: Long): Long =
+    restore(spark, root, versionAt(spark, root, tsMs))
+
   /** Delete every data file no log version references (lost-race
     * orphans and half-written staging). Time travel to EVERY retained
     * version stays valid — only truly unreachable files go.
@@ -1094,7 +1102,19 @@ object GraftTable {
     * maintenance.
     */
   def vacuum(spark: SparkSession, root: String,
-      minAgeMs: Long = 0L): Seq[String] = {
+      minAgeMs: Long = 0L): Seq[String] =
+    vacuumImpl(spark, root, minAgeMs, dryRun = false)
+
+  /** What [[vacuum]] WOULD reclaim, deleting nothing — the audit an
+    * operator runs before a destructive maintenance pass on a shared
+    * table (the Delta `VACUUM … DRY RUN` shape).
+    */
+  def vacuumDryRun(spark: SparkSession, root: String,
+      minAgeMs: Long = 0L): Seq[String] =
+    vacuumImpl(spark, root, minAgeMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, root: String,
+      minAgeMs: Long, dryRun: Boolean): Seq[String] = {
     val (fs, logDir) = logFs(spark, root)
     // a file is live if ANY remaining log entry REFERENCES it (adds OR
     // removes — changes() reads both sides of a retained CoW commit,
@@ -1136,16 +1156,60 @@ object GraftTable {
         val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
         if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_") &&
             f.getModificationTime < cutoffMs) {
-          fs.delete(f.getPath, false)
+          if (!dryRun) fs.delete(f.getPath, false)
           removed += rel
         }
       }
-      if (fs.listStatus(d.getPath)
+      if (!dryRun && fs.listStatus(d.getPath)
           .forall(_.getPath.getName.startsWith("_"))) {
         fs.delete(d.getPath, true)
       }
     }
     removed.toSeq
+  }
+
+  /** DEEP CLONE: a consistent PHYSICAL copy of the table as of
+    * `version` — every referenced data and DV file's bytes copied into
+    * the target's own tree, one commit referencing the copies
+    * relatively. Unlike [[clone]] (zero-copy, shared-fate with source
+    * history), a deep clone is a self-contained backup/DR artifact:
+    * source expiry, vacuum, or deletion cannot touch it. Cost
+    * O(live bytes) — the price of independence; incremental backups
+    * compose from [[appendsSince]] instead.
+    */
+  def deepClone(spark: SparkSession, sourceRoot: String, targetRoot: String,
+      version: Option[Long] = None): Long = {
+    val src = snapshot(spark, sourceRoot, version)
+    require(src.version >= 0, s"deepClone: source table $sourceRoot is empty")
+    // refuse BEFORE copying a byte — an existing target would otherwise
+    // pay the full copy just to fail at commit
+    require(snapshot(spark, targetRoot).version < 0,
+      s"deepClone: target $targetRoot already exists")
+    val conf = hadoopConf(spark)
+    // copies keep their ORIGINAL `data/<commit>/<part>` suffix: DV
+    // parquets address data files by that suffix (the `__file` row
+    // identity), so renaming the copies would silently drop the masks
+    def copyInto(rel: String): String = {
+      val suffix = fileKey(rel)
+      val from = new Path(sourceRoot, rel)
+      val to = new Path(targetRoot, suffix)
+      org.apache.hadoop.fs.FileUtil.copy(
+        from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+        false, false, conf)
+      suffix
+    }
+    // one DV parquet may serve several files — copy each once
+    val dvCopies = mutable.Map.empty[String, String]
+    val adds = src.files.map { f =>
+      f.copy(path = copyInto(f.path),
+        dv = f.dv.map(d => d.copy(path =
+          dvCopies.getOrElseUpdate(d.path, copyInto(d.path)))))
+    }
+    commitRetry(spark, targetRoot) { snap =>
+      require(snap.version < 0,
+        s"deepClone: target $targetRoot already exists (version ${snap.version})")
+      Some((adds, Nil, src.schema, None))
+    }
   }
 
   // ---------- commit machinery ----------

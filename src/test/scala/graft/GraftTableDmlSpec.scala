@@ -278,4 +278,44 @@ class GraftTableDmlSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).filter("id >= 1000")
       .agg(sum("v")).head.getLong(0) == 30L)
   }
+
+  test("deepClone: self-contained physical copy survives source destruction") {
+    val srcRoot = freshRoot()
+    val cloneRoot = Files.createTempDirectory("graft_deep").toString + "/t"
+    GraftTable.append(spark, srcRoot, rows(0, 50))
+    GraftTable.deleteWhereDv(spark, srcRoot, "id % 5 = 0", prune = None)
+    val expected = GraftTable.read(spark, srcRoot)
+      .as[(Long, Long, String)].collect().toSet
+    GraftTable.deepClone(spark, srcRoot, cloneRoot)
+    // the clone references ONLY its own tree (relative paths)
+    assert(GraftTable.snapshot(spark, cloneRoot).files
+      .forall(f => !f.path.startsWith("/")), "deep clone paths are relative")
+    // destroy the source entirely — the backup must be unaffected
+    org.apache.hadoop.fs.FileUtil
+      .fullyDelete(new java.io.File(srcRoot))
+    assert(GraftTable.read(spark, cloneRoot)
+      .as[(Long, Long, String)].collect().toSet == expected,
+      "deep clone must read the masked content without the source")
+    // nothing in the clone is vacuum-able; re-clone onto it refuses
+    assert(GraftTable.vacuumDryRun(spark, cloneRoot).isEmpty)
+    intercept[IllegalArgumentException] {
+      GraftTable.deepClone(spark, cloneRoot, cloneRoot)
+    }
+  }
+
+  test("vacuumDryRun: lists exactly what vacuum would reclaim, deletes nothing") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    // plant an orphan (a lost-race leftover shape)
+    val orphanDir = new java.io.File(s"$root/data/orphan-commit")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-junk.parquet")
+    Files.writeString(orphan.toPath, "junk")
+    val dry = GraftTable.vacuumDryRun(spark, root)
+    assert(dry == Seq("data/orphan-commit/part-junk.parquet"))
+    assert(orphan.exists(), "dry run must not delete")
+    val real = GraftTable.vacuum(spark, root)
+    assert(real == dry, "vacuum must reclaim exactly the dry-run list")
+    assert(!orphan.exists())
+  }
 }

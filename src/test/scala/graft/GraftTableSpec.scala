@@ -331,6 +331,24 @@ class GraftTableSpec extends SparkSpec {
     // vacuum after restore keeps every referenced file readable
     assert(GraftTable.vacuum(spark, root).isEmpty)
     assert(GraftTable.read(spark, root).count() == 30)
+    // restoreAsOf: the clock spelling resolves through versionAt —
+    // "now" maps to the tip, so restoring to it is the same no-op
+    assert(GraftTable.restoreAsOf(spark, root,
+      System.currentTimeMillis() + 60000) == 3L)
+  }
+
+  test("restoreAsOf: clock instant between commits restores the earlier state") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 30))        // v0
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    GraftTable.overwrite(spark, root, rows(100, 105))  // v1
+    val v = GraftTable.restoreAsOf(spark, root, between)
+    assert(v == 2L)
+    assert(GraftTable.read(spark, root).collect().toSet ==
+      GraftTable.read(spark, root, Some(0L)).collect().toSet,
+      "restoreAsOf must land on the state the instant saw")
   }
 
   test("appendsSince: incremental consumption; refuses ranges with removals") {
