@@ -294,6 +294,24 @@ object IncrementalRollup {
   def follow(spark: SparkSession, sourceRoot: String, mvRoot: String,
       key: String, sumCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    followWith(spark, sourceRoot, mvRoot, checkpoint) { () =>
+      refresh(spark, sourceRoot, mvRoot, key, sumCol); ()
+    }
+
+  /** [[follow]] for a [[createExtremes]] MV — the min/max MV tracks a
+    * mutable source continuously; deletes that hit stored extremes
+    * trigger the bounded dirty-group repair per micro-batch.
+    */
+  def followExtremes(spark: SparkSession, sourceRoot: String, mvRoot: String,
+      key: String, sumCol: String, extCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    followWith(spark, sourceRoot, mvRoot, checkpoint) { () =>
+      refreshExtremes(spark, sourceRoot, mvRoot, key, sumCol, extCol); ()
+    }
+
+  private def followWith(spark: SparkSession, sourceRoot: String,
+      mvRoot: String, checkpoint: String)(doRefresh: () => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("grafttable")
       .option("path", sourceRoot)
       .option("readChangeFeed", "true")
@@ -302,8 +320,6 @@ object IncrementalRollup {
       .load()
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(spark, sourceRoot, mvRoot, key, sumCol); ()
-      }
+      .foreachBatch { (_: DataFrame, _: Long) => doRefresh() }
       .start()
 }

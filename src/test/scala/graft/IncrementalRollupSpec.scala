@@ -141,6 +141,28 @@ class IncrementalRollupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("followExtremes: the min/max MV tracks appends AND extreme-hitting deletes") {
+    val base = Files.createTempDirectory("inc_follow_ext")
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    GraftTable.append(spark, src,
+      (0L until 300L).map(i => (i % 10, i, i * 2)).toDF("grp", "id", "v"))
+    IncrementalRollup.createExtremes(spark, src, mv, "grp", "v", "v")
+    val q = IncrementalRollup.followExtremes(spark, src, mv, "grp", "v", "v",
+      s"$base/ckpt")
+    try {
+      // append extends maxima (monotone path)
+      GraftTable.append(spark, src,
+        (300L until 350L).map(i => (i % 10, i, i * 2)).toDF("grp", "id", "v"))
+      q.processAllAvailable()
+      assert(mvExt(mv) == recomputeExt(src), "MV lagged an append")
+      // DV-delete the global maxima: the stream must run the repair
+      GraftTable.deleteWhereDv(spark, src, "v >= 600", None)
+      q.processAllAvailable()
+      assert(mvExt(mv) == recomputeExt(src),
+        "MV lagged an extreme-hitting delete (dirty repair via stream)")
+    } finally q.stop()
+  }
+
   test("NULL group keys: the null group maintains as one row, never drops or splits") {
     val base = Files.createTempDirectory("inc_rollup_null")
     val (src, mv) = (s"$base/src", s"$base/mv")
