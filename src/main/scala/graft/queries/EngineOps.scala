@@ -616,7 +616,151 @@ object EngineOps {
               WHERE l_shipdate >= TIMESTAMP '1993-06-01'
                 AND l_shipdate < TIMESTAMP '1996-01-01'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // The table format behind a Spark SQL CATALOG (GraftCatalog,
+    // TableCatalog + V1Scan bridge), judged through plain SQL text:
+    // lineitem lands in two appends split at 1995, and the query runs
+    // `SELECT … FROM <catalog>.ops.sel WHERE …` — the shipdate bound
+    // translates to a pushed filter whose text re-parses into
+    // zone-map pruning ranges (the first file set never opens; plan
+    // shows `files 1/…` via GraftCatalogSpec), and the aggregation
+    // runs over the catalog relation exactly as over the raw table.
+    // Write-once fingerprinted catalog per source generation, txn-
+    // tagged build.
+    ("catalog_sql_select",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag", "l_shipdate")
+        val (cat, nsDir) = catalogFor(s, dir, "csel")
+        val root = s"$nsDir/sel"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 1L) {
+            gt.append(s, root,
+              li.filter(col("l_shipdate") < "1998-01-01"),
+              txn = Some(("cat_sel", 0L)))
+            gt.append(s, root,
+              li.filter(col("l_shipdate") >= "1998-01-01"),
+              txn = Some(("cat_sel", 1L)))
+          }
+        }
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("l_quantity")} AS sum_qty,
+                         ${Canonical.revenueSumSql("l_extendedprice", "l_discount")} AS revenue
+                  FROM $cat.ops.sel
+                  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                    AND l_quantity > 10
+                  GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty,
+                      ${Canonical.revenueSumSql("l_extendedprice", "l_discount")} AS revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                 AND l_quantity > 10
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SQL DDL + DML lifecycle through the catalog, time-travel read:
+    // CREATE TABLE (v0, schema-only commit), two INSERT INTO … SELECT
+    // commits (v1: pre-1994, v2: the rest), query reads
+    // `VERSION AS OF 1` — the pinned snapshot must be exactly the
+    // first insert. Each build step is one atomic commit guarded by
+    // the version it expects, so a killed build resumes without
+    // double-inserting.
+    ("catalog_time_travel",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "lineitem")
+          .createOrReplaceTempView("lineitem_cat_src")
+        val (cat, nsDir) = catalogFor(s, dir, "ctt")
+        val root = s"$nsDir/tt"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.tt (
+                        l_orderkey BIGINT, l_linenumber INT,
+                        l_quantity DOUBLE, l_returnflag STRING,
+                        l_shipdate TIMESTAMP_NTZ)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.tt
+                      SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_returnflag, l_shipdate
+                      FROM lineitem_cat_src
+                      WHERE l_shipdate < TIMESTAMP '1997-01-01'""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""INSERT INTO $cat.ops.tt
+                      SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_returnflag, l_shipdate
+                      FROM lineitem_cat_src
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01'""")
+        }
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                  FROM $cat.ops.tt VERSION AS OF 1
+                  GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+               FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SQL DELETE FROM through the catalog: after CREATE + one INSERT,
+    // `DELETE FROM … WHERE l_quantity <= 10` runs the copy-on-write
+    // delete (filters → SQL text → pruning ranges; files whose zone
+    // maps clear the bound survive unrewritten), and the judged
+    // output is the post-delete state vs the raw table under the
+    // negated predicate. The delete only runs at exactly the
+    // post-insert version — idempotent resume.
+    ("catalog_dml",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "lineitem")
+          .createOrReplaceTempView("lineitem_cat_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cdml")
+        val root = s"$nsDir/dml"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.dml (
+                        l_orderkey BIGINT, l_linenumber INT,
+                        l_quantity DOUBLE, l_returnflag STRING,
+                        l_shipdate TIMESTAMP_NTZ)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.dml
+                      SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_returnflag, l_shipdate
+                      FROM lineitem_cat_src""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"DELETE FROM $cat.ops.dml WHERE l_quantity <= 10")
+        }
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                  FROM $cat.ops.dml
+                  GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+               FROM lineitem WHERE NOT (l_quantity <= 10)
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
+
+  /** One graft SQL catalog per (source generation, query tag): the
+    * catalog name embeds the data fingerprint, so a session that
+    * processes several source dirs (the soak suites) gets a FRESH
+    * catalog instance per dir — catalog instances pin their warehouse
+    * at first reference.
+    */
+  private def catalogFor(s: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val fp = java.lang.Long.toHexString(
+      src.length ^ (src.lastModified * 31) ^ tag.hashCode.toLong)
+    val cat = s"gq_$tag$fp"
+    val wh = s"target/graft_catalog/$tag$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ops")
+    (cat, s"$wh/ops")
+  }
 
   def queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap

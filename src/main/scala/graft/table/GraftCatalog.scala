@@ -1,0 +1,467 @@
+package graft.table
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[GraftTable]] as a Spark SQL CATALOG — the surface that makes the
+  * table format a first-class SQL citizen instead of a programmatic
+  * API:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.table.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *   spark.sql("CREATE TABLE graft.ns.t (k BIGINT, v STRING)")
+  *   spark.sql("INSERT INTO graft.ns.t SELECT ...")
+  *   spark.sql("SELECT * FROM graft.ns.t VERSION AS OF 3 WHERE k = 7")
+  *   spark.sql("DELETE FROM graft.ns.t WHERE k < 100")
+  *   spark.sql("ALTER TABLE graft.ns.t RENAME COLUMN v TO txt")
+  * }}}
+  *
+  * Architecture (all PUBLIC connector APIs — the same integration
+  * style the Delta/Iceberg papers describe, none of their code):
+  *
+  *  - `TableCatalog` + `SupportsNamespaces`: identifiers map to
+  *    directories under the configured `warehouse`
+  *    (`wh/<ns…>/<table>`); a directory IS a table iff it carries a
+  *    `_log`. DDL (create/alter/drop/rename) delegates to the log's
+  *    atomic commit protocol, so concurrent DDL/DML resolve by the
+  *    same optimistic rule as writes.
+  *  - Time travel: `VERSION AS OF n` / `TIMESTAMP AS OF t` arrive via
+  *    the two `loadTable` overloads and pin the snapshot; a pinned
+  *    table refuses writes.
+  *  - Reads: the scan prunes FILES from pushed filters (zone maps +
+  *    per-file blooms via [[GraftTable.rangesOf]] — identical
+  *    semantics to `scanWhere`) and reports exact-from-metadata
+  *    statistics (live row count after pruning), so Catalyst's join
+  *    planning sees real sizes (a small graft dim broadcasts without
+  *    hints). Data flows through a [[V1Scan]] relation wrapping the
+  *    format's own masked/clean reader — DV-masked files, column
+  *    mapping, and schema evolution all behave exactly as the
+  *    programmatic `read`, and the pushed predicate re-applies INSIDE
+  *    the wrapped frame so parquet row-group pushdown still engages.
+  *  - Writes: `INSERT INTO` / `INSERT OVERWRITE` / CTAS via the
+  *    `V1Write` fallback (`InsertableRelation`) onto
+  *    [[GraftTable.append]]/[[GraftTable.overwrite]] — atomic commits,
+  *    constraint enforcement, bloom capture included. `DELETE FROM`
+  *    via `SupportsDelete` onto the copy-on-write
+  *    [[GraftTable.deleteWhereAuto]] with filter-derived pruning;
+  *    `TRUNCATE TABLE` via the inherited truncate.
+  *
+  * Scale posture: every catalog operation is O(log) metadata work on
+  * the driver; scans plan only surviving files; statistics come from
+  * commit metadata (zero data IO). The warehouse path may live on any
+  * Hadoop filesystem (hdfs/s3a/`mocks3://`) — all IO resolves through
+  * the path's own FileSystem, and commit atomicity follows the
+  * table's [[LogStore]] contract.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'spark.sql.catalog.$name.warehouse'"))
+  }
+
+  override def name(): String = catalogName
+
+  // ---------- path mapping ----------
+
+  /** One path segment, refused rather than escaped: identifiers are
+    * directory names, so separators/parent refs/log-reserved names
+    * would smuggle a table outside its namespace dir.
+    */
+  private def segment(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+      s != "." && s != ".." && !s.startsWith("_") && !s.startsWith("."),
+      s"invalid identifier segment '$s'")
+    s
+  }
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(warehouse))((p, s) => new Path(p, segment(s)))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), segment(ident.name))
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_log"))
+
+  // ---------- tables ----------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(name() +: namespace)
+    fs.listStatus(p).filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName)).sortBy(_.name)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftV2Table(p.toString, ident, asOf = None)
+  }
+
+  /** `VERSION AS OF <v>` — pins the snapshot at a log version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table version must be a log version number, got '$version'")
+    }
+    new GraftV2Table(p.toString, ident, asOf = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch;
+    * [[GraftTable.versionAt]] resolves the last commit at or before
+    * it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val v = GraftTable.versionAt(spark, p.toString, timestamp / 1000L)
+    new GraftV2Table(p.toString, ident, asOf = Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster by Z-order/compaction, not static partitions " +
+        "— create unpartitioned and zorderBy instead")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = tablePath(ident)
+    GraftTable.create(spark, p.toString, schema)
+    // table-level tuning knobs travel as properties
+    Option(properties.get("bloom.columns")).foreach(cs =>
+      GraftTable.setBloomColumns(spark, p.toString,
+        cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    new GraftV2Table(p.toString, ident, asOf = None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val root = p.toString
+    changes.foreach {
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1,
+          "graft tables support adding top-level columns only")
+        require(c.isNullable,
+          "a column added to existing rows must be nullable")
+        GraftTable.addColumn(spark, root, c.fieldNames.head, c.dataType)
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1,
+          "graft tables support renaming top-level columns only")
+        GraftTable.renameColumn(spark, root, c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1,
+          "graft tables support dropping top-level columns only")
+        GraftTable.dropColumn(spark, root, c.fieldNames.head)
+      case c: TableChange.SetProperty if c.property == "bloom.columns" =>
+        GraftTable.setBloomColumns(spark, root,
+          c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog does not support table change $other")
+    }
+    new GraftV2Table(root, ident, asOf = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdentRaw: Identifier): Unit = {
+    // `ALTER TABLE cat.ns.t RENAME TO cat.ns.t2` hands the DESTINATION
+    // through un-stripped — the leading catalog segment stays in the
+    // namespace. A rename cannot cross catalogs, so strip it.
+    val newIdent =
+      if (newIdentRaw.namespace.headOption.contains(catalogName))
+        Identifier.of(newIdentRaw.namespace.drop(1), newIdentRaw.name)
+      else newIdentRaw
+    if (!isTableDir(tablePath(oldIdent)))
+      throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    val target = tablePath(newIdent)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(tablePath(oldIdent), target),
+      s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---------- namespaces ----------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(st => st.isDirectory && !isTableDir(st.getPath) &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => Array(st.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val p = nsPath(namespace)
+      if (!fs.exists(p)) throw new NoSuchNamespaceException(name() +: namespace)
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && !isTableDir(st.getPath) &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => namespace :+ st.getPath.getName)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p) || isTableDir(p))
+      throw new NoSuchNamespaceException(name() +: namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> p.toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    require(!fs.exists(p), s"namespace ${namespace.mkString(".")} exists")
+    fs.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) false
+    else {
+      require(cascade || fs.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+}
+
+/** One graft table (optionally pinned `AS OF` a version) behind the
+  * connector `Table` API. The snapshot resolves lazily ONCE per
+  * `loadTable` — analysis and execution of one query see one
+  * consistent version, the next query re-loads and sees new commits.
+  */
+class GraftV2Table(val root: String, ident: Identifier,
+    asOf: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[table] lazy val snap: GraftTable.Snapshot =
+    GraftTable.snapshot(spark, root, asOf)
+
+  override def name(): String = ident.toString
+
+  /** The LOGICAL schema: the column-mapping physical names are an
+    * internal detail, stripped so DESCRIBE/INSERT see clean columns.
+    */
+  override def schema(): StructType = GraftCatalog.stripPhys(snap.schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> root,
+      "version" -> snap.version.toString,
+      "numFiles" -> snap.files.size.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftScanBuilder(spark, root, snap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to $name() pinned AS OF version ${asOf.get}")
+    new GraftWriteBuilder(root)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    require(asOf.isEmpty,
+      s"cannot delete from $name() pinned AS OF version ${asOf.get}")
+    filters.forall(f => FilterSql.translate(f).isDefined)
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = FilterSql.conjunction(filters.toSeq).getOrElse("true")
+    GraftTable.deleteWhereAuto(spark, root, cond)
+  }
+
+  override def toString: String = s"GraftV2Table($name)"
+}
+
+object GraftCatalog {
+  private[table] def stripPhys(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val m = new MetadataBuilder().withMetadata(f.metadata)
+        .remove("graftPhys").build()
+      StructField(f.name, f.dataType, f.nullable, m)
+    })
+}
+
+/** Scan planning: collects pruned columns + pushed filters, then
+  * builds a [[GraftScan]]. Filters translate ONCE to SQL text
+  * ([[FilterSql]]); the text drives file pruning (re-parsed by
+  * [[GraftTable.rangesOf]] — byte-identical semantics to `scanWhere`)
+  * and re-applies inside the wrapped frame, so `pushedFilters` are
+  * fully handled at the source and Spark elides its own copy.
+  */
+class GraftScanBuilder(spark: SparkSession, root: String,
+    snap: GraftTable.Snapshot) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraftCatalog.stripPhys(snap.schema)
+  private var pushed: Array[Filter] = Array.empty
+  private var pushedSql: Option[String] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => FilterSql.translate(f).isDefined)
+    pushed = ok
+    pushedSql = FilterSql.conjunction(ok.toSeq)
+    residual // evaluated by Spark after the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(spark, root, snap, required, pushedSql)
+}
+
+/** The batch scan: file pruning + exact metadata statistics, data via
+  * the V1 relation bridge over the format's own reader.
+  */
+class GraftScan(spark: SparkSession, root: String,
+    snap: GraftTable.Snapshot, required: StructType,
+    condSql: Option[String]) extends V1Scan with SupportsReportStatistics {
+
+  private lazy val ranges =
+    condSql.map(GraftTable.rangesOf(spark, _)).getOrElse(Nil)
+
+  lazy val files: Seq[GraftTable.AddFile] =
+    if (ranges.isEmpty) snap.files
+    else GraftTable.prunedFilesAll(snap, ranges)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan $root v${snap.version} " +
+      s"[files ${files.size}/${snap.files.size}]" +
+      condSql.map(s => s" pushed: $s").getOrElse("")
+
+  /** Exact-from-metadata statistics AFTER file pruning: live rows =
+    * Σ physical − Σ DV-masked of surviving files. Catalyst's join
+    * planning keys broadcast decisions off these sizes.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows =
+      files.map(_.rows).sum - files.flatMap(_.dv.map(_.rows)).sum
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(rows * math.max(1, required.defaultSize).toLong)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftV1Relation(context, root, snap, required, condSql, files)
+      .asInstanceOf[T]
+}
+
+/** The V1 bridge relation. `buildScan` assembles the format's masked
+  * read over the PRUNED file set, re-applies the pushed predicate
+  * (inside the frame → parquet row-group pushdown engages), and
+  * projects the required columns. `needConversion = false` with the
+  * inner plan's InternalRow RDD — the JDBC-connector discipline — so
+  * rows cross the bridge without a Row materialization pass.
+  */
+class GraftV1Relation(context: SQLContext, root: String,
+    snap: GraftTable.Snapshot, required: StructType,
+    condSql: Option[String], files: Seq[GraftTable.AddFile])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val base = GraftTable.readFiles(context.sparkSession, root, snap, files)
+    val filtered = condSql.map(base.filter).getOrElse(base)
+    val projected =
+      if (required.isEmpty)
+        filtered.select()
+      else
+        filtered.select(required.fieldNames.toSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** Shown as the scan node in `explain` — surfaces the file-pruning
+    * ratio and the pushed predicate, the two things a plan reader
+    * needs to verify skipping engaged.
+    */
+  override def toString: String =
+    s"GraftTable($root) v${snap.version} " +
+      s"[files ${files.size}/${snap.files.size}]" +
+      condSql.map(s => s" pushed: $s").getOrElse("")
+}
+
+/** `INSERT INTO` appends; `INSERT OVERWRITE`/CTAS-replace truncates
+  * then writes — both through the table's atomic commit, so a failed
+  * query leaves no partial state.
+  */
+class GraftWriteBuilder(root: String) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          if (overwrite)
+            GraftTable.overwrite(data.sparkSession, root, data)
+          else GraftTable.append(data.sparkSession, root, data)
+      }
+  }
+}

@@ -126,6 +126,42 @@ object GraftTable {
       }
     }
 
+  /** Create an EMPTY table with a declared schema, as version 0 — a
+    * zero-file schema-only commit (the SQL `CREATE TABLE` surface).
+    * The declared schema becomes the merge anchor for every later
+    * append ([[mergedSchema]]). Fails if the table already exists.
+    */
+  def create(spark: SparkSession, root: String, schema: StructType): Long = {
+    require(schema.nonEmpty, "cannot create a table with an empty schema")
+    commitRetry(spark, root) { snap =>
+      require(snap.version < 0,
+        s"GraftTable: table already exists at $root (version ${snap.version})")
+      Some((Nil, Nil, schema, None))
+    }
+  }
+
+  /** Widen the schema by one nullable column, as a zero-file
+    * metadata-only commit (the SQL `ALTER TABLE … ADD COLUMN`
+    * surface). Same physical-name discipline as an append-side
+    * widening: the new logical column maps to a FRESH physical name so
+    * that re-adding a previously-dropped name can never resurrect the
+    * dropped column's data from immutable files. Existing rows read
+    * back NULL.
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long =
+    commitRetry(spark, root) { snap =>
+      require(snap.version >= 0, s"GraftTable: no table at $root")
+      require(!snap.schema.fieldNames.contains(name),
+        s"GraftTable: column '$name' already exists")
+      val phys = s"$name-${UUID.randomUUID().toString.take(8)}"
+      val field = org.apache.spark.sql.types.StructField(name, dataType,
+        nullable = true, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(PhysKey, phys).build())
+      Some((Nil, Nil, snap.schema.add(field), None))
+    }
+
   /** Replace the whole table content in one atomic commit. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commitRetry(spark, root) { snap =>
@@ -141,14 +177,29 @@ object GraftTable {
     */
   def deleteWhere(spark: SparkSession, root: String, condSql: String,
       prune: Option[Range]): Long =
+    deleteWhereRanges(spark, root, condSql, prune.toSeq)
+
+  /** [[deleteWhere]] with the pruning ranges EXTRACTED from the
+    * predicate itself ([[rangesOf]] — the `scanWhere` discipline):
+    * conjunctive column-vs-literal bounds skip non-overlapping files,
+    * everything else just limits pruning. The SQL-surface DML path
+    * ([[GraftCatalog]]'s `DELETE FROM`).
+    */
+  def deleteWhereAuto(spark: SparkSession, root: String,
+      condSql: String): Long =
+    deleteWhereRanges(spark, root, condSql, rangesOf(spark, condSql))
+
+  /** [[deleteWhere]] under a CONJUNCTION of pruning ranges (empty =
+    * no pruning, every file is a rewrite candidate).
+    */
+  def deleteWhereRanges(spark: SparkSession, root: String, condSql: String,
+      ranges: Seq[Range]): Long =
     commitRetry(spark, root) { snap =>
       // bloom-aware pruning: a POINT delete (lo == hi) also skips
       // files whose filter proves the key absent — a wrongly-kept
       // file is only an extra rewrite, a wrong skip is impossible
-      val touched = prune match {
-        case Some(r) => prunedFilesAll(snap, Seq(r))
-        case None => snap.files
-      }
+      val touched =
+        if (ranges.isEmpty) snap.files else prunedFilesAll(snap, ranges)
       if (touched.isEmpty) None
       else {
         val remaining = readFiles(spark, root, snap, touched)
@@ -1774,7 +1825,11 @@ object GraftTable {
   }
 
   private def mergedSchema(snap: Snapshot, df: DataFrame): StructType =
-    if (snap.files.isEmpty) df.schema
+    // keyed on "has a committed schema", NOT "has live files": a table
+    // created empty ([[create]]) or deleted down to zero rows keeps its
+    // declared schema as the merge anchor — an append may widen it but
+    // never silently replace it
+    if (snap.version < 0) df.schema
     else {
       val have = snap.schema.fieldNames.toSet
       val extra = df.schema.fields.filterNot(f => have.contains(f.name))

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, IsNotNull}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.table.{FilterSql, GraftCatalog, GraftScan, GraftScanBuilder, GraftTable, GraftV2Table}
+
+/** The SQL-catalog surface of the table format ([[GraftCatalog]]):
+  * DDL lifecycle, INSERT/OVERWRITE/CTAS, SELECT with pushdown-driven
+  * file pruning + exact metadata statistics, VERSION/TIMESTAMP AS OF,
+  * DELETE FROM / TRUNCATE, ALTER TABLE column mapping, and the
+  * DV-masked read through plain SQL.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.gcat", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    dir
+  }
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
+
+  test("DDL lifecycle: create, exists, list, rename, drop") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.life (id BIGINT, key STRING, v DOUBLE)")
+    assert(spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).contains("life"))
+    intercept[TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE gcat.ns.life (x INT)")
+    }
+    // empty created table reads back empty with the declared schema
+    val empty = spark.sql("SELECT * FROM gcat.ns.life")
+    assert(empty.columns.toSeq == Seq("id", "key", "v"))
+    assert(empty.count() == 0)
+    spark.sql("ALTER TABLE gcat.ns.life RENAME TO gcat.ns.life2")
+    assert(!spark.catalog.tableExists("gcat.ns.life"))
+    spark.sql("DROP TABLE gcat.ns.life2")
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.ns.life2").collect()
+    }.getMessage.toLowerCase.contains("life2"))
+  }
+
+  test("INSERT INTO appends atomically; INSERT OVERWRITE replaces; CTAS works") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.ins (id BIGINT, key STRING, v DOUBLE)")
+    rows(0, 40).createOrReplaceTempView("src40")
+    spark.sql("INSERT INTO gcat.ns.ins SELECT * FROM src40")
+    spark.sql("INSERT INTO gcat.ns.ins SELECT id + 100, key, v FROM src40")
+    assert(spark.table("gcat.ns.ins").count() == 80)
+    // the two inserts are two log commits on top of the create
+    assert(GraftTable.snapshot(spark, s"$wh/ns/ins").version == 2L)
+
+    spark.sql("INSERT OVERWRITE gcat.ns.ins SELECT * FROM src40")
+    assert(spark.table("gcat.ns.ins").count() == 40)
+
+    spark.sql("CREATE TABLE gcat.ns.ctas AS " +
+      "SELECT id, v FROM gcat.ns.ins WHERE id >= 20")
+    assert(spark.table("gcat.ns.ctas").count() == 20)
+    assert(spark.table("gcat.ns.ctas").columns.toSeq == Seq("id", "v"))
+  }
+
+  test("SELECT pushes filters into file pruning and re-applies them exactly") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.prune (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/prune"
+    // three appends with disjoint id ranges → three file sets with
+    // disjoint zone maps
+    GraftTable.append(spark, root, rows(0, 100).repartition(1))
+    GraftTable.append(spark, root, rows(100, 200).repartition(1))
+    GraftTable.append(spark, root, rows(200, 300).repartition(1))
+
+    // unit-level: the scan builder prunes to the single overlapping file
+    val snap = GraftTable.snapshot(spark, root)
+    val b = new GraftScanBuilder(spark, root, snap)
+    val residual = b.pushFilters(Array[Filter](
+      IsNotNull("id"), EqualTo("id", 150L)))
+    assert(residual.isEmpty, "all filters translatable -> none residual")
+    val scan = b.build().asInstanceOf[GraftScan]
+    assert(scan.files.size == 1 && snap.files.size == 3)
+
+    // end-to-end: the SQL answer is exact and the scan reports pruning
+    val df = spark.sql(
+      "SELECT key FROM gcat.ns.prune WHERE id BETWEEN 120 AND 140")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (120L to 140L).map(i => s"k$i").sorted)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.exists(_.toString.contains("files 1/3")),
+      s"expected pruned scan in:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("scan statistics are exact from metadata; a small graft dim broadcasts") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.dim (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/dim"
+    GraftTable.append(spark, root, rows(0, 64))
+    val snap = GraftTable.snapshot(spark, root)
+    val b = new GraftScanBuilder(spark, root, snap)
+    val stats = b.build().asInstanceOf[GraftScan].estimateStatistics()
+    assert(stats.numRows.getAsLong == 64)
+
+    val fact = spark.range(0, 100000).withColumn("id", col("id") % 64)
+    val joined = fact.join(spark.table("gcat.ns.dim"), "id")
+    val plan: SparkPlan = joined.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"expected broadcast from reported stats in:\n$plan")
+    assert(joined.count() == 100000)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin snapshots; writes to a pin refuse") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.tt (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/tt"
+    GraftTable.append(spark, root, rows(0, 10)) // v1
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    GraftTable.append(spark, root, rows(10, 30)) // v2
+    assert(spark.sql("SELECT count(*) c FROM gcat.ns.tt VERSION AS OF 1")
+      .head.getLong(0) == 10)
+    assert(spark.table("gcat.ns.tt").count() == 30)
+    val ts = new java.sql.Timestamp(tsAfterV1).toString
+    assert(spark.sql(
+      s"SELECT count(*) c FROM gcat.ns.tt TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 10)
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ns.tt VERSION AS OF 1 VALUES (1,'a',1.0)")
+    }
+    assert(err != null) // the parser/analyzer refuses writes to a pin
+  }
+
+  test("DELETE FROM is a pruned copy-on-write commit; TRUNCATE empties") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.del (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/del"
+    GraftTable.append(spark, root, rows(0, 100).repartition(1))
+    GraftTable.append(spark, root, rows(100, 200).repartition(1))
+    val before = GraftTable.snapshot(spark, root)
+
+    spark.sql("DELETE FROM gcat.ns.del WHERE id < 50")
+    assert(spark.table("gcat.ns.del").count() == 150)
+    // only the overlapping file was rewritten: the untouched second
+    // file's path survives into the new snapshot
+    val after = GraftTable.snapshot(spark, root)
+    val kept = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(kept.size == 1, s"expected 1 carried-over file, got $kept")
+
+    spark.sql("TRUNCATE TABLE gcat.ns.del")
+    assert(spark.table("gcat.ns.del").count() == 0)
+    // schema survives truncation and later inserts still conform
+    spark.sql("INSERT INTO gcat.ns.del VALUES (1, 'a', 1.0)")
+    assert(spark.table("gcat.ns.del").count() == 1)
+  }
+
+  test("ALTER TABLE: add/rename/drop column ride the column-mapping commits") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.alt (id BIGINT, key STRING)")
+    val root = s"$wh/ns/alt"
+    GraftTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "key"))
+    spark.sql("ALTER TABLE gcat.ns.alt ADD COLUMNS (score DOUBLE)")
+    // pre-evolution rows read NULL in the new column
+    assert(spark.sql("SELECT score FROM gcat.ns.alt").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO gcat.ns.alt VALUES (3, 'c', 9.5)")
+    assert(spark.sql(
+      "SELECT count(*) c FROM gcat.ns.alt WHERE score IS NOT NULL")
+      .head.getLong(0) == 1)
+
+    spark.sql("ALTER TABLE gcat.ns.alt RENAME COLUMN key TO label")
+    assert(spark.table("gcat.ns.alt").columns.toSeq ==
+      Seq("id", "label", "score"))
+    assert(spark.sql("SELECT label FROM gcat.ns.alt WHERE id = 1")
+      .head.getString(0) == "a")
+    // the mapping is logical-only: no data file was rewritten
+    spark.sql("ALTER TABLE gcat.ns.alt DROP COLUMN score")
+    assert(spark.table("gcat.ns.alt").columns.toSeq == Seq("id", "label"))
+  }
+
+  test("a DV-masked table reads correctly through plain SQL") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.dv (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/dv"
+    GraftTable.append(spark, root, rows(0, 100))
+    GraftTable.deleteWhereDv(spark, root, "id % 10 = 3", None)
+    assert(spark.table("gcat.ns.dv").count() == 90)
+    assert(spark.sql("SELECT count(*) c FROM gcat.ns.dv WHERE id % 10 = 3")
+      .head.getLong(0) == 0)
+  }
+
+  test("FilterSql translates the supported surface and refuses the rest") {
+    assert(FilterSql.translate(EqualTo("a b", "x'y")).contains(
+      "`a b` = 'x\\'y'"))
+    assert(FilterSql.translate(
+      GreaterThanOrEqual("d", java.sql.Date.valueOf("2020-03-04"))).contains(
+      "`d` >= DATE '2020-03-04'"))
+    assert(FilterSql.translate(
+      org.apache.spark.sql.sources.In("k", Array[Any](1, null))).isEmpty)
+    // round-trip: the rendered text parses back into pruning ranges
+    val r = GraftTable.rangesOf(spark,
+      FilterSql.translate(EqualTo("id", 7L)).get)
+    assert(r == Seq(GraftTable.Range("id", Some(7L), Some(7L))))
+  }
+
+  test("created-empty table keeps its declared schema as the merge anchor") {
+    val root = Files.createTempDirectory("graft_anchor").toString + "/t"
+    GraftTable.create(spark, root,
+      new StructType().add("id", LongType).add("key",
+        org.apache.spark.sql.types.StringType))
+    // conflicting type on a declared column refuses
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root,
+        Seq(("x", 1L)).toDF("id", "key"))
+    }
+    GraftTable.append(spark, root, Seq((5L, "a")).toDF("id", "key"))
+    assert(GraftTable.read(spark, root).columns.toSeq == Seq("id", "key"))
+  }
+}
