@@ -434,4 +434,126 @@ object Dedup {
        SELECT a_id, b_id, cos FROM scored
        WHERE cos >= $minCos
        ORDER BY cos DESC, a_id, b_id LIMIT $limit"""
+
+  /** EXACT SUBSTRING dedup (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr
+    * operation, re-expressed relationally): find every `w`-token
+    * window whose content occurs MORE THAN ONCE across the corpus,
+    * keep the globally first occurrence, and mark every other
+    * occurrence's token range for removal; overlapping/adjacent
+    * marked ranges merge into maximal spans per document.
+    *
+    * The reference algorithm builds a monolithic suffix array — a
+    * single-machine structure. The distributed shape here is the
+    * standard shingle-fingerprint program with the SAME contract on
+    * window granularity: per doc, a NARROW pass fingerprints all
+    * `n−w+1` windows ([[Canonical.xhash]] over the space-joined
+    * slice — tokens are space-split so the joiner is injective, and
+    * the hash is computable identically in DuckDB, which is what
+    * makes this oracle-able); one hash aggregation finds duplicated
+    * fingerprints (count + min-struct keeper — BOTH partially
+    * aggregable, so the hot-shingle key never concentrates raw
+    * occurrences in one task); one equi-join marks non-keeper
+    * occurrences; a per-document window merges ranges
+    * (gaps-and-islands — partition cardinality bounded by document
+    * length, never corpus size). Total cost: two shuffles of
+    * O(total tokens) rows, no O(n²) anywhere.
+    *
+    * Returns one row per AFFECTED document:
+    * `(doc_id, n_spans, removed_tokens, kept_tokens)`.
+    *
+    * @param w duplicated-window length in tokens (Lee et al. use 50
+    *          BPE tokens at corpus scale; tests use smaller windows
+    *          to match fixture document lengths)
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "window length must be at least 2 tokens")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+    // all w-token window fingerprints, 0-based start positions; the
+    // transform/posexplode pair keeps the expansion NARROW (no
+    // intermediate w-times token blowup)
+    val sh = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - w),
+        i => Canonical.xhash(concat_ws(" ",
+          slice(col("toks"), i + 1, lit(w)))))).as(Seq("pos", "h")))
+    // duplicated windows with their global first occurrence — the
+    // min-struct aggregates map-side, so a window duplicated a
+    // billion times still reduces before the shuffle
+    val dup = sh.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+    val rem = sh.join(dup, "h")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos").cast("long").as("st"),
+        (col("pos") + w).cast("long").as("en"))
+    // merge [st, en) ranges per doc: island starts where st clears
+    // every previous range's end (adjacent ranges merge — their
+    // removal is contiguous)
+    val byDoc = Window.partitionBy("doc_id").orderBy("st")
+    val runMax = max("en").over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = rem
+      .withColumn("newi",
+        when(col("st") > coalesce(runMax, lit(-1L)), 1).otherwise(0))
+      .withColumn("island", sum("newi").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("st").as("s"), max("en").as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("removed_tokens"))
+      .join(toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("nt")), "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("removed_tokens"),
+        (col("nt") - col("removed_tokens")).as("kept_tokens"))
+  }
+
+  /** DuckDB oracle for [[exactSubstrSpans]] — the same program in SQL
+    * (fingerprints via [[Canonical.xhashSql]], keeper via a
+    * row_number window, islands via the same running-max spelling).
+    */
+  def exactSubstrOracleSql(w: Int): String = {
+    val hash = Canonical.xhashSql(
+      s"array_to_string(toks[p + 1 : p + $w], ' ')")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+         tl AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                WHERE len(toks) >= $w),
+         sh AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, $hash AS h
+                FROM tl, UNNEST(range(0, n - $w + 1)) AS u(p)),
+         dup AS (SELECT h, COUNT(*) AS cnt FROM sh GROUP BY h
+                 HAVING COUNT(*) > 1),
+         ranked AS (SELECT s.doc_id, s.pos, s.h,
+                           row_number() OVER (PARTITION BY s.h
+                             ORDER BY s.doc_id, s.pos) AS rn
+                    FROM sh s JOIN dup d USING (h)),
+         rem AS (SELECT doc_id, pos AS st, pos + $w AS en
+                 FROM ranked WHERE rn > 1),
+         mx AS (SELECT doc_id, st, en,
+                       MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev
+                FROM rem),
+         isl AS (SELECT doc_id, st, en,
+                        SUM(CASE WHEN st > COALESCE(prev, -1)
+                            THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY st
+                            ROWS UNBOUNDED PRECEDING) AS island
+                 FROM mx),
+         spans AS (SELECT doc_id, island, MIN(st) AS s, MAX(en) AS e
+                   FROM isl GROUP BY doc_id, island),
+         summ AS (SELECT doc_id, COUNT(*) AS n_spans,
+                         SUM(e - s) AS removed FROM spans
+                  GROUP BY doc_id)
+       SELECT m.doc_id, CAST(m.n_spans AS BIGINT) AS n_spans,
+              CAST(m.removed AS BIGINT) AS removed_tokens,
+              CAST(tl.n - m.removed AS BIGINT) AS kept_tokens
+       FROM summ m JOIN tl USING (doc_id)
+       ORDER BY doc_id"""
+  }
 }

@@ -142,6 +142,20 @@ object LlmOps {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents
               GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id""")),
 
+    // Exact SUBSTRING dedup (Lee et al. 2021 ExactSubstr, relational):
+    // every 8-token window occurring >1× corpus-wide marks its
+    // non-first occurrences for removal; overlapping marks merge into
+    // maximal per-doc spans. Judged output = per affected doc the span
+    // count, removed and kept token totals — the removal manifest a
+    // cleaning pass would apply. Two O(tokens) shuffles, no window
+    // over a corpus-scale key (see Dedup.exactSubstrSpans scaladoc).
+    ("dedup_substring",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup
+          .exactSubstrSpans(docs(s, dir), "doc_id", "text", w = 8)
+          .orderBy("doc_id"),
+      Some(graft.operators.Dedup.exactSubstrOracleSql(w = 8))),
+
     // n-gram Jaccard near-dup pairs, fully relational (shingle self-join;
     // the 100 TB path — no O(n²) cross join, pairs only materialize for
     // docs sharing ≥1 shingle).
