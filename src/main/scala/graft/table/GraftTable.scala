@@ -225,13 +225,25 @@ object GraftTable {
     */
   def updateWhere(spark: SparkSession, root: String, condSql: String,
       sets: Seq[(String, String)], prune: Option[Range] = None): Long =
+    updateWhereRanges(spark, root, condSql, sets, prune.toSeq)
+
+  /** [[updateWhere]] with pruning ranges EXTRACTED from the predicate
+    * ([[rangesOf]]) — the SQL-surface `UPDATE` path.
+    */
+  def updateWhereAuto(spark: SparkSession, root: String, condSql: String,
+      sets: Seq[(String, String)]): Long =
+    updateWhereRanges(spark, root, condSql, sets, rangesOf(spark, condSql))
+
+  /** [[updateWhere]] under a CONJUNCTION of pruning ranges (empty =
+    * every file is a rewrite candidate).
+    */
+  def updateWhereRanges(spark: SparkSession, root: String, condSql: String,
+      sets: Seq[(String, String)], ranges: Seq[Range]): Long =
     commitRetry(spark, root) { snap =>
       val unknown = sets.map(_._1).filterNot(snap.schema.fieldNames.contains)
       require(unknown.isEmpty, s"updateWhere: no such column(s) $unknown")
-      val touched = prune match {
-        case Some(r) => prunedFilesAll(snap, Seq(r))
-        case None => snap.files
-      }
+      val touched =
+        if (ranges.isEmpty) snap.files else prunedFilesAll(snap, ranges)
       if (touched.isEmpty) None
       else {
         val base = readFiles(spark, root, snap, touched)
@@ -760,13 +772,20 @@ object GraftTable {
     val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
+    def norm(v: Any): Option[Any] = Option(v) match {
+      case Some(u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(u.toString)
+      case Some(d: org.apache.spark.sql.types.Decimal) => Some(d.toBigDecimal)
+      case other => other
+    }
     def lit(e: Expression): Option[Any] = e match {
-      case Literal(v, _) => Option(v) match {
-        case Some(u: org.apache.spark.unsafe.types.UTF8String) =>
-          Some(u.toString)
-        case Some(d: org.apache.spark.sql.types.Decimal) => Some(d.toBigDecimal)
-        case other => other
-      }
+      case Literal(v, _) => norm(v)
+      // type coercion wraps literals in casts (`id < 50` arrives as
+      // `id < CAST(50 AS BIGINT)` once analyzed) — fold a constant
+      // cast to its value; an ANSI evaluation error just means no
+      // pruning bound, never a failed scan
+      case c: Cast if c.foldable && c.deterministic =>
+        scala.util.Try(c.eval(null)).toOption.flatMap(norm)
       case _ => None
     }
     def attr(e: Expression): Option[String] = e match {

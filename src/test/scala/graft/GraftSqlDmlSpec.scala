@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+
+/** SQL DML on graft catalog tables via the injected analyzer rule
+  * ([[graft.plans.GraftDmlRule]]): UPDATE, MERGE INTO (all clause
+  * shapes incl. ordering and star actions), and predicate-general
+  * DELETE — each checked against the equivalent relational result.
+  */
+class GraftSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_dml_wh").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdml.ns")
+    dir
+  }
+
+  private def freshTable(name: String, lo: Long, hi: Long): String = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS gdml.ns.$name")
+    spark.sql(s"CREATE TABLE gdml.ns.$name (id BIGINT, grp STRING, v DOUBLE)")
+    val root = s"$wh/ns/$name"
+    GraftTable.append(spark, root,
+      (lo until hi).map(i => (i, s"g${i % 4}", i * 1.0)).toDF("id", "grp", "v"))
+    root
+  }
+
+  test("SQL UPDATE: SET evaluates pre-update, casts to table type, prunes files") {
+    val root = freshTable("upd", 0, 100)
+    GraftTable.append(spark, root,
+      (100L until 200L).map(i => (i, s"g${i % 4}", i * 1.0)).toDF("id", "grp", "v"))
+    val before = GraftTable.snapshot(spark, root)
+
+    val v = spark.sql(
+      "UPDATE gdml.ns.upd SET v = v + id, grp = concat(grp, '!') " +
+        "WHERE id < 50").head.getLong(0)
+    assert(v == before.version + 1)
+    val got = spark.table("gdml.ns.upd").orderBy("id").collect()
+    assert(got.length == 200)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id < 50) {
+        assert(r.getString(1).endsWith("!"))
+        assert(r.getDouble(2) == id * 2.0)
+      } else {
+        assert(!r.getString(1).endsWith("!"))
+        assert(r.getDouble(2) == id * 1.0)
+      }
+    }
+    // the id-range pruning left the second append's file untouched
+    val after = GraftTable.snapshot(spark, root)
+    assert(before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet).nonEmpty)
+  }
+
+  test("SQL MERGE INTO: update + delete + insert clauses in one statement") {
+    val root = freshTable("mrg", 0, 60)
+    Seq(
+      (10L, 100.0, "upd"), // matched, updates
+      (20L, -1.0, "del"),  // matched, deletes
+      (70L, 7.5, "ins"),   // not matched, inserts
+      (80L, 8.5, "ins")    // not matched, inserts
+    ).toDF("sid", "sv", "op").createOrReplaceTempView("mrg_src")
+
+    spark.sql("""MERGE INTO gdml.ns.mrg t USING mrg_src s
+                 ON t.id = s.sid
+                 WHEN MATCHED AND s.op = 'del' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET v = s.sv + t.v
+                 WHEN NOT MATCHED THEN INSERT (id, grp, v)
+                   VALUES (s.sid, s.op, s.sv)""")
+
+    val m = spark.table("gdml.ns.mrg").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(!m.contains(20L), "matched delete clause removes the row")
+    assert(m(10L) == ("g2", 110.0), "update sees source AND pre-update target")
+    assert(m(70L) == ("ins", 7.5) && m(80L) == ("ins", 8.5))
+    assert(m.size == 60 - 1 + 2)
+  }
+
+  test("SQL MERGE clause ORDER is honored: first matching clause wins") {
+    val root = freshTable("ord", 0, 10)
+    // sid=3 satisfies BOTH clause conditions → the FIRST (update) must
+    // win even though mergeInto's internal order is delete-first;
+    // sid=4 fails the update condition → falls through to delete
+    Seq((3L, 30.0), (4L, -5.0)).toDF("sid", "sv")
+      .createOrReplaceTempView("ord_src")
+    spark.sql("""MERGE INTO gdml.ns.ord t USING ord_src s ON t.id = s.sid
+                 WHEN MATCHED AND s.sv > 0 THEN UPDATE SET v = s.sv
+                 WHEN MATCHED THEN DELETE""")
+    val m = spark.table("gdml.ns.ord").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(3L) == 30.0, "first clause (update) wins for a doubly-matching row")
+    assert(!m.contains(4L), "row failing the first clause falls to delete")
+    assert(m.size == 9)
+  }
+
+  test("SQL MERGE star actions: UPDATE SET * and INSERT *") {
+    val root = freshTable("star", 0, 8)
+    Seq((2L, "z", 222.0), (99L, "n", 999.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("star_src")
+    spark.sql("""MERGE INTO gdml.ns.star t USING star_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val m = spark.table("gdml.ns.star").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(m(2L) == ("z", 222.0) && m(99L) == ("n", 999.0) && m.size == 9)
+  }
+
+  test("SQL DELETE with a connector-untranslatable predicate lowers to the command") {
+    val root = freshTable("delx", 0, 100)
+    // `id % 10 = 3` defeats filter translation → the DML rule path
+    spark.sql("DELETE FROM gdml.ns.delx WHERE id % 10 = 3")
+    val left = spark.table("gdml.ns.delx").select("id").as[Long].collect()
+    assert(left.length == 90 && left.forall(_ % 10 != 3))
+    // translatable predicates still ride SupportsDelete (both paths live)
+    spark.sql("DELETE FROM gdml.ns.delx WHERE id >= 90")
+    assert(spark.table("gdml.ns.delx").count() == 81)
+  }
+
+  test("SQL MERGE surfaces in the change feed as bag-diff delete/insert pairs") {
+    val root = freshTable("cdc", 0, 20)
+    val v0 = GraftTable.snapshot(spark, root).version
+    Seq((5L, 500.0)).toDF("sid", "sv").createOrReplaceTempView("cdc_src")
+    spark.sql("""MERGE INTO gdml.ns.cdc t USING cdc_src s ON t.id = s.sid
+                 WHEN MATCHED THEN UPDATE SET v = s.sv""")
+    val ch = GraftTable.changes(spark, root, v0, v0 + 1)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ch == Set(("delete", 5L, 5.0), ("insert", 5L, 500.0)))
+  }
+
+  test("MERGE refuses a non-equi ON and duplicate source keys, with clear errors") {
+    freshTable("bad", 0, 10)
+    Seq((1L, 1.0)).toDF("sid", "sv").createOrReplaceTempView("bad_src")
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO gdml.ns.bad t USING bad_src s ON t.id > s.sid
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(e1.getMessage.contains("conjunction"))
+    Seq((1L, 1.0), (1L, 2.0)).toDF("sid", "sv")
+      .createOrReplaceTempView("bad_src2")
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO gdml.ns.bad t USING bad_src2 s ON t.id = s.sid
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("unique"))
+  }
+}
