@@ -20,6 +20,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config(Engine.extensionsConf._1, Engine.extensionsConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Engine.configure(spark)

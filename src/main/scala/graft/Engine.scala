@@ -42,12 +42,20 @@ object Engine {
     * on data that fits in memory; at cluster scale this knob is instead
     * set to ~2-3× total executor cores, or left to AQE coalescing).
     */
+  /** Session extensions (a STATIC conf — set at build, not runtime):
+    * the bounded-heap top-k strategy, the opt-in HLL rewrite, and the
+    * SQL DML rule for graft catalog tables.
+    */
+  val extensionsConf: (String, String) =
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions"
+
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config(extensionsConf._1, extensionsConf._2)
       .config("spark.ui.enabled", "false")
     requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(Engine.extensionsConf._1, Engine.extensionsConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Engine.configure(spark)

@@ -121,6 +121,7 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(ApproxDistinctRule(_))
+    e.injectResolutionRule(GraftDmlRule(_)) // SQL UPDATE/MERGE/DELETE → GraftTable DML
   }
 }
 

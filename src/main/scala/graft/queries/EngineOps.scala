@@ -741,6 +741,75 @@ object EngineOps {
                       ${Canonical.moneySumSql("l_quantity")} AS sum_qty
                FROM lineitem WHERE NOT (l_quantity <= 10)
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SQL MERGE INTO through the catalog (the analyzer-rule DML path,
+    // graft.plans.GraftDmlRule): orders lands as the target; one MERGE
+    // statement updates cheap %7 keys (first matching clause), deletes
+    // expensive %7 keys (fall-through), and inserts shifted %11 keys.
+    // Judged output is the post-merge state aggregated by status; the
+    // oracle reconstructs the same state relationally. Build steps are
+    // guarded by the exact version each expects — atomic commits make
+    // a killed build resume idempotently.
+    ("catalog_sql_merge",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        orders(s, dir).createOrReplaceTempView("orders_cat_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cmrg")
+        val root = s"$nsDir/mrg"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.mrg (
+                        o_orderkey BIGINT, o_orderstatus STRING,
+                        o_totalprice DOUBLE)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.mrg
+                      SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM orders_cat_src""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""MERGE INTO $cat.ops.mrg t USING (
+                        SELECT o_orderkey AS k, o_totalprice AS p
+                        FROM orders_cat_src WHERE o_orderkey % 7 = 0
+                        UNION ALL
+                        SELECT o_orderkey + 10000000, o_totalprice
+                        FROM orders_cat_src WHERE o_orderkey % 11 = 0)
+                      s ON t.o_orderkey = s.k
+                      WHEN MATCHED AND s.p < 100000
+                        THEN UPDATE SET o_totalprice = t.o_totalprice + 1,
+                                        o_orderstatus = 'U'
+                      WHEN MATCHED THEN DELETE
+                      WHEN NOT MATCHED THEN INSERT (o_orderkey,
+                        o_orderstatus, o_totalprice)
+                        VALUES (s.k, 'N', s.p)""")
+        }
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("o_totalprice")} AS sum_price
+                  FROM $cat.ops.mrg
+                  GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                             FROM orders),
+                    m7 AS (SELECT o_orderkey, o_totalprice FROM orders
+                           WHERE o_orderkey % 7 = 0),
+                    fin AS (
+                      SELECT b.o_orderkey,
+                             CASE WHEN m.o_orderkey IS NULL
+                                  THEN b.o_orderstatus ELSE 'U' END
+                               AS o_orderstatus,
+                             CASE WHEN m.o_orderkey IS NULL
+                                  THEN b.o_totalprice
+                                  ELSE b.o_totalprice + 1 END AS o_totalprice
+                      FROM base b LEFT JOIN m7 m
+                        ON b.o_orderkey = m.o_orderkey
+                          AND m.o_totalprice < 100000
+                      WHERE b.o_orderkey NOT IN (
+                        SELECT o_orderkey FROM m7
+                        WHERE o_totalprice >= 100000)
+                      UNION ALL
+                      SELECT o_orderkey + 10000000, 'N', o_totalprice
+                      FROM orders WHERE o_orderkey % 11 = 0)
+               SELECT o_orderstatus, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("o_totalprice")} AS sum_price
+               FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
   )
 
   /** One graft SQL catalog per (source generation, query tag): the

@@ -893,49 +893,111 @@ object GraftTable {
       snapshotAttempt(spark, root, version)
     }
 
+  /** Driver-side snapshot cache, keyed by qualified log dir. A hit is
+    * validated against the CURRENT listing (tip version plus the tip
+    * entry's length+mtime, so a dropped-and-recreated table at the
+    * same path can never serve stale state), and a behind-tip hit
+    * replays ONLY the new entries on top of the cached state — at a
+    * long-lived table the per-query log cost drops from
+    * O(commits since checkpoint) to O(new commits), usually zero.
+    * Bounded: the process-wide map resets past 256 roots (tests churn
+    * temp tables; a real deployment has few).
+    */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+  private final case class CachedSnap(snap: Snapshot, tipLen: Long,
+      tipMtime: Long)
+
+  /** Clear the snapshot cache (tests; operationally never needed —
+    * validation is per-call).
+    */
+  def invalidateSnapshots(): Unit = snapCache.clear()
+
   private def snapshotAttempt(spark: SparkSession, root: String,
       version: Option[Long]): Snapshot = {
     val (fs, logDir) = logFs(spark, root)
     if (!fs.exists(logDir))
       return Snapshot(-1L, new StructType(), Nil, Map.empty)
-    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val statuses = fs.listStatus(logDir)
+    val names = statuses.map(_.getPath.getName)
     val commits = names.filter(_.matches("\\d{8}\\.json"))
       .map(n => n.take(8).toLong).sorted
     val target = version.getOrElse(
       if (commits.isEmpty) -1L else commits.last)
     require(version.forall(commits.contains),
       s"version $version does not exist (have ${commits.length} commits)")
-    val ckptV = names.filter(_.matches("\\d{8}\\.ckpt\\.json"))
-      .map(_.take(8).toLong).filter(_ <= target).sorted.lastOption
-    var schema = new StructType(): StructType
-    val files = mutable.LinkedHashMap[String, AddFile]()
-    val txns = mutable.Map[String, Long]()
-    ckptV.foreach { v =>
-      val node = mapper.readTree(readString(fs, new Path(logDir, ckptName(v))))
-      schema = DataType.fromJson(node.get("schema").asText)
-        .asInstanceOf[StructType]
-      node.get("files").elements().asScala.foreach { f =>
-        val af = addFileFrom(f)
-        files(af.path) = af
+
+    def replay(from: Snapshot, upto: Long): Snapshot = {
+      var schema = from.schema
+      val files = mutable.LinkedHashMap[String, AddFile]()
+      from.files.foreach(f => files(f.path) = f)
+      val txns = mutable.Map[String, Long](from.txns.toSeq: _*)
+      commits.filter(v => v > from.version && v <= upto).foreach { v =>
+        val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
+        schema = DataType.fromJson(node.get("schema").asText)
+          .asInstanceOf[StructType]
+        node.get("removes").elements().asScala
+          .foreach(p => files.remove(p.asText))
+        node.get("adds").elements().asScala.foreach { f =>
+          val af = addFileFrom(f)
+          files(af.path) = af
+        }
+        if (node.hasNonNull("txnApp"))
+          txns(node.get("txnApp").asText) = node.get("txnBatch").asLong
       }
-      node.get("txns").properties().asScala.foreach { e =>
-        txns(e.getKey) = e.getValue.asLong
-      }
+      Snapshot(upto, schema, files.values.toSeq, txns.toMap)
     }
-    commits.filter(v => v > ckptV.getOrElse(-1L) && v <= target).foreach { v =>
-      val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
-      schema = DataType.fromJson(node.get("schema").asText)
-        .asInstanceOf[StructType]
-      node.get("removes").elements().asScala
-        .foreach(p => files.remove(p.asText))
-      node.get("adds").elements().asScala.foreach { f =>
-        val af = addFileFrom(f)
-        files(af.path) = af
+
+    def replayFromCheckpoint(): Snapshot = {
+      val ckptV = names.filter(_.matches("\\d{8}\\.ckpt\\.json"))
+        .map(_.take(8).toLong).filter(_ <= target).sorted.lastOption
+      var schema = new StructType(): StructType
+      val files = mutable.LinkedHashMap[String, AddFile]()
+      val txns = mutable.Map[String, Long]()
+      ckptV.foreach { v =>
+        val node = mapper.readTree(readString(fs, new Path(logDir, ckptName(v))))
+        schema = DataType.fromJson(node.get("schema").asText)
+          .asInstanceOf[StructType]
+        node.get("files").elements().asScala.foreach { f =>
+          val af = addFileFrom(f)
+          files(af.path) = af
+        }
+        node.get("txns").properties().asScala.foreach { e =>
+          txns(e.getKey) = e.getValue.asLong
+        }
       }
-      if (node.hasNonNull("txnApp"))
-        txns(node.get("txnApp").asText) = node.get("txnBatch").asLong
+      replay(Snapshot(ckptV.getOrElse(-1L), schema, files.values.toSeq,
+        txns.toMap), target)
     }
-    Snapshot(target, schema, files.values.toSeq, txns.toMap)
+
+    // tip reads take the cache path; explicit-version reads (time
+    // travel) stay checkpoint-anchored
+    if (version.isEmpty && commits.nonEmpty) {
+      val key = fs.makeQualified(logDir).toString
+      val tipSt = statuses.find(_.getPath.getName == entryName(target)).get
+      // a cache record is trusted only if the entry of ITS version is
+      // still listed with identical length+mtime — a table dropped and
+      // recreated at the same path reuses version NUMBERS but never
+      // reproduces the old entry's file identity, and an expired entry
+      // (not listed) conservatively falls back to checkpoint replay
+      val cached = Option(snapCache.get(key)).flatMap { c =>
+        statuses.find(_.getPath.getName == entryName(c.snap.version))
+          .filter(st => st.getLen == c.tipLen &&
+            st.getModificationTime == c.tipMtime)
+          .map(_ => c.snap)
+      }
+      val fresh = cached match {
+        case Some(s) if s.version == target => s
+        case Some(s) if s.version < target => replay(s, target)
+        case _ => replayFromCheckpoint()
+      }
+      if (snapCache.size > 256) snapCache.clear()
+      snapCache.put(key,
+        CachedSnap(fresh, tipSt.getLen, tipSt.getModificationTime))
+      return fresh
+    }
+
+    replayFromCheckpoint()
   }
 
   /** Row-level change feed between two versions — every data column

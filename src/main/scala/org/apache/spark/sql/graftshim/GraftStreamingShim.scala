@@ -33,4 +33,23 @@ object GraftStreamingShim {
     df.sparkSession.asInstanceOf[ClassicSparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
         isStreaming = false)
+
+  /** `Dataset.ofRows` — wrap an analyzed logical plan as a DataFrame
+    * (the graft DML rule hands a MERGE's resolved source plan to the
+    * table format this way; `ofRows` is `private[sql]`).
+    */
+  def frameOf(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** `DataSourceStrategy.translateFilter` (protected[sql]) — the graft
+    * DML rule uses it to mirror the planner's own judgement of whether
+    * a DELETE predicate can ride the connector `SupportsDelete` path.
+    */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }
