@@ -58,13 +58,20 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, within: String,
-      how: String = "inner"): DataFrame =
-    left.join(right,
+      how: String = "inner"): DataFrame = {
+    val joined = left.join(right,
       left(key) === right(key) &&
         right(rightTs) >= left(leftTs) &&
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $within"),
       how)
-      .drop(right(key))
+    if (how == "full_outer" || how == "outer" || how == "full") {
+      // a right-unmatched row carries its key on the RIGHT side only —
+      // surface ONE key column that is non-null for every output row
+      val others = left.columns.filterNot(_ == key).map(left(_)) ++
+        right.columns.filterNot(_ == key).map(right(_))
+      joined.select(coalesce(left(key), right(key)).as(key) +: others.toSeq: _*)
+    } else joined.drop(right(key))
+  }
 
   /** Stream-static enrichment join: every micro-batch hash-joins
     * against a STATIC dimension. Stateless by construction — no

@@ -298,6 +298,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join: BOTH sides' unmatched rows emit after watermark") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream_foj")
+    def writeRows(sub: String, n: Int, rows: Seq[(Long, Long)], ts: String): Unit =
+      rows.toDF("ad_id", "eus")
+        .select(col("ad_id"), expr("timestamp_micros(eus)").as(ts))
+        .coalesce(1).write.parquet(s"$root/$sub/b$n")
+    def us(m: Int): Long = (24 * 3600L + m * 60L) * 1000000L
+    // ad 1 matches; ad 2 is a left-only impression; ad 3 a right-only click
+    writeRows("imp", 1, Seq(1L -> us(0), 2L -> us(0)), "its")
+    writeRows("clk", 1, Seq(1L -> us(5), 3L -> us(5)), "cts")
+    def src(sub: String, ts: String) = spark.readStream
+      .schema(StructType(Seq(
+        StructField("ad_id", LongType), StructField(ts, TimestampType))))
+      .option("pathGlobFilter", "*.parquet").parquet(s"$root/$sub/b*")
+      .withWatermark(ts, "1 minute")
+    val q = Streams.intervalJoin(src("imp", "its"), src("clk", "cts"),
+        "ad_id", "its", "cts", "10 minutes", how = "full_outer")
+      .writeStream.outputMode("append").format("memory").queryName("foj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("foj_out")
+        .filter(col("cts").isNull || col("its").isNull).count() == 0,
+        "outer results must wait for the watermark")
+      // advance both watermarks far past every join window
+      writeRows("imp", 2, Seq(9L -> us(120)), "its")
+      writeRows("clk", 2, Seq(9L -> us(240)), "cts")
+      q.processAllAvailable()
+      val got = spark.table("foj_out")
+        .select(col("ad_id"), expr("unix_micros(its)"),
+          expr("unix_micros(cts)"))
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got.contains((1L, Some(us(0)), Some(us(5)))), s"match missing: $got")
+      assert(got.contains((2L, Some(us(0)), None)), s"left-outer missing: $got")
+      assert(got.contains((3L, None, Some(us(5)))), s"right-outer missing: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: per-batch dim join, stateless, matches batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("enrich")
