@@ -90,7 +90,8 @@ object GraftTable {
   final case class AddFile(path: String, rows: Long,
       stats: Map[String, ColStats],
       blooms: Map[String, String] = Map.empty,
-      dv: Option[DvRef] = None)
+      dv: Option[DvRef] = None,
+      layout: Option[String] = None)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
@@ -608,8 +609,62 @@ object GraftTable {
         .repartitionByRange(targetFiles, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
-      Some((writeData(spark, root, keyed, snap.schema), snap.files.map(_.path),
+      // stamped with the spec: a later zorderIncremental with the same
+      // (cols, bits) sees these files as already clustered
+      Some((writeData(spark, root, keyed, snap.schema,
+        Some(layoutSpec(cols, bits))), snap.files.map(_.path),
         snap.schema, None))
+    }
+
+  /** The layout signature a clustering pass stamps on the files it
+    * produces — the convergence marker [[zorderIncremental]] keys on.
+    */
+  def layoutSpec(cols: Seq[String], bits: Int): String =
+    s"z(${cols.mkString(",")})/$bits"
+
+  /** INCREMENTAL Z-order clustering — the O(debt) maintenance form of
+    * [[zorderByCols]], for the table a full rewrite can never keep up
+    * with. Every file stamped with this spec's [[layoutSpec]] is
+    * already clustered and survives untouched; only the DEBT (files
+    * from appends, compactions, or a different clustering spec) is
+    * read, Z-ordered, and rewritten, stamped with the spec. Repeated
+    * passes converge to a fully-stamped table and then no-op (no
+    * commit); each append adds O(append) debt, and the next pass costs
+    * O(debt) — at 100 TB the difference between a nightly maintenance
+    * job and an impossible full re-sort.
+    *
+    * The result is clustered PER GENERATION, not globally: a debt
+    * pass's files may overlap earlier generations in Z-range. Skipping
+    * still multiplies, because pruning is per-file zone-map tightness,
+    * which each generation has — the same contract as published
+    * incremental-clustering designs (Delta OPTIMIZE's incremental
+    * mode, liquid clustering).
+    *
+    * @param maxFiles bound one pass's rewrite to the `maxFiles`
+    *   oldest debt files (0 = unbounded) — the knob that makes each
+    *   maintenance tick a fixed-size unit of work
+    * @return the committed version, or the current one when there is
+    *   no debt
+    */
+  def zorderIncremental(spark: SparkSession, root: String,
+      cols: Seq[String], targetFiles: Int, bits: Int = 16,
+      maxFiles: Int = 0): Long =
+    commitRetry(spark, root) { snap =>
+      val spec = layoutSpec(cols, bits)
+      val debtAll = snap.files.filterNot(_.layout.contains(spec))
+      val debt =
+        if (maxFiles > 0) debtAll.take(maxFiles) else debtAll
+      if (debt.isEmpty) None
+      else {
+        val keyed = readFiles(spark, root, snap, debt)
+          .withColumn("__zkey",
+            graft.operators.Layout.zorderKeyN(cols.map(col), bits))
+          .repartitionByRange(targetFiles, col("__zkey"))
+          .sortWithinPartitions("__zkey")
+          .drop("__zkey")
+        Some((writeData(spark, root, keyed, snap.schema, Some(spec)),
+          debt.map(_.path), snap.schema, None))
+      }
     }
 
   /** Rewrite the table into `targetFiles` files (small-file
@@ -1416,7 +1471,10 @@ object GraftTable {
       smallFileRows: Long = 100000L,
       keepVersions: Int = 30,
       purgeAtMaskRatio: Double = 0.1,
-      vacuumMinAgeMs: Long = 0L): (Boolean, Boolean, Seq[Long], Seq[String]) = {
+      vacuumMinAgeMs: Long = 0L,
+      clusterBy: Seq[String] = Nil,
+      clusterBits: Int = 16,
+      clusterMaxFiles: Int = 16): (Boolean, Boolean, Seq[Long], Seq[String]) = {
     val snap = snapshot(spark, root)
     val physical = math.max(1L, snap.files.map(_.rows).sum)
     val masked = snap.files.flatMap(_.dv.map(_.rows)).sum
@@ -1427,6 +1485,13 @@ object GraftTable {
       else false
     val vMid = snapshot(spark, root).version
     val compacted = compactSmall(spark, root, smallFileRows) > vMid
+    // clustering AFTER compaction (compaction output is debt) and as a
+    // bounded O(clusterMaxFiles) tick — each maintenance call drains a
+    // fixed slice of layout debt and the table converges across calls
+    if (clusterBy.nonEmpty)
+      zorderIncremental(spark, root, clusterBy,
+        targetFiles = math.max(1, clusterMaxFiles / 4), bits = clusterBits,
+        maxFiles = clusterMaxFiles)
     val expired = expireVersions(spark, root, keepVersions)
     val vacuumed = vacuum(spark, root, vacuumMinAgeMs)
     (purged, compacted, expired, vacuumed)
@@ -1547,7 +1612,8 @@ object GraftTable {
     * files — conservative, never wrong).
     */
   private[table] def writeData(spark: SparkSession, root: String,
-      df: DataFrame, tableSchema: StructType): Seq[AddFile] = {
+      df: DataFrame, tableSchema: StructType,
+      layout: Option[String] = None): Seq[AddFile] = {
     val commitId = UUID.randomUUID().toString
     val dir = new Path(new Path(root, "data"), commitId)
     toPhysical(df, tableSchema)
@@ -1561,7 +1627,8 @@ object GraftTable {
       .map { st =>
         val (rows, stats) = footerStats(st.getPath, hadoopConf(spark))
         AddFile(s"data/$commitId/${st.getPath.getName}", rows,
-          stats.map { case (c, s) => physToLogical.getOrElse(c, c) -> s })
+          stats.map { case (c, s) => physToLogical.getOrElse(c, c) -> s },
+          layout = layout)
       }.toSeq
     val bcols = bloomColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
@@ -1868,6 +1935,7 @@ object GraftTable {
       dn.put("path", d.path)
       dn.put("rows", d.rows)
     }
+    f.layout.foreach(l => node.put("layout", l))
     node
   }
 
@@ -1892,7 +1960,10 @@ object GraftTable {
         Some(DvRef(n.get("dv").get("path").asText,
           n.get("dv").get("rows").asLong))
       else None
-    AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv)
+    val layout = // absent in pre-clustering log entries: default None
+      if (n.hasNonNull("layout")) Some(n.get("layout").asText) else None
+    AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv,
+      layout)
   }
 
   // ---------- IO helpers ----------
