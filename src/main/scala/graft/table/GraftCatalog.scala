@@ -9,6 +9,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -67,7 +68,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the path's own FileSystem, and commit atomicity follows the
   * table's [[LogStore]] contract.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -270,6 +272,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace.mkString(".")} is not empty")
       fs.delete(p, true)
     }
+  }
+  // ---------- procedures (SQL CALL surface) ----------
+
+  /** Maintenance verbs as `CALL <catalog>.system.<proc>(…)` — the
+    * standard DSv2 procedure surface (the `CALL` statement Spark 4
+    * resolves through `ProcedureCatalog`), so layout and retention
+    * management need no side API:
+    *
+    * {{{
+    *   CALL gcat.system.optimize(`table` => 'ns.t',
+    *                             zorder_by => 'x,y', target_files => 4)
+    *   CALL gcat.system.vacuum(`table` => 'ns.t')
+    *   CALL gcat.system.history(`table` => 'ns.t')
+    *   CALL gcat.system.expire_versions(`table` => 'ns.t', keep => 10)
+    * }}}
+    *
+    * Each runs the table format's own O(debt) maintenance primitive
+    * (incremental Z-order / compaction, vacuum, log expiry) and
+    * returns its result as rows via a driver-local scan.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")}")
+    GraftProcedures(this, ident.name)
+  }
+
+  /** Resolve a procedure's `table` argument ('t' or 'ns1.ns2.t',
+    * relative to THIS catalog) to the table root path.
+    */
+  private[table] def resolveRoot(tableArg: String): String = {
+    val parts = tableArg.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = tablePath(ident)
+    require(isTableDir(p), s"no graft table at $tableArg")
+    p.toString
   }
 }
 

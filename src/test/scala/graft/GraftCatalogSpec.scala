@@ -210,6 +210,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r == Seq(GraftTable.Range("id", Some(7L), Some(7L))))
   }
 
+  test("CALL procedures: optimize (zorder + compact), history, expire, vacuum") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.proc (id BIGINT, zx BIGINT, zy BIGINT)")
+    val root = s"$wh/ns/proc"
+    (0 until 3).foreach(i => GraftTable.append(spark, root,
+      spark.range(i * 100L, i * 100L + 100)
+        .selectExpr("id", "(id * 37) % 256 AS zx", "(id * 91) % 256 AS zy")))
+
+    // incremental Z-order via CALL: every file ends stamped
+    val v = spark.sql("CALL gcat.system.optimize(`table` => 'ns.proc', " +
+      "zorder_by => 'zx,zy', target_files => 2, bits => 8)")
+      .head.getLong(0)
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.version == v)
+    assert(snap.files.forall(_.layout.contains(
+      GraftTable.layoutSpec(Seq("zx", "zy"), 8))))
+
+    // history surfaces every commit
+    val hist = spark.sql("CALL gcat.system.history(`table` => 'ns.proc')")
+      .collect().map(_.getLong(0)).sorted
+    assert(hist.toSeq == (0L to v))
+
+    // plain compaction path
+    spark.sql("CALL gcat.system.optimize(`table` => 'ns.proc', " +
+      "target_files => 1)")
+    assert(GraftTable.snapshot(spark, root).files.size == 1)
+
+    // expire + vacuum: with only the compact commit retained, the
+    // FIRST generation (append files, referenced by no retained
+    // entry — the tip's removes keep the zorder generation alive for
+    // the change feed, but nothing references the original appends)
+    // is reclaimed
+    val expired = spark.sql(
+      "CALL gcat.system.expire_versions(`table` => 'ns.proc', keep => 1)")
+      .count()
+    assert(expired > 0)
+    val reclaimed = spark.sql(
+      "CALL gcat.system.vacuum(`table` => 'ns.proc')").count()
+    assert(reclaimed > 0, "first-generation files are unreferenced -> reclaimed")
+    // the table still reads complete after maintenance
+    assert(spark.table("gcat.ns.proc").count() == 300)
+  }
+
   test("created-empty table keeps its declared schema as the merge anchor") {
     val root = Files.createTempDirectory("graft_anchor").toString + "/t"
     GraftTable.create(spark, root,
