@@ -386,11 +386,13 @@ object GraftCatalog {
   */
 class GraftScanBuilder(spark: SparkSession, root: String,
     snap: GraftTable.Snapshot) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = GraftCatalog.stripPhys(snap.schema)
   private var pushed: Array[Filter] = Array.empty
   private var pushedSql: Option[String] = None
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
@@ -405,8 +407,154 @@ class GraftScanBuilder(spark: SparkSession, root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, root, snap, required, pushedSql)
+  // ---- metadata-only aggregates -------------------------------------
+  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col) with no filter and no
+  // grouping are answered from COMMIT METADATA alone — zero data IO,
+  // zero tasks over data files: at 100 TB, `SELECT COUNT(*) FROM t` is
+  // a log read. Strictly conservative refusals keep it exact:
+  //  - any pushed filter or GROUP BY → no pushdown (file-level stats
+  //    cannot see row-level predicates);
+  //  - COUNT(*) tolerates deletion vectors (live = rows − masked,
+  //    both recorded per commit); COUNT(col)/MIN/MAX refuse them (a
+  //    masked row may be the extreme / change the null count);
+  //  - MIN/MAX only on numeric/temporal stats ("i64"/"f64"): parquet
+  //    STRING bounds may be truncated — conservative for skipping,
+  //    WRONG as exact extremes; a file missing the column's stats
+  //    (e.g. NaN-polluted doubles, added-later columns) refuses.
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metadataAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    metadataAgg(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+
+  private def metadataAgg(agg: Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val files = snap.files
+    val anyDv = files.exists(_.dv.isDefined)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        snap.schema.fields.find(_.name == f.fieldNames.head)
+      case _ => None
+    }
+    def statsFor(name: String): Option[Seq[GraftTable.ColStats]] = {
+      val ss = files.flatMap(f => f.stats.get(name))
+      if (ss.length == files.length) Some(ss) else None // every file
+    }
+    /** internal-row value of a stats bound for the column's type */
+    def internal(f: StructField, v: Any): Option[Any] = {
+      import org.apache.spark.sql.types._
+      (f.dataType, v) match {
+        case (LongType, l: Long) => Some(l)
+        case (IntegerType, l: Long) => Some(l.toInt)
+        case (ShortType, l: Long) => Some(l.toShort)
+        case (ByteType, l: Long) => Some(l.toByte)
+        case (DateType, l: Long) => Some(l.toInt)
+        case (TimestampType, l: Long) => Some(l)
+        case (TimestampNTZType, l: Long) => Some(l)
+        case (DoubleType, d: Double) => Some(d)
+        case (FloatType, d: Double) => Some(d.toFloat)
+        case _ => None
+      }
+    }
+    val out = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        val live = files.map(_.rows).sum - files.flatMap(_.dv.map(_.rows)).sum
+        Some((StructField("count_star", org.apache.spark.sql.types.LongType,
+          nullable = false), live: Any))
+      case c: Count if !c.isDistinct && !anyDv =>
+        colOf(c.column).flatMap { f =>
+          statsFor(f.name).map { ss =>
+            val nonNull = files.map(_.rows).sum - ss.map(_.nulls).sum
+            (StructField(s"count_${f.name}",
+              org.apache.spark.sql.types.LongType, nullable = false),
+              nonNull: Any)
+          }
+        }
+      case m: Min if !anyDv =>
+        colOf(m.column).flatMap { f =>
+          statsFor(f.name).flatMap { ss =>
+            if (files.isEmpty) Some((StructField(s"min_${f.name}",
+              f.dataType), null: Any))
+            else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64")) None
+            else {
+              val m0 = ss.map(_.min).reduce((a, b) =>
+                if (GraftTable.cmpPublic(ss.head.tpe, a, b) <= 0) a else b)
+              internal(f, m0).map(v =>
+                (StructField(s"min_${f.name}", f.dataType), v))
+            }
+          }
+        }
+      case m: Max if !anyDv =>
+        colOf(m.column).flatMap { f =>
+          statsFor(f.name).flatMap { ss =>
+            if (files.isEmpty) Some((StructField(s"max_${f.name}",
+              f.dataType), null: Any))
+            else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64")) None
+            else {
+              val m0 = ss.map(_.max).reduce((a, b) =>
+                if (GraftTable.cmpPublic(ss.head.tpe, a, b) >= 0) a else b)
+              internal(f, m0).map(v =>
+                (StructField(s"max_${f.name}", f.dataType), v))
+            }
+          }
+        }
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else {
+      val fields = out.flatten.map(_._1)
+      val values = out.flatten.map(_._2)
+      Some((StructType(fields), values.toArray))
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) =>
+      new GraftAggScan(spark, root, snap, schema, values)
+    case None => new GraftScan(spark, root, snap, required, pushedSql)
+  }
+}
+
+/** A fully-pushed-down aggregate: ONE row from commit metadata, no
+  * data file opened.
+  */
+class GraftAggScan(spark: SparkSession, root: String,
+    snap: GraftTable.Snapshot, schema: StructType,
+    values: Array[Any]) extends V1Scan {
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"GraftAggScan $root v${snap.version} metadata-only " +
+      s"[${schema.fieldNames.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = GraftAggScan.this.schema
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val row: org.apache.spark.sql.catalyst.InternalRow =
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(values)
+        context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+          .asInstanceOf[RDD[Row]]
+      }
+      override def toString: String =
+        s"GraftTable($root) metadata-only aggregate"
+    }
+    relation.asInstanceOf[T]
+  }
 }
 
 /** The batch scan: file pruning + exact metadata statistics, data via

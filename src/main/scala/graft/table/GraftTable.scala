@@ -1813,6 +1813,11 @@ object GraftTable {
 
   // ---------- zone-map comparisons ----------
 
+  /** [[cmp]] for same-package collaborators (the catalog's
+    * metadata-aggregate fold).
+    */
+  private[table] def cmpPublic(t: String, a: Any, b: Any): Int = cmp(t, a, b)
+
   private def cmp(t: String, a: Any, b: Any): Int = t match {
     case "i64" => java.lang.Long.compare(toL(a), toL(b))
     case "f64" => java.lang.Double.compare(toD(a), toD(b))

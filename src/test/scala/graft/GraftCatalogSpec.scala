@@ -253,6 +253,70 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.ns.proc").count() == 300)
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX from the log, zero data IO") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.aggp (id BIGINT, v DOUBLE, s STRING)")
+    val root = s"$wh/ns/aggp"
+    GraftTable.append(spark, root, (0L until 150L)
+      .map(i => (i, i * 0.5, s"s$i")).toDF("id", "v", "s"))
+    GraftTable.append(spark, root, (150L until 300L)
+      .map(i => (i, i * 0.5, s"s$i")).toDF("id", "v", "s"))
+
+    val agg = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(id) AS nid, MIN(id) AS mn, " +
+        "MAX(v) AS mx FROM gcat.ns.aggp")
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      s"expected metadata-only scan in:\n${agg.queryExecution.executedPlan}")
+    val r = agg.head
+    assert(r.getLong(0) == 300 && r.getLong(1) == 300 &&
+      r.getLong(2) == 0L && r.getDouble(3) == 149.5)
+
+    // the definitive zero-IO proof: with every data file REMOVED the
+    // aggregates still answer (log metadata is the only input)...
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(root, "data"), true)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gcat.ns.aggp")
+      .head.getLong(0) == 300)
+    assert(spark.sql("SELECT MAX(id) AS m FROM gcat.ns.aggp")
+      .head.getLong(0) == 299)
+    // ...while an actual data read now fails
+    intercept[Exception] {
+      spark.sql("SELECT SUM(id) FROM gcat.ns.aggp").collect()
+    }
+  }
+
+  test("aggregate pushdown refuses filters, strings, and DV-masked extremes") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.aggr (id BIGINT, v DOUBLE, s STRING)")
+    val root = s"$wh/ns/aggr"
+    GraftTable.append(spark, root, (0L until 100L)
+      .map(i => (i, i * 0.5, s"s$i")).toDF("id", "v", "s"))
+
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // a WHERE defeats file-level stats -> normal scan, exact result
+    val filtered = spark.sql(
+      "SELECT COUNT(*) AS n FROM gcat.ns.aggr WHERE id < 10")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("metadata-only aggregate"))
+    assert(filtered.head.getLong(0) == 10)
+    // string extremes may be truncated bounds -> refused
+    assert(!planOf("SELECT MIN(s) FROM gcat.ns.aggr").contains("metadata-only aggregate"))
+    assert(spark.sql("SELECT MIN(s) AS m FROM gcat.ns.aggr")
+      .head.getString(0) == "s0")
+
+    // a DV commit: COUNT(*) still pushes (live = rows - masked),
+    // MIN/MAX refuse (the masked row could be the extreme)
+    GraftTable.deleteWhereDv(spark, root, "id >= 95", None)
+    val cnt = spark.sql("SELECT COUNT(*) AS n FROM gcat.ns.aggr")
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata-only aggregate"))
+    assert(cnt.head.getLong(0) == 95)
+    val mx = spark.sql("SELECT MAX(id) AS m FROM gcat.ns.aggr")
+    assert(!mx.queryExecution.executedPlan.toString.contains("metadata-only aggregate"))
+    assert(mx.head.getLong(0) == 94, "masked rows must not count as extremes")
+  }
+
   test("created-empty table keeps its declared schema as the merge anchor") {
     val root = Files.createTempDirectory("graft_anchor").toString + "/t"
     GraftTable.create(spark, root,
