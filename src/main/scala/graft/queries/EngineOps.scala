@@ -629,22 +629,7 @@ object EngineOps {
     // tagged build.
     ("catalog_sql_select",
       (s: SparkSession, dir: String) => {
-        val gt = graft.table.GraftTable
-        val li = Tables(s, dir, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_extendedprice",
-            "l_discount", "l_returnflag", "l_shipdate")
-        val (cat, nsDir) = catalogFor(s, dir, "csel")
-        val root = s"$nsDir/sel"
-        EngineOps.synchronized {
-          if (gt.snapshot(s, root).version < 1L) {
-            gt.append(s, root,
-              li.filter(col("l_shipdate") < "1998-01-01"),
-              txn = Some(("cat_sel", 0L)))
-            gt.append(s, root,
-              li.filter(col("l_shipdate") >= "1998-01-01"),
-              txn = Some(("cat_sel", 1L)))
-          }
-        }
+        val cat = selTable(s, dir)
         s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
                          ${Canonical.moneySumSql("l_quantity")} AS sum_qty,
                          ${Canonical.revenueSumSql("l_extendedprice", "l_discount")} AS revenue
@@ -660,6 +645,26 @@ object EngineOps {
                WHERE l_shipdate >= TIMESTAMP '1998-01-01'
                  AND l_quantity > 10
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Metadata-only aggregate pushdown judged END-TO-END: the
+    // unfiltered COUNT/MIN/MAX over the catalog table is answered
+    // from COMMIT METADATA alone (GraftAggScan — zero data files
+    // opened, proven destructively in GraftCatalogSpec), and the hash
+    // gate proves the metadata numbers equal DuckDB's from the data.
+    ("catalog_meta_agg",
+      (s: SparkSession, dir: String) => {
+        val cat = selTable(s, dir)
+        s.sql(s"""SELECT COUNT(*) AS n, COUNT(l_quantity) AS nq,
+                         MIN(l_orderkey) AS min_ok,
+                         MAX(l_orderkey) AS max_ok,
+                         MIN(l_shipdate) AS min_sd,
+                         MAX(l_shipdate) AS max_sd
+                  FROM $cat.ops.sel""")
+      },
+      Some("""SELECT COUNT(*) AS n, COUNT(l_quantity) AS nq,
+                     MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+                     MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd
+              FROM lineitem""")),
 
     // SQL DDL + DML lifecycle through the catalog, time-travel read:
     // CREATE TABLE (v0, schema-only commit), two INSERT INTO … SELECT
@@ -811,6 +816,30 @@ object EngineOps {
                       ${Canonical.moneySumSql("o_totalprice")} AS sum_price
                FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
   )
+
+  /** The shared `csel` catalog table (two appends of lineitem split at
+    * 1998) — built write-once, used by catalog_sql_select and
+    * catalog_meta_agg.
+    */
+  private def selTable(s: SparkSession, dir: String): String = {
+    val gt = graft.table.GraftTable
+    val li = Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag", "l_shipdate")
+    val (cat, nsDir) = catalogFor(s, dir, "csel")
+    val root = s"$nsDir/sel"
+    EngineOps.synchronized {
+      if (gt.snapshot(s, root).version < 1L) {
+        gt.append(s, root,
+          li.filter(col("l_shipdate") < "1998-01-01"),
+          txn = Some(("cat_sel", 0L)))
+        gt.append(s, root,
+          li.filter(col("l_shipdate") >= "1998-01-01"),
+          txn = Some(("cat_sel", 1L)))
+      }
+    }
+    cat
+  }
 
   /** One graft SQL catalog per (source generation, query tag): the
     * catalog name embeds the data fingerprint, so a session that
