@@ -127,6 +127,9 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       table: GraftV2Table): LogicalPlan = {
     require(m.notMatchedBySourceActions.isEmpty,
       "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+    require(!m.withSchemaEvolution,
+      "graft MERGE does not support WITH SCHEMA EVOLUTION " +
+        "(ALTER TABLE ... ADD COLUMNS first)")
     require(!hasSubquery(m.mergeCondition) &&
       (m.matchedActions ++ m.notMatchedActions).forall {
         case UpdateAction(c, as, _) =>
