@@ -175,9 +175,12 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // action's effective condition picks up the negation of every
     // EARLIER action's condition, so first-matching-clause semantics
     // survive the reorder; an unconditional action makes later ones
-    // unreachable and they drop
+    // unreachable and they drop. The negation must be NULL-safe: a
+    // prior condition evaluating NULL did NOT fire its clause, so the
+    // later clause must still be eligible — plain NOT(p) would carry
+    // the NULL through and the conjunction would coalesce to false.
     def guarded(prior: Seq[String], own: Option[Expression]): String = {
-      val negs = prior.map(p => s"(NOT ($p))")
+      val negs = prior.map(p => s"(($p) IS NOT TRUE)")
       val c = own.map(rend).getOrElse("true")
       (negs :+ s"($c)").mkString(" AND ")
     }
