@@ -751,15 +751,19 @@ object EngineOps {
     // graft.plans.GraftDmlRule): orders lands as the target; one MERGE
     // statement updates cheap %7 keys (first matching clause), deletes
     // expensive %7 keys (fall-through), and inserts shifted %11 keys.
-    // Judged output is the post-merge state aggregated by status; the
-    // oracle reconstructs the same state relationally. Build steps are
+    // %21 keys carry a NULL source price, so the UPDATE condition
+    // evaluates NULL — the hash pins that those rows still fall
+    // through to DELETE (the clause-order guard must negate priors
+    // NULL-SAFELY: `(p) IS NOT TRUE`, not `NOT p`). Judged output is
+    // the post-merge state aggregated by status; the oracle
+    // reconstructs the same state relationally. Build steps are
     // guarded by the exact version each expects — atomic commits make
     // a killed build resume idempotently.
     ("catalog_sql_merge",
       (s: SparkSession, dir: String) => {
         val gt = graft.table.GraftTable
         orders(s, dir).createOrReplaceTempView("orders_cat_src")
-        val (cat, nsDir) = catalogFor(s, dir, "cmrg")
+        val (cat, nsDir) = catalogFor(s, dir, "cmrg2")
         val root = s"$nsDir/mrg"
         EngineOps.synchronized {
           if (gt.snapshot(s, root).version < 0L)
@@ -772,7 +776,9 @@ object EngineOps {
                       FROM orders_cat_src""")
           if (gt.snapshot(s, root).version == 1L)
             s.sql(s"""MERGE INTO $cat.ops.mrg t USING (
-                        SELECT o_orderkey AS k, o_totalprice AS p
+                        SELECT o_orderkey AS k,
+                               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                    ELSE o_totalprice END AS p
                         FROM orders_cat_src WHERE o_orderkey % 7 = 0
                         UNION ALL
                         SELECT o_orderkey + 10000000, o_totalprice
@@ -793,8 +799,10 @@ object EngineOps {
       },
       Some(s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                              FROM orders),
-                    m7 AS (SELECT o_orderkey, o_totalprice FROM orders
-                           WHERE o_orderkey % 7 = 0),
+                    m7 AS (SELECT o_orderkey,
+                                  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                       ELSE o_totalprice END AS p
+                           FROM orders WHERE o_orderkey % 7 = 0),
                     fin AS (
                       SELECT b.o_orderkey,
                              CASE WHEN m.o_orderkey IS NULL
@@ -805,10 +813,10 @@ object EngineOps {
                                   ELSE b.o_totalprice + 1 END AS o_totalprice
                       FROM base b LEFT JOIN m7 m
                         ON b.o_orderkey = m.o_orderkey
-                          AND m.o_totalprice < 100000
+                          AND m.p < 100000
                       WHERE b.o_orderkey NOT IN (
                         SELECT o_orderkey FROM m7
-                        WHERE o_totalprice >= 100000)
+                        WHERE p IS NULL OR p >= 100000)
                       UNION ALL
                       SELECT o_orderkey + 10000000, 'N', o_totalprice
                       FROM orders WHERE o_orderkey % 11 = 0)

@@ -64,9 +64,11 @@ object Streams {
         right(rightTs) >= left(leftTs) &&
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $within"),
       how)
-    if (how == "full_outer" || how == "outer" || how == "full") {
-      // a right-unmatched row carries its key on the RIGHT side only —
-      // surface ONE key column that is non-null for every output row
+    // any join kind that can emit a right-unmatched row carries its key
+    // on the RIGHT side only — surface ONE key column that is non-null
+    // for every output row (full AND right outer; inner/left keep the
+    // always-populated left key)
+    if (Set("full_outer", "outer", "full", "right_outer", "right")(how)) {
       val others = left.columns.filterNot(_ == key).map(left(_)) ++
         right.columns.filterNot(_ == key).map(right(_))
       joined.select(coalesce(left(key), right(key)).as(key) +: others.toSeq: _*)

@@ -55,9 +55,14 @@ object FilterSql {
     case d: BigDecimal => lit(d.underlying)
     case d: java.sql.Date => Some(s"DATE '${d.toLocalDate}'")
     case d: LocalDate => Some(s"DATE '$d'")
+    // the trailing Z pins the literal to the instant: Spark re-parses
+    // `TIMESTAMP '…'` in the SESSION timezone, and a pushed filter is
+    // NOT re-checked by Spark — a zoneless rendering would silently
+    // shift the predicate (and a catalog DELETE's victim set) in any
+    // non-UTC session
     case t: java.sql.Timestamp =>
-      Some(s"TIMESTAMP '${TsFmt.format(t.toInstant)}'")
-    case i: Instant => Some(s"TIMESTAMP '${TsFmt.format(i)}'")
+      Some(s"TIMESTAMP '${TsFmt.format(t.toInstant)}Z'")
+    case i: Instant => Some(s"TIMESTAMP '${TsFmt.format(i)}Z'")
     case t: java.time.LocalDateTime => // TIMESTAMP_NTZ columns
       Some(s"TIMESTAMP_NTZ '${t.toLocalDate} ${t.toLocalTime}'")
     case _ => None

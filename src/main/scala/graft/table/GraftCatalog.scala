@@ -484,7 +484,8 @@ class GraftScanBuilder(spark: SparkSession, root: String,
           statsFor(f.name).flatMap { ss =>
             if (files.isEmpty) Some((StructField(s"min_${f.name}",
               f.dataType), null: Any))
-            else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64")) None
+            else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64") ||
+              ss.map(_.tpe).distinct.size != 1) None // one comparator must fit ALL files
             else {
               val m0 = ss.map(_.min).reduce((a, b) =>
                 if (GraftTable.cmpPublic(ss.head.tpe, a, b) <= 0) a else b)
@@ -498,7 +499,8 @@ class GraftScanBuilder(spark: SparkSession, root: String,
           statsFor(f.name).flatMap { ss =>
             if (files.isEmpty) Some((StructField(s"max_${f.name}",
               f.dataType), null: Any))
-            else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64")) None
+            else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64") ||
+              ss.map(_.tpe).distinct.size != 1) None // one comparator must fit ALL files
             else {
               val m0 = ss.map(_.max).reduce((a, b) =>
                 if (GraftTable.cmpPublic(ss.head.tpe, a, b) >= 0) a else b)

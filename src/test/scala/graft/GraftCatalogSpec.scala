@@ -317,6 +317,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(mx.head.getLong(0) == 94, "masked rows must not count as extremes")
   }
 
+  test("timestamp filter pushdown pins the instant in a non-UTC session") {
+    // FilterSql renders pushed timestamp literals with a trailing Z:
+    // Spark re-parses `TIMESTAMP '…'` in the SESSION timezone and a
+    // fully-pushed filter is never re-checked, so a zoneless rendering
+    // silently shifts both the SELECT and the DELETE victim set in any
+    // non-UTC session.
+    wh
+    spark.sql("CREATE TABLE gcat.ns.tz (id BIGINT, ts TIMESTAMP)")
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    (0L until 48L).map(i =>
+        (i, java.sql.Timestamp.from(t0.plusSeconds(i * 3600))))
+      .toDF("id", "ts").createOrReplaceTempView("tz_src")
+    spark.sql("INSERT INTO gcat.ns.tz SELECT * FROM tz_src")
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // Australia/Eucla = UTC+08:45, no DST: the session-tz literal
+      // '2024-03-02 00:00:00' is the instant 2024-03-01T15:15:00Z →
+      // hour-indexed rows 16..47 survive `ts >=`
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+      val sel = spark.sql("""SELECT id FROM gcat.ns.tz
+          WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'""")
+        .as[Long].collect().toSet
+      assert(sel == (16L until 48L).toSet,
+        s"pushed timestamp filter shifted in a non-UTC session: $sel")
+      // the connector DELETE path uses the same literal rendering
+      spark.sql("""DELETE FROM gcat.ns.tz
+                   WHERE ts < TIMESTAMP '2024-03-02 00:00:00'""")
+      val left = spark.sql("SELECT id FROM gcat.ns.tz").as[Long].collect().toSet
+      assert(left == (16L until 48L).toSet,
+        s"catalog DELETE deleted the wrong instants: kept $left")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
+  test("metadata MIN/MAX refuses heterogeneous per-file stat types") {
+    // two appends → two files with i64 stats on id; corrupt the second
+    // entry's recorded type to f64 (what a future type-widening would
+    // produce) — folding with ONE comparator would be wrong, so the
+    // aggregate must fall back to a real scan and still be exact
+    wh
+    spark.sql("CREATE TABLE gcat.ns.mixt (id BIGINT)")
+    val root = s"$wh/ns/mixt"
+    GraftTable.append(spark, root, (0L until 50L).toDF("id"))
+    GraftTable.append(spark, root, (50L until 100L).toDF("id"))
+    val entry = new java.io.File(s"$root/_log/00000002.json")
+    val json = new String(java.nio.file.Files.readAllBytes(entry.toPath), "UTF-8")
+    assert(json.contains("\"t\":\"i64\""))
+    java.nio.file.Files.write(entry.toPath,
+      json.replace("\"t\":\"i64\"", "\"t\":\"f64\"").getBytes("UTF-8"))
+    GraftTable.invalidateSnapshots() // same-length in-place edit
+    val mx = spark.sql("SELECT MAX(id) AS m, MIN(id) AS n FROM gcat.ns.mixt")
+    assert(!mx.queryExecution.executedPlan.toString
+      .contains("metadata-only aggregate"),
+      "mixed per-file stat types must refuse the metadata fast path")
+    val r = mx.head
+    assert(r.getLong(0) == 99L && r.getLong(1) == 0L)
+  }
+
   test("created-empty table keeps its declared schema as the merge anchor") {
     val root = Files.createTempDirectory("graft_anchor").toString + "/t"
     GraftTable.create(spark, root,

@@ -136,6 +136,56 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(ch == Set(("delete", 5L, 5.0), ("insert", 5L, 500.0)))
   }
 
+  test("SQL MERGE: a NULL first-clause condition falls through to the next clause") {
+    // the first-matching-clause guard must negate a prior condition
+    // NULL-SAFELY ((p) IS NOT TRUE): for sid=5 the update condition
+    // `s.sv > 0` evaluates NULL (sv is NULL) — that clause did NOT
+    // fire, so the row must still reach the DELETE clause. A plain
+    // NOT(p) would carry the NULL through and strand the row.
+    val root = freshTable("nullc", 0, 10)
+    val v0 = GraftTable.snapshot(spark, root).version
+    Seq((5L, Option.empty[Double]), (6L, Some(60.0)),
+      (90L, Option.empty[Double]), (91L, Some(910.0)))
+      .toDF("sid", "sv").createOrReplaceTempView("nullc_src")
+    spark.sql("""MERGE INTO gdml.ns.nullc t USING nullc_src s ON t.id = s.sid
+                 WHEN MATCHED AND s.sv > 0 THEN UPDATE SET v = s.sv
+                 WHEN MATCHED THEN DELETE
+                 WHEN NOT MATCHED AND s.sv > 0 THEN INSERT (id, grp, v)
+                   VALUES (s.sid, 'n', s.sv)""")
+    val m = spark.table("gdml.ns.nullc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!m.contains(5L), "NULL update-condition row must fall through to DELETE")
+    assert(m(6L) == 60.0, "non-NULL passing row updates")
+    assert(!m.contains(90L), "a NULL insert condition did not fire — no insert")
+    assert(m(91L) == 910.0, "passing insert condition inserts")
+    assert(m.size == 10 - 1 + 1)
+    // CDC pins the same semantics: one bare delete for 5, an
+    // update pair for 6, one bare insert for 91, nothing for 90
+    val ch = GraftTable.changes(spark, root, v0, v0 + 1)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(ch.count(_ == ("delete", 5L)) == 1 && !ch.contains(("insert", 5L)))
+    assert(ch.count(_ == ("delete", 6L)) == 1 && ch.count(_ == ("insert", 6L)) == 1)
+    assert(ch.count(_ == ("insert", 91L)) == 1)
+    assert(!ch.map(_._2).contains(90L))
+  }
+
+  test("SQL MERGE: a NULL delete-first condition falls through to UPDATE") {
+    // mirror ordering of the above: DELETE carries the condition, a
+    // NULL evaluation must leave the row eligible for the UPDATE
+    val root = freshTable("nulld", 0, 10)
+    Seq((3L, Option.empty[String]), (4L, Some("del")))
+      .toDF("sid", "op").createOrReplaceTempView("nulld_src")
+    spark.sql("""MERGE INTO gdml.ns.nulld t USING nulld_src s ON t.id = s.sid
+                 WHEN MATCHED AND s.op = 'del' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET v = t.v + 1000""")
+    val m = spark.table("gdml.ns.nulld").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(3L) == 1003.0, "NULL delete-condition row must fall through to UPDATE")
+    assert(!m.contains(4L), "passing delete condition deletes")
+    assert(m.size == 9)
+  }
+
   test("MERGE refuses a non-equi ON and duplicate source keys, with clear errors") {
     freshTable("bad", 0, 10)
     Seq((1L, 1.0)).toDF("sid", "sv").createOrReplaceTempView("bad_src")

@@ -337,6 +337,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("right-outer interval join: unmatched RIGHT rows keep a non-null key") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream_roj")
+    def writeRows(sub: String, n: Int, rows: Seq[(Long, Long)], ts: String): Unit =
+      rows.toDF("ad_id", "eus")
+        .select(col("ad_id"), expr("timestamp_micros(eus)").as(ts))
+        .coalesce(1).write.parquet(s"$root/$sub/b$n")
+    def us(m: Int): Long = (24 * 3600L + m * 60L) * 1000000L
+    // ad 1 matches; ad 3 is a right-only click — its key lives on the
+    // RIGHT side only, so the coalesced output key must be non-null
+    writeRows("imp", 1, Seq(1L -> us(0)), "its")
+    writeRows("clk", 1, Seq(1L -> us(5), 3L -> us(5)), "cts")
+    def src(sub: String, ts: String) = spark.readStream
+      .schema(StructType(Seq(
+        StructField("ad_id", LongType), StructField(ts, TimestampType))))
+      .option("pathGlobFilter", "*.parquet").parquet(s"$root/$sub/b*")
+      .withWatermark(ts, "1 minute")
+    val q = Streams.intervalJoin(src("imp", "its"), src("clk", "cts"),
+        "ad_id", "its", "cts", "10 minutes", how = "right_outer")
+      .writeStream.outputMode("append").format("memory").queryName("roj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      writeRows("imp", 2, Seq(9L -> us(120)), "its")
+      writeRows("clk", 2, Seq(9L -> us(240)), "cts")
+      q.processAllAvailable()
+      val got = spark.table("roj_out")
+        .select(col("ad_id"), expr("unix_micros(its)"), expr("unix_micros(cts)"))
+        .as[(Option[Long], Option[Long], Long)].collect().toSet
+      assert(got.contains((Some(1L), Some(us(0)), us(5))), s"match missing: $got")
+      assert(got.contains((Some(3L), None, us(5))),
+        s"right-unmatched row must carry its key: $got")
+      assert(!got.exists(_._1.isEmpty), s"NULL key leaked: $got")
+      // batch-mode formulation of the same operator agrees (modulo the
+      // watermark-advancer key 9, whose join window the stream has not
+      // closed yet — outer emission waits for the watermark)
+      val batch = Streams.intervalJoin(
+          spark.read.parquet(s"$root/imp/b*"),
+          spark.read.parquet(s"$root/clk/b*"),
+          "ad_id", "its", "cts", "10 minutes", how = "right_outer")
+        .select(col("ad_id"), expr("unix_micros(its)"), expr("unix_micros(cts)"))
+        .as[(Option[Long], Option[Long], Long)].collect().toSet
+      assert(batch.filterNot(_._1.contains(9L)) == got.filterNot(_._1.contains(9L)),
+        s"stream and batch disagree: $batch vs $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: per-batch dim join, stateless, matches batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("enrich")
