@@ -50,7 +50,11 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           toUpdate(table, out, assignments, cond)
         case None => plan
       }
-    case m: MergeIntoTable if m.resolved =>
+    // WITH SCHEMA EVOLUTION: Spark's own ResolveMergeIntoSchemaEvolution
+    // applies the additive column changes through the catalog's
+    // alterTable FIRST (gated by AUTOMATIC_SCHEMA_EVOLUTION) — wait for
+    // it, then lower the merge against the evolved target relation
+    case m: MergeIntoTable if m.resolved && !m.needSchemaEvolution =>
       graftOf(m.targetTable) match {
         case Some((out, table)) => toMerge(m, out, table)
         case None => plan
@@ -127,9 +131,6 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       table: GraftV2Table): LogicalPlan = {
     require(m.notMatchedBySourceActions.isEmpty,
       "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
-    require(!m.withSchemaEvolution,
-      "graft MERGE does not support WITH SCHEMA EVOLUTION " +
-        "(ALTER TABLE ... ADD COLUMNS first)")
     require(!hasSubquery(m.mergeCondition) &&
       (m.matchedActions ++ m.notMatchedActions).forall {
         case UpdateAction(c, as, _) =>

@@ -823,6 +823,69 @@ object EngineOps {
                SELECT o_orderstatus, COUNT(*) AS n,
                       ${Canonical.moneySumSql("o_totalprice")} AS sum_price
                FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // MERGE WITH SCHEMA EVOLUTION judged end-to-end: the target is
+    // created WITHOUT o_orderstatus; the merge assigns it, so Spark's
+    // ResolveMergeIntoSchemaEvolution (gated by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) routes an AddColumn
+    // through GraftCatalog.alterTable before the DML rule lowers the
+    // merge. Pre-evolution unmatched rows read the new column as NULL
+    // ('-' bucket); matched %5 keys take their real status; inserted
+    // +30M keys land as 'E'. The oracle rebuilds the same state
+    // relationally — the hash pins additive evolution semantics.
+    ("catalog_merge_evolve",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        orders(s, dir).createOrReplaceTempView("orders_evo_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cevo")
+        val root = s"$nsDir/evo"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.evo (
+                        o_orderkey BIGINT, o_totalprice DOUBLE)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.evo
+                      SELECT o_orderkey, o_totalprice
+                      FROM orders_evo_src""")
+          // evolution commits addColumn (v2) then the merge (v3)
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.ops.evo t
+                      USING (
+                        SELECT o_orderkey AS k, o_totalprice AS p,
+                               o_orderstatus
+                        FROM orders_evo_src WHERE o_orderkey % 5 = 0
+                        UNION ALL
+                        SELECT o_orderkey + 30000000, o_totalprice, 'E'
+                        FROM orders_evo_src WHERE o_orderkey % 13 = 0)
+                      s ON t.o_orderkey = s.k
+                      WHEN MATCHED THEN UPDATE SET
+                        o_totalprice = t.o_totalprice + 3,
+                        o_orderstatus = s.o_orderstatus
+                      WHEN NOT MATCHED THEN INSERT (o_orderkey,
+                        o_totalprice, o_orderstatus)
+                        VALUES (s.k, s.p, s.o_orderstatus)""")
+        }
+        s.sql(s"""SELECT coalesce(o_orderstatus, '-') AS st, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("o_totalprice")} AS sum_price
+                  FROM $cat.ops.evo
+                  GROUP BY coalesce(o_orderstatus, '-') ORDER BY st""")
+      },
+      Some(s"""WITH m5 AS (SELECT o_orderkey, o_orderstatus FROM orders
+                           WHERE o_orderkey % 5 = 0),
+                    fin AS (
+                      SELECT b.o_orderkey,
+                             m.o_orderstatus AS st,
+                             CASE WHEN m.o_orderkey IS NULL
+                                  THEN b.o_totalprice
+                                  ELSE b.o_totalprice + 3 END AS p
+                      FROM orders b LEFT JOIN m5 m
+                        ON b.o_orderkey = m.o_orderkey
+                      UNION ALL
+                      SELECT o_orderkey + 30000000, 'E', o_totalprice
+                      FROM orders WHERE o_orderkey % 13 = 0)
+               SELECT coalesce(st, '-') AS st, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("p")} AS sum_price
+               FROM fin GROUP BY coalesce(st, '-') ORDER BY st""")),
   )
 
   /** The shared `csel` catalog table (two appends of lineitem split at

@@ -337,8 +337,15 @@ class GraftV2Table(val root: String, ident: Identifier,
   override def schema(): StructType = GraftCatalog.stripPhys(snap.schema)
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION turns `MERGE … WITH SCHEMA EVOLUTION`
+    // on: Spark's ResolveMergeIntoSchemaEvolution derives the ADDITIVE
+    // changes (new nullable top-level columns assigned by the merge)
+    // and routes them through this catalog's own alterTable → one
+    // addColumn commit — type conflicts and nested changes keep
+    // refusing there, so evolution can only widen, never rewrite.
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "location" -> root,

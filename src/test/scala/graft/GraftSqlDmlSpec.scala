@@ -186,6 +186,71 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(m.size == 9)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds assigned source-only columns additively") {
+    // Spark's ResolveMergeIntoSchemaEvolution (gated by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) derives AddColumn changes
+    // for source columns the merge assigns that the target lacks, and
+    // applies them through GraftCatalog.alterTable BEFORE the DML rule
+    // lowers the merge — one addColumn commit, then the normal merge.
+    val root = freshTable("evo", 0, 10)
+    Seq((3L, 33.0, "hot"), (77L, 770.0, "new"))
+      .toDF("sid", "sv", "tag").createOrReplaceTempView("evo_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.ns.evo t
+                 USING evo_src s ON t.id = s.sid
+                 WHEN MATCHED THEN UPDATE SET v = s.sv, tag = s.tag
+                 WHEN NOT MATCHED THEN INSERT (id, grp, v, tag)
+                   VALUES (s.sid, 'e', s.sv, s.tag)""")
+    val t = spark.table("gdml.ns.evo")
+    assert(t.columns.toSeq == Seq("id", "grp", "v", "tag"),
+      "evolution appends the new column last")
+    val m = t.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), Option(r.getString(3)))).toMap
+    assert(m(3L) == ((33.0, Some("hot"))), "matched row takes the new column")
+    assert(m(77L) == ((770.0, Some("new"))), "inserted row carries the new column")
+    assert(m(0L) == ((0.0, None)), "pre-evolution rows read NULL")
+    assert(m.size == 11)
+    // evolution is one explicit schema commit in the log
+    assert(GraftTable.snapshot(spark, root).schema.fieldNames.contains("tag"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION refuses a type conflict") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gdml.ns.evoc")
+    spark.sql("CREATE TABLE gdml.ns.evoc (id BIGINT, n INT)")
+    GraftTable.append(spark, s"$wh/ns/evoc",
+      Seq((1L, 10), (2L, 20)).toDF("id", "n"))
+    // source widens n to BIGINT → an UpdateColumnType change, which
+    // the catalog's alterTable does not support: refused, not rewritten
+    Seq((1L, 100L)).toDF("sid", "n").createOrReplaceTempView("evoc_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.ns.evoc t
+                   USING evoc_src s ON t.id = s.sid
+                   WHEN MATCHED THEN UPDATE SET n = s.n""")
+    }
+    assert(e.getMessage.contains("does not support table change"),
+      s"expected alterTable refusal, got: ${e.getMessage}")
+    // table untouched
+    assert(spark.table("gdml.ns.evoc").count() == 2)
+  }
+
+  test("constraints on a column absent from pre-evolution rows admit NULLs") {
+    val root = freshTable("evok", 0, 5)
+    Seq((2L, 9.0)).toDF("sid", "score").createOrReplaceTempView("evok_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.ns.evok t
+                 USING evok_src s ON t.id = s.sid
+                 WHEN MATCHED THEN UPDATE SET score = s.score""")
+    // CHECK semantics: a row violates only when the expression is
+    // FALSE — the four pre-evolution rows read score NULL and pass
+    GraftTable.setConstraints(spark, root, Map("score_pos" -> "score >= 0"))
+    GraftTable.append(spark, root,
+      Seq((50L, "g0", 1.0, 5.0)).toDF("id", "grp", "v", "score"))
+    intercept[Exception] {
+      GraftTable.append(spark, root,
+        Seq((51L, "g0", 1.0, -5.0)).toDF("id", "grp", "v", "score"))
+    }
+    assert(spark.table("gdml.ns.evok").count() == 6)
+  }
+
   test("MERGE refuses a non-equi ON and duplicate source keys, with clear errors") {
     freshTable("bad", 0, 10)
     Seq((1L, 1.0)).toDF("sid", "sv").createOrReplaceTempView("bad_src")
