@@ -886,6 +886,56 @@ object EngineOps {
                SELECT coalesce(st, '-') AS st, COUNT(*) AS n,
                       ${Canonical.moneySumSql("p")} AS sum_price
                FROM fin GROUP BY coalesce(st, '-') ORDER BY st""")),
+
+    // Streaming reads through the SQL catalog, judged end-to-end:
+    // lineitem lands in the source table via two SQL INSERTs, then a
+    // Structured Streaming query consumes it BY NAME
+    // (`readStream.table` → V2TableWithV1Fallback → the grafttable
+    // log-version-offset source), filters, and appends into a second
+    // catalog table through the exactly-once txn-ledger sink. The
+    // stream step is replay-idempotent (offsets in the checkpoint,
+    // sink batches keyed by the ledger), so re-runs are no-ops; the
+    // judged output aggregates the streamed REBUILD and must
+    // hash-match the batch oracle over raw lineitem.
+    ("catalog_stream_ingest",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_str_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cstr")
+        val root = s"$nsDir/str"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.str (
+                        l_orderkey BIGINT, l_linenumber INT,
+                        l_quantity DOUBLE, l_returnflag STRING)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.str
+                      SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_returnflag
+                      FROM lineitem_str_src WHERE l_orderkey % 2 = 0""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""INSERT INTO $cat.ops.str
+                      SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_returnflag
+                      FROM lineitem_str_src WHERE l_orderkey % 2 = 1""")
+          val q = s.readStream.table(s"$cat.ops.str")
+            .filter(col("l_quantity") > 5)
+            .writeStream.format("grafttable")
+            .option("path", s"$nsDir/strsink")
+            .option("checkpointLocation", s"$nsDir/_ckpt_str")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                  FROM $cat.ops.strsink
+                  GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+               FROM lineitem WHERE l_quantity > 5
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 
   /** The shared `csel` catalog table (two appends of lineitem split at

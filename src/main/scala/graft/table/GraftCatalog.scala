@@ -319,10 +319,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * connector `Table` API. The snapshot resolves lazily ONCE per
   * `loadTable` — analysis and execution of one query see one
   * consistent version, the next query re-loads and sees new commits.
+  *
+  * Streaming reads by NAME (`spark.readStream.table("cat.ns.t")`)
+  * resolve through [[V2TableWithV1Fallback]]: the analyzer hands the
+  * returned [[CatalogTable]] to the V1 `DataSource` machinery, which
+  * instantiates [[GraftTableSourceProvider]] on the table root — the
+  * same log-version-offset source (and exactly-once contract) as the
+  * path-spelled `readStream.format("grafttable")`, now the way a SQL
+  * user actually consumes the table. (The Delta connector wires its
+  * streaming source through this identical bridge.)
   */
 class GraftV2Table(val root: String, ident: Identifier,
     asOf: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.graftshim.GraftV1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -359,6 +369,27 @@ class GraftV2Table(val root: String, ident: Identifier,
     require(asOf.isEmpty,
       s"cannot write to $name() pinned AS OF version ${asOf.get}")
     new GraftWriteBuilder(root)
+  }
+
+  /** The V1 descriptor the streaming resolver falls back to. Only
+    * consulted for `readStream.table(...)` — batch reads stay on the
+    * V2 scan with its pruning/stats/agg pushdown.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    require(asOf.isEmpty,
+      s"cannot stream ${name()} pinned AS OF version ${asOf.get} " +
+        "(a pinned snapshot has no future commits to consume)")
+    CatalogTable(
+      identifier = TableIdentifier(ident.name,
+        Some(ident.namespace.mkString(".")).filter(_.nonEmpty)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(root).toUri),
+        properties = Map("path" -> root)),
+      schema = schema(),
+      provider = Some("grafttable"))
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {

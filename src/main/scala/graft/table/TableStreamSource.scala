@@ -118,7 +118,37 @@ object GraftTableSource {
   * entry metadata), so replay stays exactly-once.
   */
 class GraftTableSource(spark: SparkSession, root: String,
-    startingVersion: Long, readChangeFeed: Boolean = false) extends Source {
+    startingVersion: Long, readChangeFeed: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  // Trigger.AvailableNow contract (the same shape DeltaSource
+  // implements): pin the tip ONCE up front, drain every commit up to
+  // it, then stop — new commits landing mid-drain wait for the next
+  // run, and a previously-uncommitted batch replays first instead of
+  // being silently skipped by the single-batch fallback.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftTable.snapshot(spark, root).version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val tip = GraftTable.snapshot(spark, root).version
+    val capped = availableNowCap.fold(tip)(math.min(tip, _))
+    if (capped < 0 || capped <= startingVersion) null
+    else TableVersionOffset(capped)
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
 
   // Pinned at source creation: appends may widen the schema mid-stream,
   // but a streaming query's schema is fixed at analysis — new columns

@@ -53,3 +53,15 @@ object GraftStreamingShim {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 }
+
+/** Second (and last) `private[sql]` door: `V2TableWithV1Fallback` is
+  * how a connector `Table` tells the streaming resolver to fall back
+  * to its V1 `Source` for `readStream.table(...)` — the exact bridge
+  * the Delta connector rides for by-name streaming. The trait is
+  * `private[sql]` at the Scala level, so the extends-clause must live
+  * under the `org.apache.spark.sql` package; this empty subtrait
+  * re-exports it (the `instanceof` check in `RelationResolution` sees
+  * the inherited interface).
+  */
+trait GraftV1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

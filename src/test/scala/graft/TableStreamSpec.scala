@@ -71,6 +71,40 @@ class TableStreamSpec extends SparkSpec {
     assert(got.distinct().count() == 45)
   }
 
+  test("readStream.table over the SQL catalog: two-life checkpoint restart by NAME") {
+    // the V2TableWithV1Fallback bridge: the analyzer resolves the
+    // streaming relation to the grafttable V1 source on the table's
+    // root — same offsets-are-versions contract, spelled the way a SQL
+    // user consumes the table
+    val wh = Files.createTempDirectory("graft_cstream_wh").toString
+    val ckpt = Files.createTempDirectory("graft_cstream_ckpt").toString
+    val out = Files.createTempDirectory("graft_cstream_out").toString
+    spark.conf.set("spark.sql.catalog.gstr", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstr.ns")
+    spark.sql("CREATE TABLE gstr.ns.feed (id BIGINT, key STRING, v DOUBLE)")
+    rows(0, 20).createOrReplaceTempView("feed_src")
+    spark.sql("INSERT INTO gstr.ns.feed SELECT * FROM feed_src")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("gstr.ns.feed")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // life 1: the create (v0) + first insert (v1)
+    assert(spark.read.parquet(out).count() == 20)
+    spark.sql("INSERT INTO gstr.ns.feed SELECT id + 100, key, v FROM feed_src")
+    runOnce() // life 2: ONLY the second insert's rows
+    val got = spark.read.parquet(out)
+    assert(got.count() == 40, "second life replayed or lost a batch")
+    assert(got.distinct().count() == 40)
+    assert(got.select("id", "key", "v")
+      .except(spark.table("gstr.ns.feed")).isEmpty)
+  }
+
   test("sink: streamed appends land exactly-once through the txn ledger, restart-safe") {
     val src = freshRoot() // stream table-to-table: source is also a table
     val dst = freshRoot()
