@@ -646,25 +646,56 @@ object EngineOps {
                  AND l_quantity > 10
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // Metadata-only aggregate pushdown judged END-TO-END: the
-    // unfiltered COUNT/MIN/MAX over the catalog table is answered
-    // from COMMIT METADATA alone (GraftAggScan — zero data files
+    // Metadata-only aggregate pushdown judged END-TO-END — ON A
+    // DV-MASKED TABLE: lineitem (with a NULL-bearing derived column)
+    // lands in two appends, then a merge-on-read DV delete masks rows
+    // in both halves, including the l_orderkey minimum and some NULLs.
+    // The DV commit refreshes each masked file's stats over its
+    // survivors, so COUNT(*)/COUNT(col)/MIN/MAX are STILL answered
+    // from commit metadata alone (GraftAggScan — zero data files
     // opened, proven destructively in GraftCatalogSpec), and the hash
-    // gate proves the metadata numbers equal DuckDB's from the data.
+    // gate proves the metadata numbers equal DuckDB's from the
+    // surviving data.
     ("catalog_meta_agg",
       (s: SparkSession, dir: String) => {
-        val cat = selTable(s, dir)
-        s.sql(s"""SELECT COUNT(*) AS n, COUNT(l_quantity) AS nq,
+        val gt = graft.table.GraftTable
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+            when(col("l_linenumber") === 1, lit(null))
+              .otherwise(col("l_quantity")).as("q2"))
+        val (cat, nsDir) = catalogFor(s, dir, "cmeta")
+        val root = s"$nsDir/meta"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 1L) {
+            gt.append(s, root,
+              li.filter(col("l_shipdate") < "1998-01-01"),
+              txn = Some(("cat_meta", 0L)))
+            gt.append(s, root,
+              li.filter(col("l_shipdate") >= "1998-01-01"),
+              txn = Some(("cat_meta", 1L)))
+          }
+          if (gt.snapshot(s, root).version == 1L)
+            gt.deleteWhereDv(s, root,
+              "l_orderkey < 1000 OR l_quantity > 45", None)
+        }
+        s.sql(s"""SELECT COUNT(*) AS n, COUNT(q2) AS nq2,
                          MIN(l_orderkey) AS min_ok,
                          MAX(l_orderkey) AS max_ok,
+                         MIN(l_quantity) AS min_q,
+                         MAX(l_quantity) AS max_q,
                          MIN(l_shipdate) AS min_sd,
                          MAX(l_shipdate) AS max_sd
-                  FROM $cat.ops.sel""")
+                  FROM $cat.ops.meta""")
       },
-      Some("""SELECT COUNT(*) AS n, COUNT(l_quantity) AS nq,
+      Some("""SELECT COUNT(*) AS n, COUNT(q2) AS nq2,
                      MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+                     MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
                      MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd
-              FROM lineitem""")),
+              FROM (SELECT l_orderkey, l_quantity, l_shipdate,
+                           CASE WHEN l_linenumber = 1 THEN NULL
+                                ELSE l_quantity END AS q2
+                    FROM lineitem)
+              WHERE NOT (l_orderkey < 1000 OR l_quantity > 45)""")),
 
     // SQL DDL + DML lifecycle through the catalog, time-travel read:
     // CREATE TABLE (v0, schema-only commit), two INSERT INTO … SELECT
@@ -935,6 +966,58 @@ object EngineOps {
       Some(s"""SELECT l_returnflag, COUNT(*) AS n,
                       ${Canonical.moneySumSql("l_quantity")} AS sum_qty
                FROM lineitem WHERE l_quantity > 5
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // `TIMESTAMP AS OF` hash-judged: the build pins the exact
+    // wall-clock of the FIRST insert commit (read back from the
+    // immutable log, so every re-run queries the same instant) and
+    // guarantees the second insert commits strictly later. The query
+    // travels to that instant — versionAt must resolve it to exactly
+    // version 1, so the judged state is the first insert alone, which
+    // the oracle reproduces with the build's date split.
+    ("catalog_ts_travel",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "lineitem")
+          .createOrReplaceTempView("lineitem_tst_src")
+        val (cat, nsDir) = catalogFor(s, dir, "ctts")
+        val root = s"$nsDir/tst"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.tst (
+                        l_orderkey BIGINT, l_quantity DOUBLE,
+                        l_returnflag STRING, l_shipdate TIMESTAMP_NTZ)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.tst
+                      SELECT l_orderkey, l_quantity, l_returnflag,
+                             l_shipdate
+                      FROM lineitem_tst_src
+                      WHERE l_shipdate < TIMESTAMP '1996-07-01'""")
+          if (gt.snapshot(s, root).version == 1L) {
+            // the ms clock must tick past v1's recorded instant before
+            // v2 commits, or the pinned literal would cover both
+            val t1 = gt.commitTimeMs(s, root, 1L)
+            while (System.currentTimeMillis() <= t1) Thread.sleep(1L)
+            s.sql(s"""INSERT INTO $cat.ops.tst
+                      SELECT l_orderkey, l_quantity, l_returnflag,
+                             l_shipdate
+                      FROM lineitem_tst_src
+                      WHERE l_shipdate >= TIMESTAMP '1996-07-01'""")
+          }
+        }
+        val asOf = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(
+            gt.commitTimeMs(s, root, 1L)))
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                  FROM $cat.ops.tst TIMESTAMP AS OF '${asOf}Z'
+                  GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+               FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-07-01'
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 

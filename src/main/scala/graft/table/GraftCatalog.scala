@@ -190,6 +190,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.SetProperty if c.property == "bloom.columns" =>
         GraftTable.setBloomColumns(spark, root,
           c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      // CHECK constraints as SQL DDL:
+      //   ALTER TABLE t SET   TBLPROPERTIES('constraint.<n>' = '<expr>')
+      //   ALTER TABLE t UNSET TBLPROPERTIES('constraint.<n>')
+      // merged into the table's declared constraint set — every later
+      // INSERT/MERGE batch is gated by enforceConstraints (a violating
+      // batch refuses atomically with per-constraint counts)
+      case c: TableChange.SetProperty
+          if c.property.startsWith("constraint.") =>
+        val cn = c.property.stripPrefix("constraint.")
+        require(cn.nonEmpty, "empty constraint name")
+        GraftTable.setConstraints(spark, root,
+          GraftTable.constraintsOf(spark, root) + (cn -> c.value))
+      case c: TableChange.RemoveProperty
+          if c.property.startsWith("constraint.") =>
+        GraftTable.setConstraints(spark, root,
+          GraftTable.constraintsOf(spark, root)
+            - c.property.stripPrefix("constraint."))
       case other => throw new UnsupportedOperationException(
         s"graft catalog does not support table change $other")
     }
@@ -358,9 +375,13 @@ class GraftV2Table(val root: String, ident: Identifier,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "location" -> root,
+    (Map("provider" -> "graft", "location" -> root,
       "version" -> snap.version.toString,
-      "numFiles" -> snap.files.size.toString).asJava
+      "numFiles" -> snap.files.size.toString) ++
+      // declared CHECK constraints surface as properties, so
+      // DESCRIBE EXTENDED / SHOW TBLPROPERTIES list what gates writes
+      GraftTable.constraintsOf(spark, root)
+        .map { case (n, e) => s"constraint.$n" -> e }).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(spark, root, snap)
@@ -452,13 +473,16 @@ class GraftScanBuilder(spark: SparkSession, root: String,
   // a log read. Strictly conservative refusals keep it exact:
   //  - any pushed filter or GROUP BY → no pushdown (file-level stats
   //    cannot see row-level predicates);
-  //  - COUNT(*) tolerates deletion vectors (live = rows − masked,
-  //    both recorded per commit); COUNT(col)/MIN/MAX refuse them (a
-  //    masked row may be the extreme / change the null count);
+  //  - COUNT(*) tolerates deletion vectors unconditionally (live =
+  //    rows − masked, both recorded per commit); COUNT(col)/MIN/MAX
+  //    tolerate a DV only when its commit refreshed the file's stats
+  //    over the survivors (AddFile.dvStats — every DV commit does
+  //    since the refresh landed; pre-refresh masked files refuse);
   //  - MIN/MAX only on numeric/temporal stats ("i64"/"f64"): parquet
   //    STRING bounds may be truncated — conservative for skipping,
   //    WRONG as exact extremes; a file missing the column's stats
   //    (e.g. NaN-polluted doubles, added-later columns) refuses.
+  //    Fully-masked files (zero live rows) are skipped, not consulted.
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -476,7 +500,13 @@ class GraftScanBuilder(spark: SparkSession, root: String,
       : Option[(StructType, Array[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val files = snap.files
-    val anyDv = files.exists(_.dv.isDefined)
+    def liveOf(f: GraftTable.AddFile): Long =
+      f.rows - f.dv.map(_.rows).getOrElse(0L)
+    // files with live rows are the only ones that can contribute to
+    // COUNT(col)/MIN/MAX; their stats are trusted iff unmasked or
+    // refreshed over survivors at the DV commit
+    val liveFiles = files.filter(liveOf(_) > 0)
+    val dvOk = liveFiles.forall(f => f.dv.isEmpty || f.dvStats)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
@@ -484,8 +514,8 @@ class GraftScanBuilder(spark: SparkSession, root: String,
       case _ => None
     }
     def statsFor(name: String): Option[Seq[GraftTable.ColStats]] = {
-      val ss = files.flatMap(f => f.stats.get(name))
-      if (ss.length == files.length) Some(ss) else None // every file
+      val ss = liveFiles.flatMap(f => f.stats.get(name))
+      if (ss.length == liveFiles.length) Some(ss) else None // every live file
     }
     /** internal-row value of a stats bound for the column's type */
     def internal(f: StructField, v: Any): Option[Any] = {
@@ -508,19 +538,19 @@ class GraftScanBuilder(spark: SparkSession, root: String,
         val live = files.map(_.rows).sum - files.flatMap(_.dv.map(_.rows)).sum
         Some((StructField("count_star", org.apache.spark.sql.types.LongType,
           nullable = false), live: Any))
-      case c: Count if !c.isDistinct && !anyDv =>
+      case c: Count if !c.isDistinct && dvOk =>
         colOf(c.column).flatMap { f =>
           statsFor(f.name).map { ss =>
-            val nonNull = files.map(_.rows).sum - ss.map(_.nulls).sum
+            val nonNull = liveFiles.map(liveOf).sum - ss.map(_.nulls).sum
             (StructField(s"count_${f.name}",
               org.apache.spark.sql.types.LongType, nullable = false),
               nonNull: Any)
           }
         }
-      case m: Min if !anyDv =>
+      case m: Min if dvOk =>
         colOf(m.column).flatMap { f =>
           statsFor(f.name).flatMap { ss =>
-            if (files.isEmpty) Some((StructField(s"min_${f.name}",
+            if (liveFiles.isEmpty) Some((StructField(s"min_${f.name}",
               f.dataType), null: Any))
             else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64") ||
               ss.map(_.tpe).distinct.size != 1) None // one comparator must fit ALL files
@@ -532,10 +562,10 @@ class GraftScanBuilder(spark: SparkSession, root: String,
             }
           }
         }
-      case m: Max if !anyDv =>
+      case m: Max if dvOk =>
         colOf(m.column).flatMap { f =>
           statsFor(f.name).flatMap { ss =>
-            if (files.isEmpty) Some((StructField(s"max_${f.name}",
+            if (liveFiles.isEmpty) Some((StructField(s"max_${f.name}",
               f.dataType), null: Any))
             else if (ss.exists(s => s.tpe != "i64" && s.tpe != "f64") ||
               ss.map(_.tpe).distinct.size != 1) None // one comparator must fit ALL files

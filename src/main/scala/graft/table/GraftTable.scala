@@ -84,14 +84,20 @@ object GraftTable {
     * column → base64 [[FileBloom]] bitset (present only for columns
     * declared via [[setBloomColumns]] at write time). `dv` is the
     * file's deletion vector, if a merge-on-read delete has masked rows
-    * out ([[deleteWhereDv]]); zone maps and blooms stay those of the
-    * PHYSICAL file — conservative, never wrong.
+    * out ([[deleteWhereDv]]). `dvStats = true` marks `stats` as
+    * recomputed over the SURVIVORS at the DV commit (one O(touched)
+    * pass): such stats stay exact for metadata COUNT(col)/MIN/MAX
+    * pushdown and are TIGHTER zone maps; `dvStats = false` with a DV
+    * (pre-refresh generations) means physical-file stats —
+    * conservative for pruning, refused for aggregates. Blooms stay
+    * those of the PHYSICAL file — conservative, never wrong.
     */
   final case class AddFile(path: String, rows: Long,
       stats: Map[String, ColStats],
       blooms: Map[String, String] = Map.empty,
       dv: Option[DvRef] = None,
-      layout: Option[String] = None)
+      layout: Option[String] = None,
+      dvStats: Boolean = false)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
@@ -401,11 +407,99 @@ object GraftTable {
       val dvFile = fs.listStatus(new Path(root, dir))
         .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
       val dvPath = s"$dir/$dvFile"
+      // refresh each hit file's zone map over its SURVIVORS (one
+      // O(touched-files) aggregate, riding the read the mask build
+      // already did): the tightened stats keep metadata-only
+      // COUNT(col)/MIN/MAX pushdown exact on DV-masked tables
+      // (dvStats = true is the trust marker) and sharpen later
+      // file pruning — masked extremes no longer hold a file open
+      val survStats = survivorStats(spark, root, snap.schema, hit,
+        spark.read.parquet(new Path(root, dir).toString))
       val adds = hit.map { f =>
         val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(fileKey(f.path))
-        f.copy(dv = Some(DvRef(dvPath, total)))
+        f.copy(dv = Some(DvRef(dvPath, total)),
+          stats = survStats.getOrElse(fileKey(f.path), Map.empty),
+          dvStats = true)
       }
       Some((adds, hit.map(_.path), snap.schema, None))
+    }
+  }
+
+  /** Exact per-file column stats over the LIVE rows of `files` under
+    * the complete mask `fullDv` (`(file, pos)` rows). Only columns
+    * whose type maps onto the zone-map primitive lattice
+    * (i64/f64/str) get entries; a column with no live non-null values
+    * (or a NaN extreme) is dropped — absent stats are conservative
+    * everywhere downstream. A fully-masked file maps to an empty
+    * stats map.
+    */
+  private def survivorStats(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[AddFile], fullDv: DataFrame)
+      : Map[String, Map[String, ColStats]] = {
+    import org.apache.spark.sql.types._
+    val cols = schema.fields.filter(f => tpeOfType(f.dataType).isDefined)
+    val tagged = taggedRead(spark, root, schema, files.map(_.path))
+    val live = tagged.join(broadcast(fullDv),
+      tagged("__file") === fullDv("file") && tagged("__pos") === fullDv("pos"),
+      "left_anti")
+    val aggs = cols.flatMap { f =>
+      Seq(min(col(f.name)).as(s"mn_${f.name}"),
+        max(col(f.name)).as(s"mx_${f.name}"),
+        count(col(f.name)).as(s"ct_${f.name}"))
+    } :+ count(lit(1)).as("__live")
+    live.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val liveRows = r.getAs[Long]("__live")
+        val stats = cols.flatMap { f =>
+          val nonNull = r.getAs[Long](s"ct_${f.name}")
+          for {
+            tpe <- tpeOfType(f.dataType)
+            mn <- statPrim(f.dataType, r.getAs[Any](s"mn_${f.name}"))
+            mx <- statPrim(f.dataType, r.getAs[Any](s"mx_${f.name}"))
+          } yield f.name -> ColStats(tpe, mn, mx, liveRows - nonNull)
+        }.toMap
+        r.getAs[String]("__file") -> stats
+      }.toMap
+  }
+
+  /** The zone-map primitive lattice a Spark type's stats live in. */
+  private def tpeOfType(dt: org.apache.spark.sql.types.DataType)
+      : Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType => Some("i64")
+      case DoubleType | FloatType => Some("f64")
+      case StringType => Some("str")
+      case _ => None
+    }
+  }
+
+  /** A driver-side aggregate value as its stats primitive — the SAME
+    * encoding the parquet-footer capture records (days / micros /
+    * double / exact string), so [[cmp]] and pruning see one lattice.
+    */
+  private def statPrim(dt: org.apache.spark.sql.types.DataType, v: Any)
+      : Option[Any] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (_, null) => None
+      case (LongType, l: Long) => Some(l)
+      case (IntegerType, i: Int) => Some(i.toLong)
+      case (ShortType, s: Short) => Some(s.toLong)
+      case (ByteType, b: Byte) => Some(b.toLong)
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        val i = t.toInstant
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L)
+      case (DoubleType, d: Double) => if (d.isNaN) None else Some(d)
+      case (FloatType, f: Float) =>
+        if (f.isNaN) None else Some(f.toDouble)
+      case (StringType, s: String) => Some(s)
+      case _ => None
     }
   }
 
@@ -923,6 +1017,10 @@ object GraftTable {
       (r, pointHashes)
     }
     snap.files.filter { f =>
+      // a fully-masked file (every row DV-deleted) provably matches
+      // nothing — EXACT to skip, and the only correct call since its
+      // survivor stats are empty (no bounds to test)
+      f.rows - f.dv.map(_.rows).getOrElse(0L) > 0 &&
       withHashes.forall { case (r, ph) =>
         mayMatch(f, r) && (ph match {
           case Some((h1, h2)) => f.blooms.get(r.col).forall(b =>
@@ -1266,6 +1364,19 @@ object GraftTable {
   /** The table AS OF a wall-clock instant. */
   def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     read(spark, root, Some(versionAt(spark, root, tsMs)))
+
+  /** The recorded wall-clock (ms) of one commit — the instant
+    * `TIMESTAMP AS OF` resolves against ([[versionAt]]'s input), read
+    * from the immutable log so callers can pin a time-travel query to
+    * an exact commit boundary.
+    */
+  def commitTimeMs(spark: SparkSession, root: String, version: Long): Long = {
+    val (fs, logDir) = logFs(spark, root)
+    val node =
+      mapper.readTree(readString(fs, new Path(logDir, entryName(version))))
+    require(node.hasNonNull("ts"), s"commit $version has no recorded ts")
+    node.get("ts").asLong
+  }
 
   /** [[restore]] to the state AS OF a wall-clock instant — the
     * accident-undo spelled the way an operator thinks ("put it back
@@ -1731,6 +1842,13 @@ object GraftTable {
       .map(_.get("bloomCols").elements().asScala.map(_.asText).toSeq)
       .getOrElse(Nil)
 
+  /** The declared CHECK constraints (name → boolean SQL), as
+    * [[setConstraints]] recorded them — public so the SQL catalog can
+    * merge single-constraint DDL edits and list them as properties.
+    */
+  def constraintsOf(spark: SparkSession, root: String): Map[String, String] =
+    tableConstraints(spark, root).toMap
+
   private def tableConstraints(spark: SparkSession,
       root: String): Seq[(String, String)] =
     readProps(spark, root).filter(_.hasNonNull("constraints"))
@@ -1941,6 +2059,7 @@ object GraftTable {
       dn.put("rows", d.rows)
     }
     f.layout.foreach(l => node.put("layout", l))
+    if (f.dvStats) node.put("dvStats", true)
     node
   }
 
@@ -1968,7 +2087,8 @@ object GraftTable {
     val layout = // absent in pre-clustering log entries: default None
       if (n.hasNonNull("layout")) Some(n.get("layout").asText) else None
     AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv,
-      layout)
+      layout,
+      dvStats = n.hasNonNull("dvStats") && n.get("dvStats").asBoolean)
   }
 
   // ---------- IO helpers ----------

@@ -306,15 +306,93 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT MIN(s) AS m FROM gcat.ns.aggr")
       .head.getString(0) == "s0")
 
-    // a DV commit: COUNT(*) still pushes (live = rows - masked),
-    // MIN/MAX refuse (the masked row could be the extreme)
+    // a DV commit refreshes the masked file's stats over SURVIVORS
+    // (dvStats), so COUNT(*) AND MIN/MAX/COUNT(col) all stay on the
+    // metadata fast path — and the masked extreme is gone from it
     GraftTable.deleteWhereDv(spark, root, "id >= 95", None)
     val cnt = spark.sql("SELECT COUNT(*) AS n FROM gcat.ns.aggr")
     assert(cnt.queryExecution.executedPlan.toString.contains("metadata-only aggregate"))
     assert(cnt.head.getLong(0) == 95)
     val mx = spark.sql("SELECT MAX(id) AS m FROM gcat.ns.aggr")
-    assert(!mx.queryExecution.executedPlan.toString.contains("metadata-only aggregate"))
+    assert(mx.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      "survivor-refreshed stats must keep MIN/MAX pushable after a DV delete")
     assert(mx.head.getLong(0) == 94, "masked rows must not count as extremes")
+  }
+
+  test("DV survivor stats: COUNT(col) null accounting, repeat DVs, full masks") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.dvs (id BIGINT, v DOUBLE, s STRING)")
+    val root = s"$wh/ns/dvs"
+    // nulls in v on every 10th row; two files
+    def mk(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, if (i % 10 == 0) None else Some(i * 0.5), s"s$i"))
+      .toDF("id", "v", "s")
+    GraftTable.append(spark, root, mk(0, 100))
+    GraftTable.append(spark, root, mk(100, 200))
+
+    def assertMeta(sql: String, expect: Seq[Any]): Unit = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("metadata-only aggregate"), s"not pushed: $sql")
+      val r = df.head
+      assert((0 until expect.size).map(r.get) == expect, s"wrong: $sql -> $r")
+    }
+    // masks rows 90..109 including nulls (90, 100) across BOTH files
+    GraftTable.deleteWhereDv(spark, root, "id >= 90 AND id < 110", None)
+    assertMeta("SELECT COUNT(*) AS n, COUNT(v) AS nv FROM gcat.ns.dvs",
+      Seq(180L, 180L - 18L))
+    assertMeta("SELECT MIN(id) AS a, MAX(id) AS b FROM gcat.ns.dvs",
+      Seq(0L, 199L))
+    // a SECOND DV on the same file folds masks and re-refreshes
+    GraftTable.deleteWhereDv(spark, root, "id < 20", None)
+    assertMeta("SELECT COUNT(*) AS n, COUNT(v) AS nv FROM gcat.ns.dvs",
+      Seq(160L, 160L - 16L))
+    assertMeta("SELECT MIN(id) AS a, MIN(v) AS c FROM gcat.ns.dvs",
+      Seq(20L, 10.5))
+    // pruning got TIGHTER too: a probe into the masked range opens 0
+    // files (the refreshed zone map starts at the surviving min)
+    assert(GraftTable.prunedFiles(GraftTable.snapshot(spark, root),
+      GraftTable.Range("id", Some(0L), Some(19L))).isEmpty,
+      "survivor zone maps must exclude fully-masked ranges")
+    // fully masking one file: it drops out of the fold, rest stays exact
+    GraftTable.deleteWhereDv(spark, root, "id < 100", None)
+    assertMeta("SELECT COUNT(*) AS n, MIN(id) AS a, MAX(id) AS b " +
+      "FROM gcat.ns.dvs", Seq(90L, 110L, 199L))
+  }
+
+  test("SQL constraint DDL: TBLPROPERTIES('constraint.*') gates INSERTs") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.cons (id BIGINT, v DOUBLE)")
+    spark.sql("""ALTER TABLE gcat.ns.cons
+                 SET TBLPROPERTIES('constraint.v_pos' = 'v >= 0')""")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("cons_ok")
+    spark.sql("INSERT INTO gcat.ns.cons SELECT * FROM cons_ok")
+    assert(spark.table("gcat.ns.cons").count() == 2)
+    // a violating batch refuses ATOMICALLY with per-constraint counts
+    Seq((3L, 3.0), (4L, -4.0), (5L, -5.0)).toDF("id", "v")
+      .createOrReplaceTempView("cons_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ns.cons SELECT * FROM cons_bad")
+    }
+    assert(e.getMessage.contains("v_pos") && e.getMessage.contains("2"),
+      s"expected named constraint + violation count, got: ${e.getMessage}")
+    assert(spark.table("gcat.ns.cons").count() == 2,
+      "violating INSERT must leave no partial state")
+    // the constraint is visible as a table property
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.ns.cons").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("constraint.v_pos").contains("v >= 0"), s"got $props")
+    // UNSET drops the gate; second constraint composes meanwhile
+    spark.sql("""ALTER TABLE gcat.ns.cons
+                 SET TBLPROPERTIES('constraint.id_pos' = 'id > 0')""")
+    spark.sql("""ALTER TABLE gcat.ns.cons
+                 UNSET TBLPROPERTIES('constraint.v_pos')""")
+    spark.sql("INSERT INTO gcat.ns.cons SELECT * FROM cons_bad")
+    assert(spark.table("gcat.ns.cons").count() == 5)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ns.cons SELECT -1, 1.0")
+    }
   }
 
   test("timestamp filter pushdown pins the instant in a non-UTC session") {
