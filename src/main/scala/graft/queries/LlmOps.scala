@@ -439,6 +439,38 @@ object LlmOps {
       },
       None),
 
+    // Graph-ANN tier (HNSW, Malkov & Yashunin 2016): per-shard
+    // deterministic graphs + beam search + global top-k merge
+    // (operators/Hnsw.scala). The index is STATE like the PQ
+    // codebooks — built write-once per source generation — and the
+    // query measures what production pays per search: shard beam
+    // walks + the queries·ef·shards merge. Rows-only by the same
+    // declared contract as ann_pq_topk (a pointer-chasing graph build
+    // is beyond reasonable SQL); HnswSpec pins recall ≥ the 0.8
+    // IVFADC re-rank floor at equal candidate budget (ef = 64 = the
+    // ADC shortlist), bit-determinism, and partitioning invariance.
+    ("ann_hnsw_topk",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "hnsw_v1".hashCode.toLong)
+        val root = s"target/graft_hnsw/$fp"
+        LlmOps.synchronized {
+          if (!new java.io.File(s"$root/_DONE").exists()) {
+            graft.operators.Hnsw.build(s, emb, shards = 4, m = 8, efC = 64)
+              .write.mode("overwrite").parquet(s"$root/graph")
+            new java.io.File(s"$root/_DONE").createNewFile()
+          }
+        }
+        graft.operators.Hnsw.search(s, s.read.parquet(s"$root/graph"), qs,
+          shards = 4, k = 5, efS = 64)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // SemDeDup semantic dedup (cluster-then-prune, Abbas et al. 2023):
     // one Lloyd reassignment against exact-integer seed centroids, then
     // near-dup pairs scored only WITHIN each assigned cluster — the
