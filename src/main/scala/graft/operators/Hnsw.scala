@@ -185,6 +185,44 @@ object Hnsw {
     }
   }
 
+  /** Incremental index maintenance: fold `additions` (vec_id,
+    * embedding) into an existing index by rebuilding ONLY the shards
+    * that receive new vectors — untouched shards pass through
+    * byte-identical. Because the per-shard build is a pure function
+    * of shard content, the result is EXACTLY the index a full
+    * rebuild over (corpus ∪ additions) would produce — incremental
+    * ingest never degrades the graph (no unreachable islands, no
+    * drift), and the cost is O(changed shards), not O(corpus): at
+    * 100 TB a daily ingest slice touches its hash range of shards and
+    * nothing else. Caller contract: addition vec_ids are new.
+    */
+  def add(spark: SparkSession, index: DataFrame, additions: DataFrame,
+      shards: Int, m: Int = 8, efC: Int = 64): DataFrame = {
+    import spark.implicits._
+    val newNodes = additions
+      .select(pmod(col("vec_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("vec_id").as("vecId"),
+        Similarity.quant(col("embedding")).as("qa"))
+      .withColumn("cn", Similarity.sumsq(col("qa")))
+      .as[Node]
+    val touched = newNodes.select("shard").distinct().as[Int]
+      .collect().toSet // bounded by the shard count
+    if (touched.isEmpty) return index
+    val keep = index.filter(!col("shard").isin(touched.toSeq: _*))
+    val existing = index.as[IndexRow]
+      .filter(r => touched(r.shard))
+      .map(r => Node(r.shard, r.vecId, r.qa.toArray, r.cn))
+    val rebuilt = existing.union(newNodes)
+      .repartition(shards, col("shard"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_.shard).iterator.flatMap { case (_, ns) =>
+          buildShard(ns.sortBy(_.vecId).toArray, m, efC)
+        }
+      }
+      .toDF()
+    keep.unionByName(rebuilt)
+  }
+
   /** Search the sharded index: every query visits every shard graph
     * (beam `efS` at layer 0), candidates merge to the global top-k.
     * Queries collect to the driver and broadcast — they are the small

@@ -17,13 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Array[String] =
-    Array("optimize", "vacuum", "history", "expire_versions")
+    Array("optimize", "vacuum", "history", "expire_versions",
+      "describe_detail", "maintain")
 
   def apply(cat: GraftCatalog, name: String): UnboundProcedure = name match {
     case "optimize" => Optimize(cat)
     case "vacuum" => Vacuum(cat)
     case "history" => History(cat)
     case "expire_versions" => ExpireVersions(cat)
+    case "describe_detail" => DescribeDetail(cat)
+    case "maintain" => Maintain(cat)
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure '$other' " +
         s"(have ${names.mkString(", ")})")
@@ -148,6 +151,83 @@ object GraftProcedures {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
           GraftTable.expireVersions(spark, root, in.getInt(1))
             .map(v => Array[Any](v))
+        }
+      }
+  }
+
+  /** `CALL c.system.describe_detail(table => 'ns.t')` — the
+    * operational summary ([[GraftTable.describeDetail]]: version,
+    * file/row/byte counters, live vs DV-masked rows, small-file and
+    * mask debt, bloom columns, constraints, log shape) as one row.
+    * Log + file-status metadata only — zero data IO.
+    */
+  private case class DescribeDetail(cat: GraftCatalog)
+      extends GraftProc("describe_detail") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound("describe_detail", Array(tableParam),
+        new StructType()
+          .add("root", StringType).add("version", LongType)
+          .add("num_files", LongType).add("physical_rows", LongType)
+          .add("live_rows", LongType).add("masked_rows", LongType)
+          .add("size_bytes", LongType).add("small_files", LongType)
+          .add("dv_files", LongType).add("bloom_columns", StringType)
+          .add("constraints", StringType).add("log_entries", LongType)
+          .add("checkpoints", LongType).add("txn_apps", LongType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val root = cat.resolveRoot(in.getUTF8String(0).toString)
+          GraftTable.describeDetail(spark, root).collect().toSeq.map { r =>
+            r.toSeq.map {
+              case s: String => str(s): Any
+              case v => v: Any
+            }.toArray
+          }
+        }
+      }
+  }
+
+  /** `CALL c.system.maintain(table => 'ns.t' [, small_file_rows]
+    * [, keep_versions] [, vacuum_min_age_ms] [, cluster_by]
+    * [, cluster_bits] [, cluster_max_files])` — the one-call
+    * steady-state pass ([[GraftTable.maintain]]): DV purge past the
+    * mask-ratio bound, small-file compaction, a bounded incremental
+    * clustering tick, log expiry, vacuum — each O(debt). Returns one
+    * row of what the call actually did.
+    */
+  private case class Maintain(cat: GraftCatalog)
+      extends GraftProc("maintain") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound("maintain", Array(
+        tableParam,
+        ProcedureParameter.in("small_file_rows", LongType)
+          .defaultValue("100000").build(),
+        ProcedureParameter.in("keep_versions", IntegerType)
+          .defaultValue("30").build(),
+        ProcedureParameter.in("vacuum_min_age_ms", LongType)
+          .defaultValue("0").build(),
+        ProcedureParameter.in("cluster_by", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("cluster_bits", IntegerType)
+          .defaultValue("16").build(),
+        ProcedureParameter.in("cluster_max_files", IntegerType)
+          .defaultValue("16").build()),
+        new StructType()
+          .add("purged", org.apache.spark.sql.types.BooleanType)
+          .add("compacted", org.apache.spark.sql.types.BooleanType)
+          .add("expired_versions", IntegerType)
+          .add("vacuumed_files", IntegerType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val root = cat.resolveRoot(in.getUTF8String(0).toString)
+          val clusterBy = in.getUTF8String(4).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val (purged, compacted, expired, vacuumed) =
+            GraftTable.maintain(spark, root,
+              smallFileRows = in.getLong(1),
+              keepVersions = in.getInt(2),
+              vacuumMinAgeMs = in.getLong(3),
+              clusterBy = clusterBy,
+              clusterBits = in.getInt(5),
+              clusterMaxFiles = in.getInt(6))
+          Seq(Array[Any](purged, compacted, expired.size, vacuumed.size))
         }
       }
   }

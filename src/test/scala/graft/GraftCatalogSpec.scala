@@ -253,6 +253,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.ns.proc").count() == 300)
   }
 
+  test("CALL describe_detail and maintain: operational SQL surface") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.ops (id BIGINT, v DOUBLE)")
+    val root = s"$wh/ns/ops"
+    (0 until 3).foreach(i => GraftTable.append(spark, root,
+      spark.range(i * 100L, i * 100L + 100).selectExpr("id", "double(id) AS v")))
+    GraftTable.deleteWhereDv(spark, root, "id >= 250", None)
+
+    val d = spark.sql("CALL gcat.system.describe_detail(`table` => 'ns.ops')")
+      .collect()
+    assert(d.length == 1)
+    val row = d.head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    assert(row.getLong(byName("version")) == 4L)
+    assert(row.getLong(byName("physical_rows")) == 300L)
+    assert(row.getLong(byName("live_rows")) == 250L)
+    assert(row.getLong(byName("masked_rows")) == 50L)
+    assert(row.getLong(byName("dv_files")) >= 1L)
+
+    // maintain: the 1/6 mask ratio crosses the 0.1 purge bound →
+    // DV folds away; small files compact; expiry+vacuum run
+    val m = spark.sql("CALL gcat.system.maintain(`table` => 'ns.ops', " +
+      "keep_versions => 1)").head
+    assert(m.getBoolean(0), "mask debt above ratio must purge")
+    assert(m.getBoolean(1), "three small files must compact")
+    // post-maintenance: clean single-generation table, content intact
+    val after = GraftTable.snapshot(spark, root)
+    assert(after.files.forall(_.dv.isEmpty))
+    assert(spark.table("gcat.ns.ops").count() == 250)
+  }
+
   test("metadata-only aggregates: COUNT/MIN/MAX from the log, zero data IO") {
     wh
     spark.sql("CREATE TABLE gcat.ns.aggp (id BIGINT, v DOUBLE, s STRING)")

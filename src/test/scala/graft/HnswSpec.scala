@@ -54,6 +54,24 @@ class HnswSpec extends SparkSpec {
       "every query returns exactly k ranked neighbors")
   }
 
+  test("incremental add rebuilds only touched shards, result == full rebuild") {
+    // split the corpus: base = all but vec_id % 7 == 0, adds = the rest
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val adds = emb.filter(col("vec_id") % 7 === 0)
+    val idx0 = Hnsw.build(spark, base, shards = Shards)
+    val grown = Hnsw.add(spark, idx0, adds, shards = Shards)
+    val full = Hnsw.build(spark, emb, shards = Shards)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("shard"), col("vecId"), col("level"),
+          to_json(struct(col("links"))), col("cn"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(grown) == canon(full),
+      "incremental add must equal the from-scratch rebuild exactly")
+    // a no-op add passes the index through untouched
+    val same = Hnsw.add(spark, idx0, adds.limit(0), shards = Shards)
+    assert(canon(same) == canon(idx0))
+  }
+
   test("a query is never its own neighbor; ranks are dense per query") {
     val idx = Hnsw.build(spark, emb, shards = Shards)
     val got = Hnsw.search(spark, idx, qs, shards = Shards, k = 5)
