@@ -968,6 +968,52 @@ object EngineOps {
                FROM lineitem WHERE l_quantity > 5
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // `INSERT INTO … REPLACE WHERE` judged end-to-end: the
+    // slice-reingestion verb (GraftTable.replaceWhere via
+    // SupportsOverwrite + OVERWRITE_BY_FILTER) atomically swaps the
+    // 1998+ shipdate slice for transformed rows in ONE pruned
+    // copy-on-write commit — files zone-map-disjoint from the slice
+    // survive untouched. The oracle rebuilds the post-replace state
+    // relationally; the hash pins both the replacement and that the
+    // untouched slice is bit-identical.
+    ("catalog_replace_where",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_rw_src")
+        val (cat, nsDir) = catalogFor(s, dir, "crw")
+        val root = s"$nsDir/rw"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.rw (
+                        l_orderkey BIGINT, l_quantity DOUBLE,
+                        l_returnflag STRING, l_shipdate TIMESTAMP_NTZ)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.rw
+                      SELECT l_orderkey, l_quantity, l_returnflag,
+                             l_shipdate
+                      FROM lineitem_rw_src""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""INSERT INTO $cat.ops.rw
+                      REPLACE WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                      SELECT l_orderkey, l_quantity + 100, 'R', l_shipdate
+                      FROM lineitem_rw_src
+                      WHERE l_shipdate >= TIMESTAMP '1998-01-01'""")
+        }
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+                  FROM $cat.ops.rw
+                  GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""WITH fin AS (
+                 SELECT l_returnflag, l_quantity FROM lineitem
+                 WHERE l_shipdate < TIMESTAMP '1998-01-01'
+                 UNION ALL
+                 SELECT 'R', l_quantity + 100 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+               SELECT l_returnflag, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_quantity")} AS sum_qty
+               FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // `TIMESTAMP AS OF` hash-judged: the build pins the exact
     // wall-clock of the FIRST insert commit (read back from the
     // immutable log, so every re-run queries the same instant) and

@@ -371,7 +371,7 @@ class GraftV2Table(val root: String, ident: Identifier,
     // addColumn commit — type conflicts and nested changes keep
     // refusing there, so evolution can only widen, never rewrite.
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def properties(): util.Map[String, String] =
@@ -705,23 +705,51 @@ class GraftV1Relation(context: SQLContext, root: String,
 }
 
 /** `INSERT INTO` appends; `INSERT OVERWRITE`/CTAS-replace truncates
-  * then writes — both through the table's atomic commit, so a failed
-  * query leaves no partial state.
+  * then writes; `INSERT INTO … REPLACE WHERE <pred>` (and
+  * `df.writeTo(t).overwrite(cond)`) lands as ONE predicate-scoped
+  * copy-on-write commit ([[GraftTable.replaceWhere]] — the
+  * slice-reingestion verb). All through the table's atomic commit, so
+  * a failed query leaves no partial state. Only predicates
+  * [[FilterSql]] can express are accepted (`canOverwrite` refuses the
+  * rest — Spark raises its own clear error instead of a silently
+  * wrong slice).
   */
 class GraftWriteBuilder(root: String) extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
-  private var overwrite = false
+  private var overwriteAll = false
+  private var replaceCond: Option[String] = None
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = {
+    overwriteAll = true; replaceCond = None; this
+  }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterSql.translate(f).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder =
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncate()
+    else {
+      replaceCond = Some(FilterSql.conjunction(filters.toSeq).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft REPLACE WHERE cannot express ${filters.mkString(", ")}")))
+      this
+    }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit =
-          if (overwrite)
-            GraftTable.overwrite(data.sparkSession, root, data)
-          else GraftTable.append(data.sparkSession, root, data)
+          replaceCond match {
+            case Some(cond) =>
+              GraftTable.replaceWhere(data.sparkSession, root, cond, data)
+            case None if overwriteAll =>
+              GraftTable.overwrite(data.sparkSession, root, data)
+            case None =>
+              GraftTable.append(data.sparkSession, root, data)
+          }
       }
   }
 }

@@ -177,6 +177,39 @@ object GraftTable {
         df.schema, None))
     }
 
+  /** Predicate-scoped overwrite — the `INSERT INTO … REPLACE WHERE`
+    * / dynamic-slice-ingestion verb (the Delta replaceWhere shape):
+    * ONE atomic commit that removes every row matching `condSql` and
+    * lands `df` in its place. Copy-on-write at file granularity with
+    * the same zone-map pruning as [[deleteWhere]] — files provably
+    * outside the predicate survive untouched, so re-ingesting one
+    * day's slice of a 100 TB table costs O(that slice), not O(table).
+    *
+    * Contract (also Delta's): every incoming row must itself satisfy
+    * the predicate — the commit replaces EXACTLY the predicate's
+    * slice, and a row outside it would silently leak into a region
+    * readers believe untouched. Violations refuse before anything
+    * commits. NULL predicate rows count as NOT matching (kept on the
+    * table side, refused on the incoming side).
+    */
+  def replaceWhere(spark: SparkSession, root: String, condSql: String,
+      df: DataFrame): Long =
+    commitRetry(spark, root) { snap =>
+      val bad = df.filter(s"NOT coalesce(($condSql), false)").count()
+      require(bad == 0L,
+        s"replaceWhere: $bad incoming rows do not satisfy ($condSql)")
+      enforceConstraints(spark, root, df)
+      val schema = mergedSchema(snap, df)
+      val ranges = rangesOf(spark, condSql)
+      val touched =
+        if (ranges.isEmpty) snap.files else prunedFilesAll(snap, ranges)
+      val survivors = readFiles(spark, root, snap, touched)
+        .filter(s"NOT coalesce(($condSql), false)")
+      val out = survivors.unionByName(df, allowMissingColumns = true)
+      Some((writeData(spark, root, out, schema), touched.map(_.path),
+        schema, None))
+    }
+
   /** Copy-on-write delete: files whose zone maps PROVE no row matches
     * `condSql` survive untouched; every other file is rewritten without
     * the matching rows. `prune` should be the range form of the

@@ -253,6 +253,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.ns.proc").count() == 300)
   }
 
+  test("INSERT INTO ... REPLACE WHERE: one pruned copy-on-write commit") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.rw (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/rw"
+    GraftTable.append(spark, root, rows(0, 100).repartition(1))
+    GraftTable.append(spark, root, rows(100, 200).repartition(1))
+    val before = GraftTable.snapshot(spark, root)
+
+    // replace the [100,200) slice with halved values
+    rows(100, 150).withColumn("v", col("v") / 2)
+      .createOrReplaceTempView("rw_src")
+    spark.sql("""INSERT INTO gcat.ns.rw REPLACE WHERE id >= 100
+                 SELECT * FROM rw_src""")
+    val m = spark.table("gcat.ns.rw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m.size == 150)
+    assert(m(50L) == 500.0, "untouched slice intact")
+    assert(m(120L) == 600.0, "replaced slice carries the new values")
+    assert(!m.contains(160L), "unreplaced old slice rows are gone")
+    // ONE commit; the provably-outside file survived by path
+    val after = GraftTable.snapshot(spark, root)
+    assert(after.version == before.version + 1)
+    assert(before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet).nonEmpty,
+      "zone-map-disjoint file must be carried, not rewritten")
+
+    // the Delta contract: incoming rows outside the predicate refuse
+    rows(0, 5).createOrReplaceTempView("rw_bad")
+    val e = intercept[Exception] {
+      spark.sql("""INSERT INTO gcat.ns.rw REPLACE WHERE id >= 1000
+                   SELECT * FROM rw_bad""")
+    }
+    assert(e.getMessage.contains("do not satisfy"),
+      s"expected slice-containment refusal, got ${e.getMessage}")
+    assert(spark.table("gcat.ns.rw").count() == 150, "nothing committed")
+
+    // DataFrame API spells the same verb
+    rows(140, 160).writeTo("gcat.ns.rw").overwrite(col("id") >= 140)
+    assert(spark.table("gcat.ns.rw").count() == 100 + 40 + 20)
+  }
+
   test("CALL describe_detail and maintain: operational SQL surface") {
     wh
     spark.sql("CREATE TABLE gcat.ns.ops (id BIGINT, v DOUBLE)")

@@ -105,6 +105,30 @@ class TableStreamSpec extends SparkSpec {
       .except(spark.table("gstr.ns.feed")).isEmpty)
   }
 
+  test("readStream.table + readChangeFeed: CDC streaming by name") {
+    // reader options merge with the fallback CatalogTable's storage
+    // properties, so the CDF switch works spelled by name too
+    val wh = Files.createTempDirectory("graft_cdfn_wh").toString
+    spark.conf.set("spark.sql.catalog.gcdf", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdf.ns")
+    spark.sql("CREATE TABLE gcdf.ns.t (id BIGINT, key STRING, v DOUBLE)")
+    rows(0, 10).createOrReplaceTempView("cdfn_src")
+    spark.sql("INSERT INTO gcdf.ns.t SELECT * FROM cdfn_src")
+    spark.sql("DELETE FROM gcdf.ns.t WHERE id < 3") // CDC delete rows
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("gcdf.ns.t")
+      .writeStream.format("memory").queryName("cdfn_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("cdfn_out")
+      .select("_change_type", "id", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == "insert") == 10, s"got ${got.toSeq}")
+    assert(got.filter(_._1 == "delete").map(_._2).sorted.toSeq ==
+      Seq(0L, 1L, 2L), "the CoW delete flows as CDC deletes")
+  }
+
   test("sink: streamed appends land exactly-once through the txn ledger, restart-safe") {
     val src = freshRoot() // stream table-to-table: source is also a table
     val dst = freshRoot()
