@@ -1065,6 +1065,117 @@ object EngineOps {
                       ${Canonical.moneySumSql("l_quantity")} AS sum_qty
                FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-07-01'
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Hidden transform partitioning judged END-TO-END over the API
+    // surface (graft.table.Partitioning): orders lands in a
+    // months(o_orderdate)-partitioned table (one clustered write, one
+    // file per month tuple), then (a) deleteRange retires everything
+    // before 1996 — every touched file's MONTH interval is inside the
+    // range, so the commit drops whole partitions METADATA-ONLY (the
+    // DML soak asserts adds=0 for this shape) — and (b)
+    // overwritePartitions re-ingests 1997-03 with corrected prices,
+    // replacing exactly that month's file. The judged output is the
+    // per-month state; the oracle reconstructs both verbs
+    // relationally. Build is write-once, version-guarded; every verb
+    // runs at exactly one version so killed builds resume.
+    ("table_partitioned",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val od = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        val src = new java.io.File(s"$dir/orders.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "tpart_v1".hashCode.toLong)
+        val root = s"target/graft_table/tpart_$fp"
+        val cutMicros = java.time.LocalDate.parse("1996-01-01")
+          .toEpochDay * 86400000000L
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            gt.createPartitioned(s, root, od.schema,
+              Seq(graft.table.Partitioning.PMonths("o_orderdate")))
+          if (gt.snapshot(s, root).version == 0L)
+            gt.append(s, root, od, txn = Some(("tpart_build", 0L)))
+          if (gt.snapshot(s, root).version == 1L)
+            gt.deleteRange(s, root,
+              graft.table.GraftTable.Range("o_orderdate", None,
+                Some(cutMicros - 1L)))
+          if (gt.snapshot(s, root).version == 2L)
+            gt.overwritePartitions(s, root,
+              od.filter(date_format(col("o_orderdate"), "yyyy-MM")
+                  === "1997-03")
+                .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+              txn = Some(("tpart_patch", 0L)))
+        }
+        gt.read(s, root)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("o_totalprice")).as("sum_price"),
+            min(col("o_orderkey")).as("min_key"))
+          .orderBy("ym")
+      },
+      Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                      COUNT(*) AS n,
+                      ${Canonical.moneySumSql(
+        "CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-03' " +
+          "THEN o_totalprice + 1000 ELSE o_totalprice END")} AS sum_price,
+                      MIN(o_orderkey) AS min_key
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               GROUP BY ym ORDER BY ym""")),
+
+    // The SQL spelling of the same capability: CREATE TABLE …
+    // PARTITIONED BY (days(ts), bucket(16, user_id)) through the
+    // catalog (hidden partitioning — the transforms never appear as
+    // data columns), INSERT INTO (clustered dynamic-partition write),
+    // then REPLACE WHERE re-ingests one day's slice ×2 as ONE pruned
+    // copy-on-write commit whose file set the day partitions align
+    // exactly. The judged read filters half the month — day-tuple
+    // pruning opens only overlapping partitions (PartitioningSpec
+    // asserts the file counts; this pins the CONTENT under the hash
+    // gate).
+    ("catalog_partitioned",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "events").createOrReplaceTempView("events_part_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cprt")
+        val root = s"$nsDir/prt"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.prt (
+                        event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+                        event_type STRING, value DOUBLE)
+                      PARTITIONED BY (days(ts), bucket(16, user_id))""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.prt
+                      SELECT event_id, ts, user_id, event_type, value
+                      FROM events_part_src""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""INSERT INTO $cat.ops.prt
+                      REPLACE WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+                        AND ts < TIMESTAMP '2024-01-21 00:00:00'
+                      SELECT event_id, ts, user_id, event_type, value * 2
+                      FROM events_part_src
+                      WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+                        AND ts < TIMESTAMP '2024-01-21 00:00:00'""")
+        }
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("value")} AS sum_value
+                  FROM $cat.ops.prt
+                  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+                  GROUP BY event_type ORDER BY event_type""")
+      },
+      Some(s"""WITH fin AS (
+                 SELECT event_type, value FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+                   AND NOT (ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            AND ts < TIMESTAMP '2024-01-21 00:00:00')
+                 UNION ALL
+                 SELECT event_type, value * 2 FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+                   AND ts < TIMESTAMP '2024-01-21 00:00:00')
+               SELECT event_type, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("value")} AS sum_value
+               FROM fin GROUP BY event_type ORDER BY event_type""")),
   )
 
   /** The shared `csel` catalog table (two appends of lineitem split at

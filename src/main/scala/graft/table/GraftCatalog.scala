@@ -154,12 +154,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster by Z-order/compaction, not static partitions " +
-        "— create unpartitioned and zorderBy instead")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = tablePath(ident)
-    GraftTable.create(spark, p.toString, schema)
+    if (partitions.isEmpty) GraftTable.create(spark, p.toString, schema)
+    else
+      // `PARTITIONED BY (days(ts), bucket(16, id), …)` — hidden
+      // transform partitioning ([[Partitioning]]); identity columns
+      // stay DATA columns (tuples live in commit metadata), so the
+      // user's schema is exactly what they declared
+      GraftTable.createPartitioned(spark, p.toString, schema,
+        partitions.toSeq.map(GraftCatalog.fromTransform))
     // table-level tuning knobs travel as properties
     Option(properties.get("bloom.columns")).foreach(cs =>
       GraftTable.setBloomColumns(spark, p.toString,
@@ -374,10 +378,19 @@ class GraftV2Table(val root: String, ident: Identifier,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
+  /** Declared transform partitioning — drives `DESCRIBE`'s partition
+    * section and Spark's dynamic-overwrite routing.
+    */
+  override def partitioning(): Array[Transform] =
+    snap.spec.map(GraftCatalog.toTransform).toArray
+
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> root,
       "version" -> snap.version.toString,
       "numFiles" -> snap.files.size.toString) ++
+      (if (snap.spec.isEmpty) Map.empty[String, String]
+       else Map("partition.spec" ->
+         snap.spec.map(_.describe).mkString(", "))) ++
       // declared CHECK constraints surface as properties, so
       // DESCRIBE EXTENDED / SHOW TBLPROPERTIES list what gates writes
       GraftTable.constraintsOf(spark, root)
@@ -428,6 +441,57 @@ class GraftV2Table(val root: String, ident: Identifier,
 }
 
 object GraftCatalog {
+
+  /** Spark connector `Transform` → graft [[Partitioning.PTransform]]
+    * (the `PARTITIONED BY` clause's shapes). Matched on the public
+    * `Transform`/`NamedReference`/`Literal` interfaces only —
+    * `FieldReference` et al. are `private[sql]`.
+    */
+  private[table] def fromTransform(t: Transform): Partitioning.PTransform = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    def col(): String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"partition transform ${t.describe} must reference one " +
+          "top-level column")
+      refs.head.fieldNames.head
+    }
+    def intArg(): Int = t.arguments().collectFirst {
+      case l: VLit[_] => l.value() match {
+        case n: Number => n.intValue
+        case v => sys.error(s"${t.name}: non-numeric argument $v")
+      }
+    }.getOrElse(sys.error(s"${t.name} needs a numeric argument"))
+    t.name() match {
+      case "identity" => Partitioning.PIdentity(col())
+      case "days" => Partitioning.PDays(col())
+      case "hours" => Partitioning.PHours(col())
+      case "months" => Partitioning.PMonths(col())
+      case "years" => Partitioning.PYears(col())
+      case "bucket" => Partitioning.PBucket(col(), intArg())
+      case "truncate" => Partitioning.PTruncate(col(), intArg())
+      case other => throw new UnsupportedOperationException(
+        s"graft tables do not support partition transform '$other' " +
+          "(have: identity, days, hours, months, years, bucket, truncate)")
+    }
+  }
+
+  /** The inverse — reported back through `Table.partitioning()`. */
+  private[table] def toTransform(p: Partitioning.PTransform): Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    p match {
+      case Partitioning.PIdentity(c) => Expressions.identity(c)
+      case Partitioning.PDays(c) => Expressions.days(c)
+      case Partitioning.PHours(c) => Expressions.hours(c)
+      case Partitioning.PMonths(c) => Expressions.months(c)
+      case Partitioning.PYears(c) => Expressions.years(c)
+      case Partitioning.PBucket(c, n) => Expressions.bucket(n, c)
+      case Partitioning.PTruncate(c, w) =>
+        Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(c))
+    }
+  }
+
   private[table] def stripPhys(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
       val m = new MetadataBuilder().withMetadata(f.metadata)
@@ -718,6 +782,15 @@ class GraftWriteBuilder(root: String) extends WriteBuilder
     with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
+  // NOTE on dynamic partition overwrite: Spark only plans
+  // OverwritePartitionsDynamic for tables declaring the
+  // OVERWRITE_DYNAMIC capability, and executes it exclusively through
+  // the V2 batch-writer path (there is no OverwritePartitionsDynamic
+  // V1 fallback exec) — so on this V1-write bridge, dynamic-mode
+  // INSERT OVERWRITE degrades to the static truncate-and-write below.
+  // The dynamic verb lives on the API ([[GraftTable
+  // .overwritePartitions]]); SQL expresses the same slice semantics
+  // with `INSERT INTO … REPLACE WHERE <partition predicate>`.
   private var overwriteAll = false
   private var replaceCond: Option[String] = None
 

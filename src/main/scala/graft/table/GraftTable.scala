@@ -97,13 +97,18 @@ object GraftTable {
       blooms: Map[String, String] = Map.empty,
       dv: Option[DvRef] = None,
       layout: Option[String] = None,
-      dvStats: Boolean = false)
+      dvStats: Boolean = false,
+      part: Map[String, String] = Map.empty)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
+    * `spec` is the table's declared partition transforms
+    * ([[Partitioning]]) — immutable from CREATE, empty for an
+    * unpartitioned table.
     */
   final case class Snapshot(version: Long, schema: StructType,
-      files: Seq[AddFile], txns: Map[String, Long])
+      files: Seq[AddFile], txns: Map[String, Long],
+      spec: Seq[Partitioning.PTransform] = Nil)
 
   /** A closed/open range predicate on one top-level column, used for
     * zone-map skipping: `lo <= col <= hi` (either bound optional).
@@ -144,6 +149,61 @@ object GraftTable {
       require(snap.version < 0,
         s"GraftTable: table already exists at $root (version ${snap.version})")
       Some((Nil, Nil, schema, None))
+    }
+  }
+
+  /** Create an empty TRANSFORM-PARTITIONED table ([[Partitioning]]):
+    * the spec is validated against the declared schema, written once
+    * as `_log/_partspec.json` (immutable for the table's lifetime —
+    * the Iceberg partition-spec shape without evolution), and every
+    * later write clusters by the partition tuple while every scan,
+    * DML prune, and range delete reasons through the transforms.
+    */
+  def createPartitioned(spark: SparkSession, root: String,
+      schema: StructType, spec: Seq[Partitioning.PTransform]): Long = {
+    require(schema.nonEmpty, "cannot create a table with an empty schema")
+    Partitioning.validate(spec, schema)
+    val (fs, logDir) = logFs(spark, root)
+    require(!fs.exists(logDir),
+      s"GraftTable: table already exists at $root")
+    fs.mkdirs(logDir)
+    // spec lands BEFORE version 0, so no committed state ever exists
+    // without it; a create-create race on one root is a deployment
+    // error (create itself already refuses an existing table)
+    writeString(fs, new Path(logDir, PartSpecFile), Partitioning.toJson(spec))
+    create(spark, root, schema)
+  }
+
+  private val PartSpecFile = "_partspec.json"
+
+  /** The declared partition transforms (empty = unpartitioned). */
+  def partitionSpecOf(spark: SparkSession, root: String)
+      : Seq[Partitioning.PTransform] = {
+    val (fs, logDir) = logFs(spark, root)
+    val p = new Path(logDir, PartSpecFile)
+    if (!fs.exists(p)) Nil
+    else specCached(fs, p, fs.getFileStatus(p))
+  }
+
+  /** Parsed-spec cache keyed by (qualified path, len, mtime) — the
+    * file is immutable, but a dropped-and-recreated table at the same
+    * path must never serve the old spec.
+    */
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Seq[Partitioning.PTransform]]()
+
+  private def specCached(fs: FileSystem, p: Path,
+      st: org.apache.hadoop.fs.FileStatus): Seq[Partitioning.PTransform] = {
+    val key = (fs.makeQualified(p).toString, st.getLen,
+      st.getModificationTime)
+    val hit = specCache.get(key)
+    if (hit != null) hit
+    else {
+      if (specCache.size > 256) specCache.clear()
+      val parsed = Partitioning.fromJson(readString(fs, p))
+      specCache.put(key, parsed)
+      parsed
     }
   }
 
@@ -208,6 +268,33 @@ object GraftTable {
       val out = survivors.unionByName(df, allowMissingColumns = true)
       Some((writeData(spark, root, out, schema), touched.map(_.path),
         schema, None))
+    }
+
+  /** DYNAMIC-PARTITION overwrite (the `INSERT OVERWRITE` +
+    * `partitionOverwriteMode=dynamic` verb, Iceberg's "overwrite
+    * dynamic"): ONE atomic commit that replaces exactly the partition
+    * tuples the incoming batch carries — untouched partitions survive
+    * by metadata alone. The touched-tuple set is derived from the
+    * batch's own written files (no second pass over the data), so the
+    * commit costs O(batch + touched partitions' metadata), never
+    * O(table) — the idempotent slice re-ingestion shape at 100 TB.
+    */
+  def overwritePartitions(spark: SparkSession, root: String,
+      df: DataFrame, txn: Option[(String, Long)] = None): Long =
+    commitRetry(spark, root) { snap =>
+      require(snap.spec.nonEmpty,
+        "overwritePartitions needs a partitioned table " +
+          "(createPartitioned) — use overwrite/replaceWhere otherwise")
+      if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
+        None
+      else {
+        enforceConstraints(spark, root, df)
+        val schema = mergedSchema(snap, df)
+        val adds = writeData(spark, root, df, schema)
+        val touched = adds.map(_.part).toSet
+        val removes = snap.files.filter(f => touched.contains(f.part))
+        Some((adds, removes.map(_.path), schema, txn))
+      }
     }
 
   /** Copy-on-write delete: files whose zone maps PROVE no row matches
@@ -327,7 +414,12 @@ object GraftTable {
       val touched = prunedFilesAll(snap, Seq(range))
       if (touched.isEmpty) None
       else {
-        val (dropped, partial) = touched.partition(fullyCovered(_, range))
+        val (dropped, partial) = touched.partition(f =>
+          fullyCovered(f, range) ||
+            // a partition tuple whose whole source interval sits
+            // inside the range proves coverage even when zone maps
+            // can't (e.g. parquet-truncated string bounds)
+            Partitioning.covers(snap.spec, snap.schema, f.part, range))
         val adds =
           if (partial.isEmpty) Seq.empty[AddFile]
           else writeData(spark, root,
@@ -739,8 +831,8 @@ object GraftTable {
       // stamped with the spec: a later zorderIncremental with the same
       // (cols, bits) sees these files as already clustered
       Some((writeData(spark, root, keyed, snap.schema,
-        Some(layoutSpec(cols, bits))), snap.files.map(_.path),
-        snap.schema, None))
+        Some(layoutSpec(cols, bits)), preserveLayout = true),
+        snap.files.map(_.path), snap.schema, None))
     }
 
   /** The layout signature a clustering pass stamps on the files it
@@ -789,8 +881,8 @@ object GraftTable {
           .repartitionByRange(targetFiles, col("__zkey"))
           .sortWithinPartitions("__zkey")
           .drop("__zkey")
-        Some((writeData(spark, root, keyed, snap.schema, Some(spec)),
-          debt.map(_.path), snap.schema, None))
+        Some((writeData(spark, root, keyed, snap.schema, Some(spec),
+          preserveLayout = true), debt.map(_.path), snap.schema, None))
       }
     }
 
@@ -801,7 +893,8 @@ object GraftTable {
     commitRetry(spark, root) { snap =>
       val all = readFiles(spark, root, snap, snap.files)
         .repartition(targetFiles)
-      Some((writeData(spark, root, all, snap.schema), snap.files.map(_.path),
+      Some((writeData(spark, root, all, snap.schema,
+        preserveLayout = true), snap.files.map(_.path),
         snap.schema, None))
     }
 
@@ -820,8 +913,8 @@ object GraftTable {
       else {
         val merged = readFiles(spark, root, snap, small)
           .repartition(targetFiles)
-        Some((writeData(spark, root, merged, snap.schema), small.map(_.path),
-          snap.schema, None))
+        Some((writeData(spark, root, merged, snap.schema,
+          preserveLayout = true), small.map(_.path), snap.schema, None))
       }
     }
 
@@ -1055,7 +1148,12 @@ object GraftTable {
       // survivor stats are empty (no bounds to test)
       f.rows - f.dv.map(_.rows).getOrElse(0L) > 0 &&
       withHashes.forall { case (r, ph) =>
-        mayMatch(f, r) && (ph match {
+        mayMatch(f, r) &&
+        // partition-tuple pruning: the range mapped THROUGH each
+        // declared transform on its column vs the file's exact tuple
+        // value — composes with (and can out-prune) the zone map
+        Partitioning.mayMatch(snap.spec, snap.schema, f.part, r) &&
+        (ph match {
           case Some((h1, h2)) => f.blooms.get(r.col).forall(b =>
             FileBloom.contains(FileBloom.fromB64(b), h1, h2))
           case None => true
@@ -1105,6 +1203,10 @@ object GraftTable {
     if (!fs.exists(logDir))
       return Snapshot(-1L, new StructType(), Nil, Map.empty)
     val statuses = fs.listStatus(logDir)
+    // the partition spec rides the listing already fetched — zero
+    // extra RPCs for the (common) unpartitioned table
+    val spec = statuses.find(_.getPath.getName == PartSpecFile)
+      .map(st => specCached(fs, st.getPath, st)).getOrElse(Nil)
     val names = statuses.map(_.getPath.getName)
     val commits = names.filter(_.matches("\\d{8}\\.json"))
       .map(n => n.take(8).toLong).sorted
@@ -1131,7 +1233,7 @@ object GraftTable {
         if (node.hasNonNull("txnApp"))
           txns(node.get("txnApp").asText) = node.get("txnBatch").asLong
       }
-      Snapshot(upto, schema, files.values.toSeq, txns.toMap)
+      Snapshot(upto, schema, files.values.toSeq, txns.toMap, spec)
     }
 
     def replayFromCheckpoint(): Snapshot = {
@@ -1153,7 +1255,7 @@ object GraftTable {
         }
       }
       replay(Snapshot(ckptV.getOrElse(-1L), schema, files.values.toSeq,
-        txns.toMap), target)
+        txns.toMap, spec), target)
     }
 
     // tip reads take the cache path; explicit-version reads (time
@@ -1482,19 +1584,26 @@ object GraftTable {
     if (!fs.exists(dataDir)) return Nil
     val removed = mutable.Buffer[String]()
     val cutoffMs = System.currentTimeMillis() - minAgeMs
-    fs.listStatus(dataDir).foreach { d =>
-      fs.listStatus(d.getPath).foreach { f =>
-        val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
-        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_") &&
+    // recursive walk: partitioned commits nest `gp_…=v` tuple dirs
+    def sweep(p: Path, rel: String): Unit = {
+      fs.listStatus(p).foreach { f =>
+        val childRel = s"$rel/${f.getPath.getName}"
+        if (f.isDirectory) sweep(f.getPath, childRel)
+        else if (!referenced.contains(childRel) &&
+            !f.getPath.getName.startsWith("_") &&
             f.getModificationTime < cutoffMs) {
           if (!dryRun) fs.delete(f.getPath, false)
-          removed += rel
+          removed += childRel
         }
       }
-      if (!dryRun && fs.listStatus(d.getPath)
-          .forall(_.getPath.getName.startsWith("_"))) {
-        fs.delete(d.getPath, true)
+      if (!dryRun && fs.listStatus(p)
+          .forall(st => !st.isDirectory &&
+            st.getPath.getName.startsWith("_"))) {
+        fs.delete(p, true)
       }
+    }
+    fs.listStatus(dataDir).foreach { d =>
+      if (d.isDirectory) sweep(d.getPath, s"data/${d.getPath.getName}")
     }
     removed.toSeq
   }
@@ -1516,6 +1625,7 @@ object GraftTable {
     // pay the full copy just to fail at commit
     require(snapshot(spark, targetRoot).version < 0,
       s"deepClone: target $targetRoot already exists")
+    copyPartSpec(spark, sourceRoot, targetRoot)
     val conf = hadoopConf(spark)
     // copies keep their ORIGINAL `data/<commit>/<part>` suffix: DV
     // parquets address data files by that suffix (the `__file` row
@@ -1540,6 +1650,21 @@ object GraftTable {
       require(snap.version < 0,
         s"deepClone: target $targetRoot already exists (version ${snap.version})")
       Some((adds, Nil, src.schema, None))
+    }
+  }
+
+  /** Clones inherit the source's partition spec — their AddFiles
+    * carry tuples, so reads would otherwise prune without the spec's
+    * semantics and later writes would silently land unpartitioned.
+    */
+  private def copyPartSpec(spark: SparkSession, sourceRoot: String,
+      targetRoot: String): Unit = {
+    val spec = partitionSpecOf(spark, sourceRoot)
+    if (spec.nonEmpty) {
+      val (fs, logDir) = logFs(spark, targetRoot)
+      fs.mkdirs(logDir)
+      writeString(fs, new Path(logDir, PartSpecFile),
+        Partitioning.toJson(spec))
     }
   }
 
@@ -1661,6 +1786,7 @@ object GraftTable {
       version: Option[Long] = None): Long = {
     val src = snapshot(spark, sourceRoot, version)
     require(src.version >= 0, s"clone: source table $sourceRoot is empty")
+    copyPartSpec(spark, sourceRoot, targetRoot)
     def abs(p: String): String = new Path(sourceRoot, p).toString
     val adds = src.files.map { f =>
       f.copy(path = abs(f.path), dv = f.dv.map(d => d.copy(path = abs(d.path))))
@@ -1687,6 +1813,9 @@ object GraftTable {
     commitRetry(spark, root) { snap =>
       require(snap.schema.fieldNames.contains(oldName),
         s"renameColumn: no column $oldName")
+      require(!snap.spec.exists(_.srcCol == oldName),
+        s"renameColumn: $oldName is a partition source column " +
+          "(the spec binds by name and is immutable)")
       require(!snap.schema.fieldNames.contains(newName),
         s"renameColumn: column $newName already exists")
       val schema = StructType(snap.schema.fields.map { f =>
@@ -1709,6 +1838,9 @@ object GraftTable {
     commitRetry(spark, root) { snap =>
       require(snap.schema.fieldNames.contains(name),
         s"dropColumn: no column $name")
+      require(!snap.spec.exists(_.srcCol == name),
+        s"dropColumn: $name is a partition source column " +
+          "(the spec binds by name and is immutable)")
       require(snap.schema.fields.length > 1,
         "dropColumn: cannot drop the last column")
       Some((Nil, Nil,
@@ -1757,23 +1889,62 @@ object GraftTable {
     */
   private[table] def writeData(spark: SparkSession, root: String,
       df: DataFrame, tableSchema: StructType,
-      layout: Option[String] = None): Seq[AddFile] = {
+      layout: Option[String] = None,
+      preserveLayout: Boolean = false): Seq[AddFile] = {
+    val spec = partitionSpecOf(spark, root)
     val commitId = UUID.randomUUID().toString
     val dir = new Path(new Path(root, "data"), commitId)
-    toPhysical(df, tableSchema)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    if (spec.isEmpty) {
+      toPhysical(df, tableSchema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    } else {
+      // partitioned write: derive the synthetic encoded tuple columns
+      // from the LOGICAL source columns, cluster by the tuple (one
+      // shuffle — the write-distribution move that keeps a
+      // 1000-executor append from writing files × tasks small files
+      // per partition), and let Spark's dynamic-partition writer
+      // guarantee one tuple per file. Layout-preserving callers
+      // (z-order/compaction) skip the re-cluster: the writer still
+      // splits each task's rows per tuple, keeping both layouts.
+      spec.foreach(t => require(df.columns.contains(t.srcCol),
+        s"partitioned write is missing partition source column " +
+          s"'${t.srcCol}' (spec: ${spec.map(_.describe).mkString(", ")})"))
+      val withCols = spec.foldLeft(df) { (d, t) =>
+        d.withColumn(t.fieldName,
+          t.writeExpr(d(t.srcCol), d.schema(t.srcCol).dataType))
+      }
+      val clustered =
+        if (preserveLayout) withCols
+        else withCols.repartition(spec.map(t => col(t.fieldName)): _*)
+      toPhysical(clustered, tableSchema)
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(spec.map(_.fieldName): _*).parquet(dir.toString)
+    }
     val physToLogical = tableSchema.fields
       .map(f => physName(f) -> f.name).toMap
     val fs = dir.getFileSystem(hadoopConf(spark))
-    val files = fs.listStatus(dir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map { st =>
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val dirStr = fs.makeQualified(dir).toString
+    def relOf(p: Path): String = {
+      val q = fs.makeQualified(p).toString
+      require(q.startsWith(dirStr + "/"), s"unexpected data path $q")
+      q.substring(dirStr.length + 1)
+    }
+    val files = walk(dir)
+      .map(st => relOf(st.getPath) -> st)
+      .sortBy(_._1)
+      .map { case (rel, st) =>
         val (rows, stats) = footerStats(st.getPath, hadoopConf(spark))
-        AddFile(s"data/$commitId/${st.getPath.getName}", rows,
+        AddFile(s"data/$commitId/$rel", rows,
           stats.map { case (c, s) => physToLogical.getOrElse(c, c) -> s },
-          layout = layout)
-      }.toSeq
+          layout = layout,
+          part = if (spec.isEmpty) Map.empty
+            else Partitioning.tupleOfPath(spec, rel))
+      }
     val bcols = bloomColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
     if (bcols.isEmpty) files
@@ -1784,8 +1955,7 @@ object GraftTable {
       val blooms = fileBlooms(spark, dir.toString, physSchema,
         bcols.map(c => physName(tableSchema, c)))
       files.map { f =>
-        val base = f.path.substring(f.path.lastIndexOf('/') + 1)
-        f.copy(blooms = blooms.getOrElse(base, Map.empty)
+        f.copy(blooms = blooms.getOrElse(f.path, Map.empty)
           .map { case (c, b) => physToLogical.getOrElse(c, c) -> b })
       }
     }
@@ -1804,7 +1974,10 @@ object GraftTable {
     import org.apache.spark.sql.Encoders
     val bloomU = udaf(new FileBloom.BloomAgg(),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-    val hashed = spark.read.schema(schema).parquet(dir)
+    val hashed = spark.read.schema(schema)
+      // recursiveFileLookup: a partitioned commit dir nests
+      // `gp_…=v` subdirs — read every leaf, no partition inference
+      .option("recursiveFileLookup", "true").parquet(dir)
       .select(input_file_name().as("__file") +:
         bcols.flatMap { c =>
           val (h1, h2) = FileBloom.hashCols(col(c))
@@ -1814,8 +1987,9 @@ object GraftTable {
       bloomU(col(s"__h1_$c"), col(s"__h2_$c")).as(s"__b_$c"))
     hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        val fn = r.getString(0)
-        fn.substring(fn.lastIndexOf('/') + 1) ->
+        // key by the file's root-relative identity (`data/…` suffix) —
+        // base names COLLIDE across partition subdirs of one commit
+        fileKey(r.getString(0)) ->
           bcols.zipWithIndex.map { case (c, i) => c -> r.getString(i + 1) }
             .toMap
       }.toMap
@@ -2093,6 +2267,10 @@ object GraftTable {
     }
     f.layout.foreach(l => node.put("layout", l))
     if (f.dvStats) node.put("dvStats", true)
+    if (f.part.nonEmpty) {
+      val pn = node.putObject("part")
+      f.part.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    }
     node
   }
 
@@ -2119,9 +2297,15 @@ object GraftTable {
       else None
     val layout = // absent in pre-clustering log entries: default None
       if (n.hasNonNull("layout")) Some(n.get("layout").asText) else None
+    val part =
+      if (n.hasNonNull("part"))
+        n.get("part").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap
+      else Map.empty[String, String]
     AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv,
       layout,
-      dvStats = n.hasNonNull("dvStats") && n.get("dvStats").asBoolean)
+      dvStats = n.hasNonNull("dvStats") && n.get("dvStats").asBoolean,
+      part = part)
   }
 
   // ---------- IO helpers ----------
@@ -2206,19 +2390,22 @@ object GraftTable {
   }
 
   /** Raw read of `paths` plus `__file`/`__pos` identity columns. The
-    * root-relative path is recovered as `_metadata.file_path`'s last
-    * THREE components (`data/<commit>/<part>` — the layout invariant).
-    * `substring_index` rather than a regexp: the extraction runs per
-    * ROW, not per file, so on a masked scan of N rows a regex is N
-    * regex executions for a value that only changes per file —
-    * measured as a visible slice of DV-masked read time.
+    * root-relative path is recovered as everything after the LAST
+    * `/data/` of `_metadata.file_path` — [[fileKey]]'s rule, depth-
+    * agnostic for partitioned layouts. `substring_index` rather than
+    * a regexp: the extraction runs per ROW, not per file, so on a
+    * masked scan of N rows a regex is N regex executions for a value
+    * that only changes per file — measured as a visible slice of
+    * DV-masked read time.
     */
   private def taggedRead(spark: SparkSession, root: String,
       schema: StructType, paths: Seq[String]): DataFrame =
     spark.read.schema(physicalSchema(schema))
       .parquet(paths.map(p => new Path(root, p).toString): _*)
       .select(toLogicalCols(schema) :+
-        substring_index(col("_metadata.file_path"), "/", -3).as("__file") :+
+        concat(lit("data/"),
+          substring_index(col("_metadata.file_path"), "/data/", -1))
+          .as("__file") :+
         col("_metadata.row_index").as("__pos"): _*)
 
   /** Union of the distinct DV parquets `files` reference, filtered to
@@ -2237,15 +2424,22 @@ object GraftTable {
     }
   }
 
-  /** A data file's identity key — the trailing `data/<commit>/<part>`
-    * of its path, the same shape [[taggedRead]]'s `__file` column
-    * extracts from `_metadata.file_path`. Local AddFile paths equal
-    * their key; [[clone]]d AddFiles carry absolute source paths and
-    * only the key matches across the two spellings.
+  /** A data file's identity key — everything after the LAST `/data/`
+    * of its path (`data/<commit>/[gp_…=v/]*<file>` — depth-agnostic,
+    * because a partitioned commit nests tuple directories), the same
+    * shape [[taggedRead]]'s `__file` column extracts from
+    * `_metadata.file_path`. Local AddFile paths equal their key;
+    * [[clone]]d AddFiles carry absolute source paths and only the key
+    * matches across the two spellings. No later path segment can BE
+    * `data` (commit ids are UUID hex, tuple dirs contain `=`, files
+    * end `.parquet`), so the last occurrence is always the table's
+    * own data root.
     */
-  private val FileKeyRe = "(data/[^/]+/[^/]+)$".r
-  private def fileKey(path: String): String =
-    FileKeyRe.findFirstIn(path).getOrElse(path)
+  private def fileKey(path: String): String = {
+    val i = path.lastIndexOf("/data/")
+    if (i >= 0) path.substring(i + 1)
+    else path // already root-relative (`data/…`)
+  }
 
   private def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
