@@ -1176,6 +1176,61 @@ object EngineOps {
                SELECT event_type, COUNT(*) AS n,
                       ${Canonical.moneySumSql("value")} AS sum_value
                FROM fin GROUP BY event_type ORDER BY event_type""")),
+
+    // Storage-partitioned join (GraftSpj) judged END-TO-END: customer
+    // and supplier land in catalog tables PARTITIONED BY identity
+    // (nationkey); with `spark.sql.sources.v2.bucketing.enabled` on
+    // (and broadcast off) both scans are the genuine DSv2 batch
+    // reporting KeyGroupedPartitioning, so the nation-key join plans
+    // with ZERO exchange — neither side shuffles (SpjSpec pins the
+    // plan; this row pins the CONTENT read through the row-based SPJ
+    // reader under the hash gate). `localCheckpoint` forces execution
+    // while the flag is set; the conf is restored before returning.
+    ("catalog_spj_join",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val cu = Tables(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val su = Tables(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey", "s_acctbal")
+        val (cat, nsDir) = catalogFor(s, dir, "cspj")
+        val cRoot = s"$nsDir/spjc"
+        val sRoot = s"$nsDir/spjs"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, cRoot).version < 0L)
+            gt.createPartitioned(s, cRoot, cu.schema,
+              Seq(graft.table.Partitioning.PIdentity("c_nationkey")))
+          if (gt.snapshot(s, cRoot).version == 0L)
+            gt.append(s, cRoot, cu, txn = Some(("cat_spj_c", 0L)))
+          if (gt.snapshot(s, sRoot).version < 0L)
+            gt.createPartitioned(s, sRoot, su.schema,
+              Seq(graft.table.Partitioning.PIdentity("s_nationkey")))
+          if (gt.snapshot(s, sRoot).version == 0L)
+            gt.append(s, sRoot, su, txn = Some(("cat_spj_s", 0L)))
+        }
+        val spjPrev = s.conf.getOption(graft.table.GraftSpj.ConfKey)
+        val bcPrev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set(graft.table.GraftSpj.ConfKey, "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try s.sql(
+          s"""SELECT c.c_nationkey AS nk, COUNT(*) AS n,
+                     ${Canonical.moneySumSql("c.c_acctbal + s.s_acctbal")}
+                       AS bal
+              FROM $cat.ops.spjc c JOIN $cat.ops.spjs s
+                ON c.c_nationkey = s.s_nationkey
+              GROUP BY c.c_nationkey ORDER BY nk""").localCheckpoint()
+        finally {
+          spjPrev match {
+            case Some(v) => s.conf.set(graft.table.GraftSpj.ConfKey, v)
+            case None => s.conf.unset(graft.table.GraftSpj.ConfKey)
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcPrev)
+        }
+      },
+      Some(s"""SELECT c_nationkey AS nk, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("c_acctbal + s_acctbal")} AS bal
+               FROM customer JOIN supplier ON c_nationkey = s_nationkey
+               GROUP BY c_nationkey ORDER BY nk""")),
   )
 
   /** The shared `csel` catalog table (two appends of lineitem split at

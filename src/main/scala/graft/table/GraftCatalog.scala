@@ -517,15 +517,25 @@ class GraftScanBuilder(spark: SparkSession, root: String,
   private var pushedSql: Option[String] = None
   private var aggResult: Option[(StructType, Array[Any])] = None
 
+  /** Storage-partitioned-join path ([[GraftSpj]]): opted in by conf
+    * and possible for this snapshot. Decided once — `pushFilters`,
+    * `pushedFilters` and `build` must agree within one planning pass.
+    */
+  private val spj = GraftSpj.eligible(spark, snap)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
       filters.partition(f => FilterSql.translate(f).isDefined)
     pushed = ok
     pushedSql = FilterSql.conjunction(ok.toSeq)
-    residual // evaluated by Spark after the scan
+    // SPJ path: translated filters still drive FILE PRUNING, but all
+    // of them return as residual — Spark re-evaluates above the scan,
+    // so correctness never depends on the per-row batch reader
+    if (spj) filters else residual
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] =
+    if (spj) Array.empty else pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -654,6 +664,8 @@ class GraftScanBuilder(spark: SparkSession, root: String,
   override def build(): Scan = aggResult match {
     case Some((schema, values)) =>
       new GraftAggScan(spark, root, snap, schema, values)
+    case None if spj =>
+      new GraftBatchScan(spark, root, snap, required, pushedSql)
     case None => new GraftScan(spark, root, snap, required, pushedSql)
   }
 }

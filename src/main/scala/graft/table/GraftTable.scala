@@ -1855,6 +1855,12 @@ object GraftTable {
   private def physName(schema: StructType, logical: String): String =
     schema.fields.find(_.name == logical).map(physName).getOrElse(logical)
 
+  /** Column-mapping resolution for the SPJ batch reader
+    * ([[GraftBatchScan]]) — logical name → name stored in parquet.
+    */
+  private[table] def physicalNameOf(schema: StructType,
+      logical: String): String = physName(schema, logical)
+
   /** The schema as stored in parquet: physical names, no metadata. */
   private def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>

@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftSpj, GraftTable, Partitioning}
+
+/** Storage-partitioned joins over graft catalog tables
+  * ([[graft.table.GraftSpj]]): with `spark.sql.sources.v2.bucketing
+  * .enabled` on, two tables `PARTITIONED BY (identity(k))` report
+  * [[org.apache.spark.sql.connector.read.partitioning
+  * .KeyGroupedPartitioning]] and join with ZERO shuffle; reads stay
+  * value-identical to the V1 bridge path across projections, filters,
+  * schema evolution, NULL partitions, and every supported type; and
+  * ineligible snapshots (DVs, non-identity specs) fall back to the V1
+  * path even with the flag on.
+  */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_spj_$tag").toString
+
+  private def withSpj[T](on: Boolean)(body: => T): T = {
+    val prev = spark.conf.getOption(GraftSpj.ConfKey)
+    spark.conf.set(GraftSpj.ConfKey, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(GraftSpj.ConfKey, v)
+      case None => spark.conf.unset(GraftSpj.ConfKey)
+    }
+  }
+
+  /** AQE wraps materialized stages in leaf `QueryStageExec` nodes —
+    * descend through `.plan` (and adaptive roots) or scans are missed.
+    */
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children ++ other.subqueries
+    }
+    p +: kids.flatMap(collectPlan)
+  }
+
+  private def executed(df: DataFrame): Seq[SparkPlan] =
+    collectPlan(df.queryExecution.executedPlan)
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Orders-shaped table partitioned by identity(k), k = key % 7. */
+  private def mkPartitioned(root: String, rows: Seq[(Long, Long, Double,
+      String, java.sql.Date)]): Unit = {
+    val df = rows.toDF("k", "id", "amt", "tag", "d")
+    GraftTable.createPartitioned(spark, root, df.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df)
+  }
+
+  private def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  private def sampleRows(n: Int, salt: Int): Seq[(Long, Long, Double,
+      String, java.sql.Date)] =
+    (1 to n).map { i =>
+      (i.toLong % 7, i.toLong + salt, i * 1.5 + salt,
+        s"t${i % 5}_$salt", d(f"2024-01-${i % 27 + 1}%02d"))
+    }
+
+  private val cat = "spjcat"
+
+  /** Catalog instances pin their warehouse at first reference — ONE
+    * shared warehouse for the suite, distinct table names per test.
+    */
+  private lazy val wh: String = {
+    val dir = freshRoot("wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.table.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    dir
+  }
+
+  test("co-partitioned identity tables join with zero exchange (SPJ)") {
+    mkPartitioned(s"$wh/ns/ta", sampleRows(200, 0))
+    mkPartitioned(s"$wh/ns/tb", sampleRows(150, 1000))
+
+    val q =
+      s"""SELECT a.k, COUNT(*) AS n, SUM(a.amt + b.amt) AS s
+         |FROM $cat.ns.ta a JOIN $cat.ns.tb b ON a.k = b.k
+         |GROUP BY a.k ORDER BY a.k""".stripMargin
+
+    // reference result on the V1 path (flag off)
+    val expected = withSpj(on = false)(sorted(spark.sql(q)))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withSpj(on = true) {
+      val df = spark.sql(q)
+      assert(sorted(df) == expected)
+      val nodes = executed(df)
+      val scans = nodes.collect { case b: BatchScanExec => b }
+      assert(scans.size == 2, s"expected 2 V2 batch scans, got $nodes")
+      assert(scans.forall(_.scan.toString.contains("GraftBatchScan")))
+      // THE assertion: no shuffle anywhere below the aggregation —
+      // the join consumed the reported KeyGroupedPartitioning. (The
+      // final single-partition sort of the tiny grouped result may
+      // exchange; look only under the join.)
+      val join = nodes.find(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(join.isDefined, s"no join in $nodes")
+      val belowJoin = collectPlan(join.get)
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"shuffle under the SPJ join: ${join.get}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SPJ batch reads are value-identical to the V1 path") {
+    mkPartitioned(s"$wh/ns/tr", sampleRows(97, 7))
+
+    val full = s"SELECT * FROM $cat.ns.tr"
+    val proj = s"SELECT tag, amt FROM $cat.ns.tr WHERE k >= 3 AND amt < 120"
+    val dates = s"SELECT d, COUNT(*) AS n FROM $cat.ns.tr GROUP BY d"
+    for (q <- Seq(full, proj, dates)) {
+      val off = withSpj(on = false)(sorted(spark.sql(q)))
+      val on = withSpj(on = true) {
+        val df = spark.sql(q)
+        assert(executed(df).exists {
+          case b: BatchScanExec => b.scan.toString.contains("GraftBatchScan")
+          case _ => false
+        }, s"expected the SPJ batch scan for: $q")
+        sorted(df)
+      }
+      assert(on == off, s"SPJ read diverged for: $q")
+    }
+  }
+
+  test("schema evolution: files written before ADD COLUMN read as null") {
+    val root = s"$wh/ns/te"
+    val df0 = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("k", "v")
+    GraftTable.createPartitioned(spark, root, df0.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df0)
+    GraftTable.addColumn(spark, root, "w",
+      org.apache.spark.sql.types.LongType)
+    GraftTable.append(spark, root,
+      Seq((2L, "d", 10L)).toDF("k", "v", "w"))
+    // rename exercises column mapping through the physical-name reader
+    GraftTable.renameColumn(spark, root, "v", "txt")
+
+    val q = s"SELECT k, txt, w FROM $cat.ns.te"
+    val off = withSpj(on = false)(sorted(spark.sql(q)))
+    val on = withSpj(on = true)(sorted(spark.sql(q)))
+    assert(on == off)
+    assert(on.count(_.contains("null")) == 3) // three pre-evolution rows
+  }
+
+  test("NULL partition value flows through the SPJ path") {
+    val root = s"$wh/ns/tn"
+    val df0 = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b"),
+      (java.lang.Long.valueOf(2L), "c")).toDF("k", "v")
+    GraftTable.createPartitioned(spark, root, df0.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df0)
+    val q = s"SELECT k, v FROM $cat.ns.tn"
+    val off = withSpj(on = false)(sorted(spark.sql(q)))
+    val on = withSpj(on = true)(sorted(spark.sql(q)))
+    assert(on == off && on.size == 3)
+  }
+
+  test("ineligible snapshots keep the V1 path even with the flag on") {
+    // (a) non-identity spec
+    val root1 = s"$wh/ns/tf1"
+    val df1 = Seq((1L, d("2024-03-01"), 1.0), (2L, d("2024-03-02"), 2.0))
+      .toDF("id", "dt", "v")
+    GraftTable.createPartitioned(spark, root1, df1.schema,
+      Seq(Partitioning.PDays("dt")))
+    GraftTable.append(spark, root1, df1)
+    // (b) identity spec but a DV-masked file
+    val root2 = s"$wh/ns/tf2"
+    mkPartitioned(root2, sampleRows(30, 0))
+    GraftTable.deleteWhereDv(spark, root2, "id = 5", prune = None)
+
+    withSpj(on = true) {
+      for ((tbl, root) <- Seq(("tf1", root1), ("tf2", root2))) {
+        val df = spark.sql(s"SELECT * FROM $cat.ns.$tbl")
+        assert(!executed(df).exists(_.isInstanceOf[BatchScanExec]),
+          s"$tbl must fall back to the V1 scan")
+        assert(df.count() > 0)
+      }
+      assert(spark.sql(s"SELECT * FROM $cat.ns.tf2 WHERE id = 5").count() == 0)
+    }
+  }
+
+  test("SPJ path: file pruning from a pushed range still engages") {
+    val root = s"$wh/ns/tp"
+    mkPartitioned(root, sampleRows(70, 0))
+    withSpj(on = true) {
+      val df = spark.sql(s"SELECT id FROM $cat.ns.tp WHERE k = 3")
+      val scan = executed(df).collectFirst { case b: BatchScanExec => b }
+      assert(scan.isDefined)
+      val desc = scan.get.scan.description()
+      // identity tuple pruning: only the k=3 partition's file survives
+      val m = "files (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      assert(m.isDefined, s"no file ratio in: $desc")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"expected pruned file set in: $desc")
+      // and the residual re-application keeps the result exact
+      assert(sorted(df) == withSpj(on = false)(sorted(
+        spark.sql(s"SELECT id FROM $cat.ns.tp WHERE k = 3"))))
+    }
+  }
+}
