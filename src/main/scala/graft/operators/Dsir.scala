@@ -43,23 +43,27 @@ object Dsir {
       k: Int): DataFrame = {
     require(buckets > 0 && k > 0)
     val spark = docs.sparkSession
-    def toks = docs
+    // ONE corpus tokenize pass: the per-(doc, token) counted frame —
+    // (doc, distinct-token)-sized, far smaller than the exploded token
+    // stream — is persisted and feeds BOTH the train models and the
+    // score pass (previously each re-tokenized the corpus). The train
+    // `.collect()` below materializes it eagerly; the score lineage
+    // then reads the cached blocks. ContextCleaner reclaims the cache
+    // once the returned frame is unreferenced. `tgt` is functionally
+    // dependent on doc_id, so (doc_id, tok) stays a unique key.
+    val base = docs
       .select(col("doc_id"), targetCond.as("tgt"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
-    // TRAIN pass (one corpus scan): the two bucket models, materialized
-    // to B rows on the driver — the hashing trick's whole point is that
-    // the model is B-sized, so "collect the model" is the published
-    // two-phase DSIR shape, not a driver bottleneck. A lazy
-    // formulation forks this lineage three ways (model, totals,
-    // scores) and Catalyst's per-branch column pruning defeats
-    // exchange reuse — measured as the corpus being tokenized and
-    // md5-hashed three times. Aggregating per (side, TOKEN) first
-    // means the md5 contract hash runs once per distinct token of the
-    // post-partial-agg frame, not once per corpus token — map-side
-    // combine shrinks the stream to vocabulary size before any hashing.
-    val counted = toks.groupBy("tgt", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "tgt", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TRAIN: the two bucket models, materialized to B rows on the
+    // driver — the hashing trick's whole point is that the model is
+    // B-sized, so "collect the model" is the published two-phase DSIR
+    // shape, not a driver bottleneck. Aggregating per (side, TOKEN)
+    // first means the md5 contract hash runs once per distinct token
+    // of the post-partial-agg frame, not once per corpus token.
+    val counted = base.groupBy("tgt", "tok").agg(sum("c").as("c"))
       .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
       .groupBy("b").agg(
         sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"),
@@ -79,11 +83,10 @@ object Dsir {
     val totals = modelIn.agg(
       FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
       FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
-    // SCORE pass (the second and last corpus scan) — same discipline:
-    // count per (doc, token) with map-side partials, hash the
-    // collapsed frame, then fold tokens into buckets
-    toks.filter(!col("tgt"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    // SCORE: `base` is already per-(doc, token) counted — filter to
+    // the raw side, hash the collapsed frame, fold tokens into buckets
+    base.filter(!col("tgt"))
+      .select(col("doc_id"), col("tok"), col("c"))
       .withColumn("b", pmod(Canonical.xhash(col("tok")), lit(buckets)))
       .groupBy("doc_id", "b").agg(sum("c").as("c"))
       .join(broadcast(model), "b")

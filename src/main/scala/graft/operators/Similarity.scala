@@ -56,6 +56,98 @@ object Similarity {
       b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Int8 scalar quantization (the SQ8 tier, Jégou et al.'s scalar
+    * baseline): `clamp(floor(x·64), -127, 127)` per component — one
+    * byte of signal per dimension instead of four, exact integer dots.
+    * At 100 TB this is the scan-tier compression lever: the candidate
+    * scan moves ~8× fewer bytes and the exact re-rank touches only
+    * shortlist·queries rows.
+    */
+  private[operators] def quant8(c: org.apache.spark.sql.Column) =
+    transform(c, x => greatest(lit(-127L), least(lit(127L),
+      floor(x.cast("double") * lit(64.0)))))
+
+  /** SQ8 two-tier search under the hash-gate contract: score ALL
+    * candidates by the int8 code dot (cheap), keep a per-query
+    * shortlist via the bounded-heap operator, re-rank ONLY the
+    * shortlist by the exact micro-unit cosine ([[quant]]) after
+    * REJOINING the vectors (the shortlist heap never carries full
+    * embeddings). Both tiers are exact integer programs —
+    * deterministic across engines and partitionings.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k)
+    val q8 = broadcast(queries.select(col("q_id"), quant8(col("q_emb")).as("q8")))
+    val cand = corpus.select(col("vec_id"), quant8(col("embedding")).as("c8"))
+      .join(q8, col("q_id") =!= col("vec_id"))
+      .withColumn("d8", idot(col("q8"), col("c8")))
+      .select("q_id", "vec_id", "d8")
+    val short = graft.plans.TopK.perGroup(cand, Seq("q_id"),
+      Seq(("d8", false), ("vec_id", true)), shortlist)
+    val qv = broadcast(queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
+      .withColumn("qn", sumsq(col("qa"))))
+    val rer = short.select("q_id", "vec_id")
+      .join(corpus.select(col("vec_id"), quant(col("embedding")).as("ca")),
+        "vec_id")
+      .withColumn("cn", sumsq(col("ca")))
+      .join(qv, "q_id")
+      .withColumn("dot", idot(col("qa"), col("ca")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    graft.plans.TopK.rankedPerGroup(rer, "q_id",
+      Seq(("cos", false), ("vec_id", true)), k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+
+  /** DuckDB oracle for [[sq8TopK]]: same int8 clamp-floor codes, same
+    * shortlist ordering, same micro-unit re-rank IEEE-op sequence.
+    */
+  def sq8TopKOracleSql(maxQueryId: Int, k: Int, shortlist: Int): String =
+    s"""WITH xs AS (
+           SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                  embedding FROM embeddings),
+         comp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                  FROM xs),
+         q8 AS (SELECT vec_id, i,
+                  GREATEST(-127, LEAST(127,
+                    CAST(FLOOR(x * 64.0) AS BIGINT))) AS v
+                FROM comp),
+         qa AS (SELECT vec_id, i,
+                  CAST(FLOOR(x * 1000000.0) AS BIGINT) AS v FROM comp),
+         d8 AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                  CAST(SUM(q.v * c.v) AS BIGINT) AS d8
+           FROM q8 q JOIN q8 c ON q.i = c.i AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < $maxQueryId
+           GROUP BY q.vec_id, c.vec_id),
+         short AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY d8 DESC, vec_id) AS r
+             FROM d8) s WHERE r <= $shortlist),
+         nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nn
+                 FROM qa GROUP BY vec_id),
+         dots AS (
+           SELECT s.q_id, s.vec_id, CAST(SUM(q.v * c.v) AS BIGINT) AS dot
+           FROM short s JOIN qa q ON q.vec_id = s.q_id
+                        JOIN qa c ON c.vec_id = s.vec_id AND c.i = q.i
+           GROUP BY s.q_id, s.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE) /
+                    SQRT(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) AS cos
+           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+                       JOIN nrm nc ON nc.vec_id = d.vec_id)
+       SELECT q_id, vec_id AS neighbor_id, rank, cos FROM (
+         SELECT q_id, vec_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+         FROM scored) r
+       WHERE rank <= $k ORDER BY q_id, rank"""
+
   def bruteTopKExact(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("q_id"), quant(col("q_emb")).as("qa"))
       .withColumn("qn", sumsq(col("qa"))))

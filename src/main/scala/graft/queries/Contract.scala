@@ -727,7 +727,7 @@ object Contract {
       },
       subquerySql),
   ) :+ q39 :+ q40 :+ q41 :+ q42 :+ q43 :+ q44 :+ q45 :+ q46 :+ q47 :+ q48 :+ q49 :+ q50 :+ q51 :+ q53 :+ q54 :+
-    q55 :+ q56 :+ q57 :+ q58 :+ q59 :+ q60 :+ q61
+    q55 :+ q56 :+ q57 :+ q58 :+ q59 :+ q60 :+ q61 :+ q62
 
   /** Q48 — exact multi-percentile per group (percentile_disc without
     * the engine's percentile function, whose interpolation conventions
@@ -1458,6 +1458,41 @@ object Contract {
                     c_nationkey
              FROM customer) q
        GROUP BY LOWER(seg) ORDER BY seg_lc""")
+
+  /** Q62 — hopping (sliding) time window via the NATIVE
+    * `window(ts, size, slide)` generator: 1 h windows every 30 min, so
+    * each event lands in exactly two overlapping windows (size/slide);
+    * Spark explodes window membership inside the operator — no manual
+    * self-union — and windows align to the epoch. The oracle derives
+    * the same two window starts arithmetically (`halfslot` and its
+    * predecessor). Batch spelling of the streaming hop-window operator
+    * (streaming/Streams covers the watermark side); at 100 TB the
+    * expansion factor is the declared size/slide constant, partial
+    * aggs absorb it map-side.
+    */
+  private val q62: (String, Q, String) = (
+    "q62_hopping_window",
+    (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts").cast("timestamp"), "1 hour", "30 minutes")
+            .as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sumv"))
+        .select(expr("unix_micros(w.start)").as("ws"), col("event_type"),
+          col("n"), col("sumv"))
+        .orderBy("ws", "event_type")
+    },
+    s"""WITH e AS (
+          SELECT epoch_us(ts) // 1800000000 AS halfslot, event_type, value
+          FROM events),
+        x AS (
+          SELECT halfslot * 1800000000 AS ws, event_type, value FROM e
+          UNION ALL
+          SELECT (halfslot - 1) * 1800000000 AS ws, event_type, value
+          FROM e)
+        SELECT ws, event_type, COUNT(*) AS n, ${moneySumSql("value")} AS sumv
+        FROM x GROUP BY ws, event_type ORDER BY ws, event_type""")
 
   def queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap

@@ -334,6 +334,23 @@ object LlmOps {
       },
       Some(graft.operators.Similarity.bruteTopKExactOracleSql(maxQueryId = 10, k = 5))),
 
+    // SQ8 scalar-quantized ANN (the 1-byte-per-dimension scan tier):
+    // int8 clamp-floor codes score every candidate, a bounded-heap
+    // shortlist survives, and ONLY the shortlist is re-ranked by the
+    // exact micro-unit cosine after rejoining vectors. Both tiers are
+    // exact integer programs — the DuckDB oracle re-derives codes,
+    // shortlist, and re-rank from the same constants.
+    ("ann_sq8_topk",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Similarity.sq8TopK(qs, emb, k = 5, shortlist = 20)
+          .orderBy("q_id", "rank")
+      },
+      Some(graft.operators.Similarity.sq8TopKOracleSql(
+        maxQueryId = 10, k = 5, shortlist = 20))),
+
     // LSH-bucketed ANN: data-independent hyperplane buckets — the
     // index-free scale path (no centroid build; ingest is a pure map).
     // Judged via integer planes + the quantized scoring contract; the
