@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -69,7 +69,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * table's [[LogStore]] contract.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -110,6 +110,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_log"))
+
+  // ---------- functions ----------
+
+  /** The catalog's V2 functions: just `bucket`, the partition
+    * transform [[GraftBatchScan]] reports for SPJ — Spark resolves it
+    * here when matching the two sides' KeyGroupedPartitionings.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   // ---------- tables ----------
 

@@ -64,15 +64,26 @@ object GraftSpj {
     case _ => false
   }
 
-  /** SPJ-capable snapshot: every declared transform is `identity`,
-    * no file carries a deletion vector (DV masking is a join in the V1
-    * read — a per-file reader would need its own anti-join), every
-    * file carries its full tuple, and every column type is readable.
+  /** Transforms the SPJ path can report: `identity(c)` maps to the V2
+    * identity expression; `bucket(n, c)` maps to `Expressions.bucket`,
+    * which Spark resolves through the catalog's FunctionCatalog
+    * ([[GraftBucketFunction]]) — the classic bucketed fact-fact join.
+    */
+  def spjTransform(t: Partitioning.PTransform): Boolean = t match {
+    case _: Partitioning.PIdentity | _: Partitioning.PBucket => true
+    case _ => false
+  }
+
+  /** SPJ-capable snapshot: every declared transform is reportable
+    * ([[spjTransform]]), no file carries a deletion vector (DV masking
+    * is a join in the V1 read — a per-file reader would need its own
+    * anti-join), every file carries its full tuple, and every column
+    * type is readable.
     */
   def eligible(spark: SparkSession, snap: GraftTable.Snapshot): Boolean =
     spark.conf.get(ConfKey, "false").toBoolean &&
       snap.spec.nonEmpty &&
-      snap.spec.forall(_.isInstanceOf[Partitioning.PIdentity]) &&
+      snap.spec.forall(spjTransform) &&
       snap.files.forall(_.dv.isEmpty) &&
       snap.schema.fields.forall(f => supported(f.dataType)) &&
       snap.files.forall(f => snap.spec.forall(t => f.part.contains(t.fieldName)))
@@ -83,19 +94,68 @@ object GraftSpj {
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Decode one encoded identity partition value to its INTERNAL-row
-    * representation for the source column's type.
+  /** Decode one encoded partition value to its INTERNAL-row
+    * representation: the source column's type for `identity`, the
+    * bucket ordinal (the transform's IntegerType result) for `bucket`.
     */
-  private[table] def decodeKey(enc: String, dt: DataType): Any =
+  private[table] def decodeKey(enc: String, t: Partitioning.PTransform,
+      dt: DataType): Any =
     if (enc == Partitioning.NullValue) null
-    else dt match {
-      case StringType => UTF8String.fromString(unhex(enc))
-      case DateType => enc.toLong.toInt
-      case LongType => enc.toLong
-      case IntegerType => enc.toLong.toInt
-      case ShortType => enc.toLong.toShort
-      case ByteType => enc.toLong.toByte
-      case other => sys.error(s"identity partition on unsupported type $other")
+    else t match {
+      case _: Partitioning.PBucket => enc.toInt
+      case _ => dt match {
+        case StringType => UTF8String.fromString(unhex(enc))
+        case DateType => enc.toLong.toInt
+        case LongType => enc.toLong
+        case IntegerType => enc.toLong.toInt
+        case ShortType => enc.toLong.toShort
+        case ByteType => enc.toLong.toByte
+        case other =>
+          sys.error(s"identity partition on unsupported type $other")
+      }
+    }
+}
+
+/** The catalog-level `bucket` V2 function. Spark resolves the
+  * `bucket(n, col)` transform reported by [[GraftBatchScan]] through
+  * the table catalog's `FunctionCatalog`; both join sides binding to
+  * the same canonical function is what lets `KeyGroupedShuffleSpec`
+  * declare the two partitionings compatible and drop the exchange.
+  * Evaluation is the exact write-side clustering expression,
+  * `pmod(xxhash64(col), n)` ([[Partitioning.PBucket]].writeExpr).
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(xxhash64(col), n) — the graft partition transform"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, col), got ${inputType.catalogString}")
+    GraftBoundBucket(inputType.fields(1).dataType)
+  }
+}
+
+/** Bound `bucket` for one source type. `canonicalName` carries the
+  * type: xxhash64 hashes each width differently, so an int-keyed and a
+  * long-keyed table must NOT be declared co-partitioned.
+  */
+final case class GraftBoundBucket(dt: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(1)) null
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val n = input.getInt(0)
+      val h = new XxHash64(Seq(Literal(input.get(1, dt), dt)))
+        .eval(null).asInstanceOf[Long]
+      (((h % n) + n) % n).toInt
     }
 }
 
@@ -169,13 +229,17 @@ class GraftBatchScan(spark: SparkSession, root: String,
 
   override def outputPartitioning(): V2Partitioning =
     new KeyGroupedPartitioning(
-      snap.spec.map(t => Expressions.identity(t.srcCol): Expression).toArray,
+      snap.spec.map {
+        case Partitioning.PBucket(c, n) =>
+          Expressions.bucket(n, c): Expression
+        case t => Expressions.identity(t.srcCol): Expression
+      }.toArray,
       groups.size)
 
   override def planInputPartitions(): Array[InputPartition] =
     groups.map { case (tuple, fs) =>
       val key = tuple.zip(snap.spec).map { case (enc, t) =>
-        GraftSpj.decodeKey(enc, srcType(t))
+        GraftSpj.decodeKey(enc, t, srcType(t))
       }.toArray
       GraftSpjPartition(key,
         fs.map(f => (new Path(root, f.path).toString, f.rows)))

@@ -121,6 +121,37 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucket-partitioned tables join exchange-free via the FunctionCatalog") {
+    def mk(tbl: String, salt: Int, rows: Int): Unit = {
+      val df = sampleRows(rows, salt).toDF("k", "id", "amt", "tag", "d")
+      GraftTable.createPartitioned(spark, s"$wh/ns/$tbl", df.schema,
+        Seq(Partitioning.PBucket("k", 8)))
+      GraftTable.append(spark, s"$wh/ns/$tbl", df)
+    }
+    mk("ba", 0, 160)
+    mk("bb", 500, 120)
+    val q =
+      s"""SELECT a.k, COUNT(*) AS n, SUM(a.amt + b.amt) AS s
+         |FROM $cat.ns.ba a JOIN $cat.ns.bb b ON a.k = b.k
+         |GROUP BY a.k ORDER BY a.k""".stripMargin
+    val expected = withSpj(on = false)(sorted(spark.sql(q)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withSpj(on = true) {
+      val df = spark.sql(q)
+      assert(sorted(df) == expected)
+      val nodes = executed(df)
+      val scans = nodes.collect { case b: BatchScanExec => b }
+      assert(scans.size == 2, s"expected 2 V2 batch scans, got $nodes")
+      assert(scans.forall(_.scan.toString.contains("GraftBatchScan")))
+      val join = nodes.find(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(join.isDefined, s"no join in $nodes")
+      assert(!collectPlan(join.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"shuffle under the bucket SPJ join: ${join.get}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SPJ batch reads are value-identical to the V1 path") {
     mkPartitioned(s"$wh/ns/tr", sampleRows(97, 7))
 
