@@ -28,6 +28,19 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sumv"))
 
+  /** Hopping (sliding) counts/sums per event_type (streaming Q62):
+    * 1-hour windows every 30 minutes — each event lands in exactly
+    * size/slide = 2 windows; `window()` expands membership inside the
+    * operator. Same watermark/append contract as [[tumblingHourly]].
+    */
+  def hoppingHalfHour(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sumv"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sumv"))
+
   /** 30-minute-gap sessions per user (streaming Q23): Spark's native
     * `session_window` merges events whose gaps are below the timeout —
     * the same islands the batch lag+cumsum formulation finds.

@@ -23,6 +23,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamShaped.exceptAll(q22).isEmpty && q22.exceptAll(streamShaped).isEmpty)
   }
 
+  test("hoppingHalfHour (batch mode) agrees with Q62's hopping windows") {
+    val streamShaped = Streams.hoppingHalfHour(events)
+      .withColumn("ws", expr("unix_micros(cast(window_start as timestamp))"))
+      .select("ws", "event_type", "n", "sumv")
+    val q62 = SparkEntry.queries("q62_hopping_window")(spark, sf)
+      .select("ws", "event_type", "n", "sumv")
+    assert(streamShaped.exceptAll(q62).isEmpty && q62.exceptAll(streamShaped).isEmpty)
+  }
+
   test("sessionized (batch mode) agrees with Q23's session counts per user") {
     val bySession = Streams.sessionized(events)
       .groupBy("user_id")
