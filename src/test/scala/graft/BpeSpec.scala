@@ -59,6 +59,26 @@ class BpeSpec extends SparkSpec {
     assert(enginePieces.values.exists(_.exists(_.length > 1)), "multi-char pieces learned")
   }
 
+  test("minWordFreq prunes the vocab frame; threshold 1 is the identity") {
+    val unpruned = Bpe.train(docs, "text", nMerges = 12)
+    val same = Bpe.train(docs, "text", nMerges = 12, minWordFreq = 1L)
+    assert(same.merges == unpruned.merges)
+    // prune the singleton tail: the reference loop over the pruned
+    // word map must agree with the engine at the same threshold
+    val wfAll = Bpe.wordFreqs(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // data-derived threshold: keep only the top-frequency words so the
+    // prune is guaranteed non-trivial at any scale factor
+    val cut = wfAll.values.max
+    val kept = wfAll.filter(_._2 >= cut)
+    assert(kept.nonEmpty && kept.size < wfAll.size,
+      s"expected a non-trivial prune: ${kept.size}/${wfAll.size}")
+    val pruned = Bpe.train(docs, "text", nMerges = 12, minWordFreq = cut)
+    val (refMerges, _) = refBpe(kept, nMerges = 12)
+    assert(pruned.merges == refMerges)
+    assert(pruned.pieces.count() == kept.size)
+  }
+
   test("train is partitioning-invariant") {
     val a = Bpe.train(docs, "text", nMerges = 12).merges
     val b = Bpe.train(docs.repartition(7), "text", nMerges = 12).merges
