@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.StructType
   * from the table's beginning).
   */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "grafttable"
 
@@ -46,6 +47,69 @@ class GraftTableSourceProvider extends StreamSourceProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "grafttable source requires option 'path' (the table root)"))
+
+  // ---------- batch TableProvider: spark.read.format("grafttable") ----------
+
+  /** Resolve the optional time-travel options to a pinned log version:
+    * `versionAsOf` (a log version) or `timestampAsOf` (ms epoch or
+    * `yyyy-MM-dd HH:mm:ss[.S]` UTC — resolved through the commit
+    * wall-clocks exactly like the catalog's `FOR TIMESTAMP AS OF`).
+    */
+  private def asOfOf(spark: SparkSession, root: String,
+      opts: Map[String, String]): Option[Long] = {
+    require(!(opts.contains("versionAsOf") && opts.contains("timestampAsOf")),
+      "grafttable: versionAsOf and timestampAsOf are mutually exclusive")
+    opts.get("versionAsOf").map(_.toLong).orElse(
+      opts.get("timestampAsOf").map { t =>
+        val ms = t.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        GraftTable.versionAt(spark, root, ms)
+      })
+  }
+
+  private def lower(options: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    // CaseInsensitiveStringMap lower-cases keys; normalize our names
+    options.asScala.toMap.map { case (k, v) =>
+      (k.toLowerCase(java.util.Locale.ROOT) match {
+        case "versionasof" => "versionAsOf"
+        case "timestampasof" => "timestampAsOf"
+        case other => other
+      }) -> v
+    }
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val opts = lower(options)
+    val spark = SparkSession.active
+    val root = rootOf(opts)
+    GraftCatalog.stripPhys(
+      GraftTable.snapshot(spark, root, asOfOf(spark, root, opts)).schema)
+  }
+
+  /** Path-based batch read (and insert-append write) of the table —
+    * the same [[GraftV2Table]] the catalog serves, minus a catalog
+    * registration: `spark.read.format("grafttable").option("path",
+    * root)[.option("versionAsOf", v)].load()`. Without a catalog there
+    * is no FunctionCatalog, so bucket-transform SPJ stays with the
+    * catalog route; everything else (pushdown pruning, metadata stats,
+    * identity SPJ, V1 bridge) is identical.
+    */
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val opts = lower(properties)
+    val spark = SparkSession.active
+    val root = rootOf(opts)
+    new GraftV2Table(root,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("grafttable"), new org.apache.hadoop.fs.Path(root).getName),
+      asOfOf(spark, root, opts))
+  }
 
   private def cdf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)

@@ -21,6 +21,44 @@ class TableStreamSpec extends SparkSpec {
   private def rows(lo: Long, hi: Long) =
     (lo until hi).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
 
+  test("path-based batch read: format(grafttable).load ≡ GraftTable.read; time travel options") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 40))
+    val tsAfterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftTable.append(spark, root, rows(40, 70))
+
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // tip read ≡ the API read
+    val viaFormat = spark.read.format("grafttable").option("path", root).load()
+    assert(sortedRows(viaFormat) == sortedRows(GraftTable.read(spark, root)))
+    assert(viaFormat.count() == 70)
+    // filters prune through the same pushdown scan (plan smoke)
+    assert(viaFormat.filter($"id" < 10).count() == 10)
+
+    // versionAsOf pins the first append
+    val v0 = spark.read.format("grafttable").option("path", root)
+      .option("versionAsOf", "0").load()
+    assert(v0.count() == 40)
+
+    // timestampAsOf: ms epoch and SQL timestamp string both resolve
+    val byMs = spark.read.format("grafttable").option("path", root)
+      .option("timestampAsOf", tsAfterV0.toString).load()
+    assert(byMs.count() == 40)
+
+    // mutually exclusive options refused
+    intercept[Exception] {
+      spark.read.format("grafttable").option("path", root)
+        .option("versionAsOf", "0").option("timestampAsOf", "0").load()
+    }
+    // missing path refused
+    intercept[Exception] {
+      spark.read.format("grafttable").load()
+    }
+  }
+
   test("stream over three appends ≡ batch read; mid-stream appends arrive incrementally") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 40))
