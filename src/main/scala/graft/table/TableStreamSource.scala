@@ -90,13 +90,16 @@ class GraftTableSourceProvider extends StreamSourceProvider
       GraftTable.snapshot(spark, root, asOfOf(spark, root, opts)).schema)
   }
 
-  /** Path-based batch read (and insert-append write) of the table —
-    * the same [[GraftV2Table]] the catalog serves, minus a catalog
-    * registration: `spark.read.format("grafttable").option("path",
-    * root)[.option("versionAsOf", v)].load()`. Without a catalog there
-    * is no FunctionCatalog, so bucket-transform SPJ stays with the
+  /** Path-based batch READ of the table — the same [[GraftV2Table]]
+    * the catalog serves, minus a catalog registration:
+    * `spark.read.format("grafttable").option("path", root)
+    * [.option("versionAsOf", v)].load()`. Without a catalog there is
+    * no FunctionCatalog, so bucket-transform SPJ stays with the
     * catalog route; everything else (pushdown pruning, metadata stats,
-    * identity SPJ, V1 bridge) is identical.
+    * identity SPJ, V1 bridge) is identical. Batch WRITES go through
+    * the catalog (`INSERT INTO` / `writeTo`) or the [[GraftTable]]
+    * API — `DataFrameWriter.save` would need `SupportsCatalogOptions`
+    * and a derived identifier, a second spelling of the catalog route.
     */
   override def getTable(schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
