@@ -113,20 +113,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---------- functions ----------
 
-  /** The catalog's V2 functions: just `bucket`, the partition
-    * transform [[GraftBatchScan]] reports for SPJ — Spark resolves it
-    * here when matching the two sides' KeyGroupedPartitionings.
+  /** The catalog's V2 functions: the partition transforms
+    * [[GraftBatchScan]] reports for SPJ (`bucket` and the calendar
+    * kinds) — Spark resolves them here when matching the two sides'
+    * KeyGroupedPartitionings.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty && !namespaceExists(namespace))
       throw new NoSuchNamespaceException(name() +: namespace)
-    Array(Identifier.of(namespace, "bucket"))
+    GraftCatalog.fnNames.map(Identifier.of(namespace, _))
   }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketFunction
+      case k if GraftCatalog.timeFnNames.contains(k) => GraftTimeFunction(k)
       case _ => throw new NoSuchFunctionException(ident)
     }
 
@@ -460,6 +462,12 @@ class GraftV2Table(val root: String, ident: Identifier,
 }
 
 object GraftCatalog {
+
+  /** V2 function names the catalog serves (the SPJ transforms). */
+  private[table] val timeFnNames =
+    Set("days", "hours", "months", "years")
+  private[table] val fnNames: Array[String] =
+    ("bucket" +: timeFnNames.toSeq.sorted).toArray
 
   /** Spark connector `Transform` → graft [[Partitioning.PTransform]]
     * (the `PARTITIONED BY` clause's shapes). Matched on the public

@@ -65,12 +65,18 @@ object GraftSpj {
   }
 
   /** Transforms the SPJ path can report: `identity(c)` maps to the V2
-    * identity expression; `bucket(n, c)` maps to `Expressions.bucket`,
-    * which Spark resolves through the catalog's FunctionCatalog
-    * ([[GraftBucketFunction]]) — the classic bucketed fact-fact join.
+    * identity expression; `bucket(n, c)` maps to `Expressions.bucket`
+    * and the calendar kinds to `Expressions.days/hours/months/years`,
+    * all resolved through the catalog's FunctionCatalog
+    * ([[GraftBucketFunction]], [[GraftTimeFunction]]) — bucketed
+    * fact-fact joins and co-partitioned time-sliced joins alike.
+    * `truncate` stays off the SPJ path (no V2 transform spelling with
+    * a resolvable two-arg function in the scan-side report).
     */
   def spjTransform(t: Partitioning.PTransform): Boolean = t match {
-    case _: Partitioning.PIdentity | _: Partitioning.PBucket => true
+    case _: Partitioning.PIdentity | _: Partitioning.PBucket |
+        _: Partitioning.PDays | _: Partitioning.PHours |
+        _: Partitioning.PMonths | _: Partitioning.PYears => true
     case _ => false
   }
 
@@ -103,6 +109,8 @@ object GraftSpj {
     if (enc == Partitioning.NullValue) null
     else t match {
       case _: Partitioning.PBucket => enc.toInt
+      case _: Partitioning.PDays | _: Partitioning.PHours |
+          _: Partitioning.PMonths | _: Partitioning.PYears => enc.toLong
       case _ => dt match {
         case StringType => UTF8String.fromString(unhex(enc))
         case DateType => enc.toLong.toInt
@@ -135,6 +143,47 @@ object GraftBucketFunction
       s"bucket expects (numBuckets, col), got ${inputType.catalogString}")
     GraftBoundBucket(inputType.fields(1).dataType)
   }
+}
+
+/** The calendar transforms (`days`/`hours`/`months`/`years`) as
+  * catalog V2 functions — same SPJ-resolution role as
+  * [[GraftBucketFunction]]. Evaluation delegates to the transform's
+  * own `encodePrim`, the single source of truth the write side and the
+  * pruning side already share (UTC-fixed epoch units).
+  */
+final case class GraftTimeFunction(kind: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = kind
+  override def description(): String =
+    s"$kind(col): UTC epoch-$kind of a date/timestamp — the graft partition transform"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$kind expects (col), got ${inputType.catalogString}")
+    GraftBoundTime(kind, inputType.fields.head.dataType)
+  }
+}
+
+final case class GraftBoundTime(kind: String, dt: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+  private val t: Partitioning.PTransform = kind match {
+    case "days" => Partitioning.PDays("c")
+    case "hours" => Partitioning.PHours("c")
+    case "months" => Partitioning.PMonths("c")
+    case "years" => Partitioning.PYears("c")
+  }
+  require(t.accepts(dt), s"$kind does not accept ${dt.catalogString}")
+  override def inputTypes(): Array[DataType] = Array(dt)
+  override def resultType(): DataType = LongType
+  override def name(): String = kind
+  override def canonicalName(): String = s"graft.$kind(${dt.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) null
+    else t.encodePrim(input.get(0, dt), dt) match {
+      case Some(enc) => java.lang.Long.valueOf(enc.toLong)
+      case None => sys.error(s"$kind: unencodable value for ${dt.catalogString}")
+    }
 }
 
 /** Bound `bucket` for one source type. `canonicalName` carries the
@@ -232,6 +281,10 @@ class GraftBatchScan(spark: SparkSession, root: String,
       snap.spec.map {
         case Partitioning.PBucket(c, n) =>
           Expressions.bucket(n, c): Expression
+        case Partitioning.PDays(c) => Expressions.days(c): Expression
+        case Partitioning.PHours(c) => Expressions.hours(c): Expression
+        case Partitioning.PMonths(c) => Expressions.months(c): Expression
+        case Partitioning.PYears(c) => Expressions.years(c): Expression
         case t => Expressions.identity(t.srcCol): Expression
       }.toArray,
       groups.size)

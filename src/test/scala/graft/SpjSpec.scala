@@ -152,6 +152,36 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("days-partitioned tables join exchange-free via the calendar function") {
+    def mk(tbl: String, salt: Int, rows: Int): Unit = {
+      val df = sampleRows(rows, salt).toDF("k", "id", "amt", "tag", "d")
+      GraftTable.createPartitioned(spark, s"$wh/ns/$tbl", df.schema,
+        Seq(Partitioning.PDays("d")))
+      GraftTable.append(spark, s"$wh/ns/$tbl", df)
+    }
+    mk("da", 0, 108)
+    mk("db", 900, 81)
+    val q =
+      s"""SELECT a.d, COUNT(*) AS n, SUM(a.amt + b.amt) AS s
+         |FROM $cat.ns.da a JOIN $cat.ns.db b ON a.d = b.d
+         |GROUP BY a.d ORDER BY a.d""".stripMargin
+    val expected = withSpj(on = false)(sorted(spark.sql(q)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withSpj(on = true) {
+      val df = spark.sql(q)
+      assert(sorted(df) == expected)
+      val nodes = executed(df)
+      val scans = nodes.collect { case b: BatchScanExec => b }
+      assert(scans.size == 2, s"expected 2 V2 batch scans, got $nodes")
+      val join = nodes.find(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(join.isDefined, s"no join in $nodes")
+      assert(!collectPlan(join.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"shuffle under the days SPJ join: ${join.get}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SPJ batch reads are value-identical to the V1 path") {
     mkPartitioned(s"$wh/ns/tr", sampleRows(97, 7))
 
@@ -207,12 +237,12 @@ class SpjSpec extends SparkSpec {
   }
 
   test("ineligible snapshots keep the V1 path even with the flag on") {
-    // (a) non-identity spec
+    // (a) a transform with no SPJ spelling (truncate)
     val root1 = s"$wh/ns/tf1"
-    val df1 = Seq((1L, d("2024-03-01"), 1.0), (2L, d("2024-03-02"), 2.0))
-      .toDF("id", "dt", "v")
+    val df1 = Seq((1L, "alpha", 1.0), (2L, "beta", 2.0))
+      .toDF("id", "tag", "v")
     GraftTable.createPartitioned(spark, root1, df1.schema,
-      Seq(Partitioning.PDays("dt")))
+      Seq(Partitioning.PTruncate("tag", 2)))
     GraftTable.append(spark, root1, df1)
     // (b) identity spec but a DV-masked file
     val root2 = s"$wh/ns/tf2"
