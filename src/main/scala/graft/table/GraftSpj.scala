@@ -81,16 +81,16 @@ object GraftSpj {
   }
 
   /** SPJ-capable snapshot: every declared transform is reportable
-    * ([[spjTransform]]), no file carries a deletion vector (DV masking
-    * is a join in the V1 read — a per-file reader would need its own
-    * anti-join), every file carries its full tuple, and every column
-    * type is readable.
+    * ([[spjTransform]]), every file carries its full tuple, and every
+    * column type is readable. Deletion vectors do NOT disqualify: the
+    * per-file reader streams rows in position order, so a DV is a
+    * sorted-positions skip list applied inline (the merge-on-read
+    * contract without the V1 path's anti-join).
     */
   def eligible(spark: SparkSession, snap: GraftTable.Snapshot): Boolean =
     spark.conf.get(ConfKey, "false").toBoolean &&
       snap.spec.nonEmpty &&
       snap.spec.forall(spjTransform) &&
-      snap.files.forall(_.dv.isEmpty) &&
       snap.schema.fields.forall(f => supported(f.dataType)) &&
       snap.files.forall(f => snap.spec.forall(t => f.part.contains(t.fieldName)))
 
@@ -227,13 +227,22 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   }
 }
 
+/** One file of an SPJ split: absolute path, PHYSICAL row count, and —
+  * if a merge-on-read delete masked it — the file's deletion vector
+  * (absolute DV parquet path, the file's identity key in the DV's
+  * `file` column, and the exact masked-position count).
+  */
+final case class GraftSpjFile(path: String, rows: Long,
+    dv: Option[(String, String, Long)]) {
+  def liveRows: Long = rows - dv.map(_._3).getOrElse(0L)
+}
+
 /** One partition TUPLE's file group. `keyValues` are the decoded
   * internal-row values in spec order — [[HasPartitionKey]] is what
   * lets Spark group and align the two join sides without an exchange.
-  * `files` are (absolute path, physical row count) pairs.
   */
 final case class GraftSpjPartition(keyValues: Array[Any],
-    files: Seq[(String, Long)]) extends InputPartition with HasPartitionKey {
+    files: Seq[GraftSpjFile]) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(keyValues)
 }
@@ -295,7 +304,9 @@ class GraftBatchScan(spark: SparkSession, root: String,
         GraftSpj.decodeKey(enc, t, srcType(t))
       }.toArray
       GraftSpjPartition(key,
-        fs.map(f => (new Path(root, f.path).toString, f.rows)))
+        fs.map(f => GraftSpjFile(new Path(root, f.path).toString, f.rows,
+          f.dv.map(d => (new Path(root, d.path).toString,
+            GraftTable.fileKeyOf(f.path), d.rows)))))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -308,7 +319,8 @@ class GraftBatchScan(spark: SparkSession, root: String,
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = files.map(_.rows).sum
+    private val rows =
+      files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(
         rows * math.max(1, required.defaultSize).toLong)
@@ -322,7 +334,12 @@ class GraftBatchScan(spark: SparkSession, root: String,
   * evolution: absent columns are null), stream `Group`s, convert to
   * `InternalRow`. Files whose footer lacks every requested column —
   * and the `SELECT count`-shaped empty projection — emit their exact
-  * metadata row count without opening data pages.
+  * LIVE metadata row count without opening data pages (physical rows
+  * minus the DV's exact masked count). A DV-masked file's positions
+  * load executor-side from the DV parquet (filtered to this file's
+  * key) into a SORTED long array; the row stream advances a single
+  * pointer through it — O(masked) memory, O(1) per row, bounded by
+  * one file's rows, never a join.
   */
 final case class GraftSpjReaderFactory(
     fields: Seq[(StructField, String)],
@@ -334,7 +351,7 @@ final case class GraftSpjReaderFactory(
 }
 
 final class GraftSpjReader(fields: Seq[(StructField, String)],
-    conf: Configuration, files: Seq[(String, Long)])
+    conf: Configuration, files: Seq[GraftSpjFile])
     extends PartitionReader[InternalRow] {
 
   private val fileIter = files.iterator
@@ -345,12 +362,33 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
   private var current: InternalRow = _
   /** countdown of metadata-only rows for footer-skipped files */
   private var emptyRows = 0L
+  /** sorted masked positions of the OPEN file; empty when no DV */
+  private var dvPos: Array[Long] = Array.emptyLongArray
+  private var dvIdx = 0
+  private var rowPos = -1L
+
+  /** The file's deleted positions, sorted ascending. */
+  private def loadDv(dvPath: String, key: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new Path(dvPath)).withConf(new Configuration(conf)).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        if (g.getString("file", 0) == key) out += g.getLong("pos", 0)
+        g = r.read()
+      }
+    } finally r.close()
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (!fileIter.hasNext) return false
-    val (path, rows) = fileIter.next()
-    val p = new Path(path)
+    val f = fileIter.next()
+    val p = new Path(f.path)
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     val fileSchema: MessageType =
       try footer.getFooter.getFileMetaData.getSchema finally footer.close()
@@ -358,7 +396,13 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
       if (fileSchema.containsField(phys)) phys else null
     }
     val wanted = present.filter(_ != null).distinct
-    if (wanted.isEmpty) { emptyRows = rows; return true }
+    if (wanted.isEmpty) { emptyRows = f.liveRows; return true }
+    dvPos = f.dv match {
+      case Some((dvPath, key, _)) => loadDv(dvPath, key)
+      case None => Array.emptyLongArray
+    }
+    dvIdx = 0
+    rowPos = -1L
     val requested = new MessageType(fileSchema.getName,
       wanted.map(n =>
         fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
@@ -373,6 +417,12 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
     true
   }
 
+  /** Is the just-read row (at `rowPos`) masked by the open file's DV? */
+  private def masked(): Boolean = {
+    while (dvIdx < dvPos.length && dvPos(dvIdx) < rowPos) dvIdx += 1
+    dvIdx < dvPos.length && dvPos(dvIdx) == rowPos
+  }
+
   override def next(): Boolean = {
     while (true) {
       if (emptyRows > 0) {
@@ -383,10 +433,15 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
       }
       if (reader != null) {
         val g = reader.read()
-        if (g != null) { current = convert(g); return true }
-        reader.close(); reader = null
+        if (g != null) {
+          rowPos += 1
+          if (!masked()) { current = convert(g); return true }
+          // masked row: fall through and read the next one
+        } else {
+          reader.close(); reader = null
+        }
       }
-      if (!openNext()) return false
+      if (reader == null && !openNext()) return false
     }
     false // unreachable
   }

@@ -1861,6 +1861,11 @@ object GraftTable {
   private[table] def physicalNameOf(schema: StructType,
       logical: String): String = physName(schema, logical)
 
+  /** [[fileKey]] for the SPJ batch reader — the identity a DV parquet's
+    * `file` column records for a data file.
+    */
+  private[table] def fileKeyOf(path: String): String = fileKey(path)
+
   /** The schema as stored in parquet: physical names, no metadata. */
   private def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>

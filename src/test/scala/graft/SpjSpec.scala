@@ -237,27 +237,56 @@ class SpjSpec extends SparkSpec {
   }
 
   test("ineligible snapshots keep the V1 path even with the flag on") {
-    // (a) a transform with no SPJ spelling (truncate)
+    // a transform with no SPJ spelling (truncate)
     val root1 = s"$wh/ns/tf1"
     val df1 = Seq((1L, "alpha", 1.0), (2L, "beta", 2.0))
       .toDF("id", "tag", "v")
     GraftTable.createPartitioned(spark, root1, df1.schema,
       Seq(Partitioning.PTruncate("tag", 2)))
     GraftTable.append(spark, root1, df1)
-    // (b) identity spec but a DV-masked file
-    val root2 = s"$wh/ns/tf2"
-    mkPartitioned(root2, sampleRows(30, 0))
-    GraftTable.deleteWhereDv(spark, root2, "id = 5", prune = None)
 
     withSpj(on = true) {
-      for ((tbl, root) <- Seq(("tf1", root1), ("tf2", root2))) {
-        val df = spark.sql(s"SELECT * FROM $cat.ns.$tbl")
-        assert(!executed(df).exists(_.isInstanceOf[BatchScanExec]),
-          s"$tbl must fall back to the V1 scan")
-        assert(df.count() > 0)
-      }
-      assert(spark.sql(s"SELECT * FROM $cat.ns.tf2 WHERE id = 5").count() == 0)
+      val df = spark.sql(s"SELECT * FROM $cat.ns.tf1")
+      assert(!executed(df).exists(_.isInstanceOf[BatchScanExec]),
+        "tf1 must fall back to the V1 scan")
+      assert(df.count() == 2)
     }
+  }
+
+  test("DV-masked files stay on the SPJ path: inline position skip ≡ V1") {
+    val root = s"$wh/ns/tdv"
+    mkPartitioned(root, sampleRows(30, 0))
+    GraftTable.deleteWhereDv(spark, root, "id = 5 OR amt > 40.0", prune = None)
+
+    val queries = Seq(
+      s"SELECT * FROM $cat.ns.tdv",
+      s"SELECT k, COUNT(*) AS n FROM $cat.ns.tdv GROUP BY k",
+      s"SELECT tag FROM $cat.ns.tdv WHERE k >= 2")
+    for (q <- queries) {
+      val off = withSpj(on = false)(sorted(spark.sql(q)))
+      val on = withSpj(on = true) {
+        val df = spark.sql(q)
+        assert(executed(df).exists {
+          case b: BatchScanExec => b.scan.toString.contains("GraftBatchScan")
+          case _ => false
+        }, s"expected the SPJ batch scan for: $q")
+        sorted(df)
+      }
+      assert(on == off, s"DV-masked SPJ read diverged for: $q")
+    }
+    withSpj(on = true) {
+      assert(spark.sql(s"SELECT * FROM $cat.ns.tdv WHERE id = 5").count() == 0)
+    }
+    // footer-only path on a masked file: project ONLY a column added
+    // after the data landed — every requested column is absent, so the
+    // reader emits null rows WITHOUT opening pages, and the count must
+    // be the LIVE count (physical minus the DV's exact masked count)
+    GraftTable.addColumn(spark, root, "w",
+      org.apache.spark.sql.types.LongType)
+    val q = s"SELECT w FROM $cat.ns.tdv"
+    val off = withSpj(on = false)(sorted(spark.sql(q)))
+    val on = withSpj(on = true)(sorted(spark.sql(q)))
+    assert(on == off, "footer-only live-count path diverged from V1")
   }
 
   test("SPJ path: file pruning from a pushed range still engages") {
