@@ -18,7 +18,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("optimize", "vacuum", "history", "expire_versions",
-      "describe_detail", "maintain")
+      "describe_detail", "maintain", "verify_table")
 
   def apply(cat: GraftCatalog, name: String): UnboundProcedure = name match {
     case "optimize" => Optimize(cat)
@@ -27,6 +27,7 @@ object GraftProcedures {
     case "expire_versions" => ExpireVersions(cat)
     case "describe_detail" => DescribeDetail(cat)
     case "maintain" => Maintain(cat)
+    case "verify_table" => VerifyTable(cat)
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure '$other' " +
         s"(have ${names.mkString(", ")})")
@@ -116,6 +117,29 @@ object GraftProcedures {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
           GraftTable.vacuum(spark, root, in.getLong(1))
             .map(p => Array[Any](str(p)))
+        }
+      }
+  }
+
+  /** `CALL c.system.verify_table(table => 'ns.t')` — integrity audit
+    * ([[GraftTable.verifyTable]], the FSCK analogue): logged files
+    * exist, partition tuples complete, deletion vectors present with
+    * exact masked counts, parquet-footer row counts equal the log.
+    * Failures row-by-row plus a summary row per check.
+    */
+  private case class VerifyTable(cat: GraftCatalog)
+      extends GraftProc("verify_table") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound("verify_table", Array(tableParam),
+        new StructType().add("check", StringType)
+          .add("target", StringType)
+          .add("ok", org.apache.spark.sql.types.BooleanType)
+          .add("detail", StringType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val root = cat.resolveRoot(in.getUTF8String(0).toString)
+          GraftTable.verifyTable(spark, root).map { case (c, t, ok, d) =>
+            Array[Any](str(c), str(t), ok, str(d))
+          }
         }
       }
   }

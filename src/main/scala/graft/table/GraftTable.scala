@@ -1468,6 +1468,94 @@ object GraftTable {
       }.toSeq
   }
 
+  /** Integrity audit of the CURRENT snapshot — the FSCK analogue.
+    * Checks, in increasing IO cost:
+    *  1. `file_exists`   — every logged data file is on the FS (driver
+    *                       metadata, O(files));
+    *  2. `tuple_complete`— partitioned tables: every file carries its
+    *                       full partition tuple (pure log read);
+    *  3. `dv_exists` / `dv_count` — every referenced deletion-vector
+    *                       parquet exists and holds EXACTLY the logged
+    *                       masked-position count for its file (one
+    *                       job per distinct DV parquet — per (dv,
+    *                       file) pairs, so superseded refs in shared
+    *                       parquets can't cross-count);
+    *  4. `row_count`     — each file's parquet-footer record count
+    *                       equals the logged `rows` (footers opened in
+    *                       a PARALLELIZED job, O(files) tasks — never
+    *                       a data read).
+    * Returns (check, target, ok, detail) rows — failures individually,
+    * plus one summary row per check. Read-only; safe on a live table.
+    */
+  def verifyTable(spark: SparkSession, root: String)
+      : Seq[(String, String, Boolean, String)] = {
+    val snap = snapshot(spark, root)
+    val (fs, _) = logFs(spark, root)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Boolean, String)]
+    def summarize(check: String, bad: Seq[(String, String)],
+        total: Int): Unit = {
+      bad.foreach { case (t, d) => out += ((check, t, false, d)) }
+      out += ((check, "*", bad.isEmpty,
+        s"${total - bad.size}/$total ok"))
+    }
+
+    val missing = snap.files.map(_.path)
+      .filterNot(p => fs.exists(new Path(root, p)))
+      .map(p => (p, "logged data file missing on filesystem"))
+    summarize("file_exists", missing, snap.files.size)
+
+    if (snap.spec.nonEmpty) {
+      val incomplete = snap.files.filter(f =>
+        snap.spec.exists(t => !f.part.contains(t.fieldName)))
+        .map(f => (f.path, "file lacks its partition tuple"))
+      summarize("tuple_complete", incomplete, snap.files.size)
+    }
+
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    if (dvFiles.nonEmpty) {
+      val dvPaths = dvFiles.map(_.dv.get.path).distinct
+      val missingDv = dvPaths
+        .filterNot(p => fs.exists(new Path(root, p)))
+        .map(p => (p, "referenced deletion-vector parquet missing"))
+      summarize("dv_exists", missingDv, dvPaths.size)
+      val present = dvPaths.filterNot(missingDv.map(_._1).toSet)
+      val byDv: Map[String, Map[String, Long]] = present.map { p =>
+        p -> spark.read.parquet(new Path(root, p).toString)
+          .groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }.toMap
+      val badCounts = dvFiles
+        .filter(f => byDv.contains(f.dv.get.path))
+        .flatMap { f =>
+          val got = byDv(f.dv.get.path).getOrElse(fileKey(f.path), 0L)
+          if (got == f.dv.get.rows) None
+          else Some((f.path,
+            s"dv positions $got != logged ${f.dv.get.rows}"))
+        }
+      summarize("dv_count", badCounts, dvFiles.size)
+    }
+
+    val existing = snap.files
+      .filterNot(f => missing.exists(_._1 == f.path))
+      .map(f => (new Path(root, f.path).toString, f.path, f.rows))
+    if (existing.nonEmpty) {
+      val conf = new SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val badRows = spark.sparkContext
+        .parallelize(existing, math.min(existing.size, 32))
+        .flatMap { case (abs, rel, expected) =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(abs), conf.value))
+          val n = try r.getRecordCount finally r.close()
+          if (n == expected) None
+          else Some((rel, s"footer rows $n != logged $expected"))
+        }.collect().toSeq
+      summarize("row_count", badRows, existing.size)
+    }
+    out.toSeq
+  }
+
   /** Resolve a wall-clock instant to the version in effect then: the
     * NEWEST retained commit whose recorded timestamp is <= `tsMs` —
     * the "AS OF TIMESTAMP" half of time travel (the "AS OF version"

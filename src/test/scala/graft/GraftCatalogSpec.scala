@@ -294,6 +294,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.ns.rw").count() == 100 + 40 + 20)
   }
 
+  test("CALL verify_table: clean audit on a healthy table, failures on corruption") {
+    wh
+    val root = s"$wh/ns/fsck"
+    graft.table.GraftTable.append(spark, root, rows(0, 60))
+    graft.table.GraftTable.append(spark, root, rows(60, 90))
+    graft.table.GraftTable.deleteWhereDv(spark, root, "id < 5", prune = None)
+
+    def audit() = spark.sql("CALL gcat.system.verify_table(`table` => 'ns.fsck')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(3)))
+
+    // healthy: every check's summary row is ok, no failure rows
+    val clean = audit()
+    assert(clean.nonEmpty && clean.forall(_._3), s"expected clean: ${clean.mkString("\n")}")
+    assert(clean.map(_._1).toSet ==
+      Set("file_exists", "dv_exists", "dv_count", "row_count"))
+
+    // corruption 1: a logged data file vanishes (dv-* parquets are the
+    // deletion vectors — exclude them here, corrupt one in step 2)
+    val dataDir = new java.io.File(s"$root/data")
+    def parquets(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) parquets(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val (dvParquets, dataParquets) =
+      parquets(dataDir).partition(_.getPath.contains("/dv-"))
+    val victim = dataParquets.minBy(_.getName)
+    assert(victim.delete())
+    val broken = audit()
+    val fe = broken.filter(_._1 == "file_exists")
+    assert(fe.exists(r => !r._3), s"expected file_exists failure: ${broken.mkString("\n")}")
+
+    // corruption 2: the deletion-vector parquet vanishes
+    assert(dvParquets.nonEmpty && dvParquets.head.delete())
+    val broken2 = audit()
+    assert(broken2.exists(r => r._1 == "dv_exists" && !r._3),
+      s"expected dv_exists failure: ${broken2.mkString("\n")}")
+  }
+
   test("CALL describe_detail and maintain: operational SQL surface") {
     wh
     spark.sql("CREATE TABLE gcat.ns.ops (id BIGINT, v DOUBLE)")

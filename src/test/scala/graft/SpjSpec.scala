@@ -289,6 +289,24 @@ class SpjSpec extends SparkSpec {
     assert(on == off, "footer-only live-count path diverged from V1")
   }
 
+  test("partition transforms are SQL-callable through the FunctionCatalog") {
+    wh // force catalog registration
+    // bucket must equal the write-side clustering expression
+    val viaFn = spark.sql(s"SELECT $cat.ns.bucket(8, 42L) AS b").head.get(0)
+    val viaExpr = spark.sql("SELECT pmod(xxhash64(42L), 8) AS b").head.get(0)
+    assert(viaFn.toString.toLong == viaExpr.toString.toLong)
+    // days of an epoch date; null flows through
+    val d0 = spark.sql(
+      s"SELECT $cat.ns.days(DATE '1970-01-03') AS d").head.getLong(0)
+    assert(d0 == 2L)
+    assert(spark.sql(
+      s"SELECT $cat.ns.months(CAST(NULL AS DATE)) AS m").head.isNullAt(0))
+    // SHOW FUNCTIONS lists the transform set
+    val listed = spark.sql(s"SHOW FUNCTIONS IN $cat.ns")
+      .collect().map(_.getString(0)).mkString(",")
+    assert(listed.contains("bucket") && listed.contains("days"))
+  }
+
   test("SPJ path: file pruning from a pushed range still engages") {
     val root = s"$wh/ns/tp"
     mkPartitioned(root, sampleRows(70, 0))
