@@ -172,6 +172,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     isTableDir(tablePath(ident))
 
+  /** Column DEFAULT values at CREATE TABLE: the analyzer resolves
+    * `DEFAULT` in later INSERT/MERGE column lists from the
+    * CURRENT_DEFAULT/EXISTS_DEFAULT metadata Spark attaches to the
+    * schema — which this catalog persists verbatim in the commit log
+    * (and [[GraftCatalog.stripPhys]] preserves), so declaring the
+    * capability is sufficient: defaults fill at WRITE time and every
+    * stored row is complete. `ALTER TABLE … ADD COLUMN … DEFAULT`
+    * stays refused (existing rows would need read-time
+    * EXISTS_DEFAULT fill, which the physical read path does not do).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -203,6 +216,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft tables support adding top-level columns only")
         require(c.isNullable,
           "a column added to existing rows must be nullable")
+        require(c.defaultValue() == null,
+          "ADD COLUMN with DEFAULT is not supported: existing rows " +
+            "would need read-time EXISTS_DEFAULT fill; add the column, " +
+            "then UPDATE")
         GraftTable.addColumn(spark, root, c.fieldNames.head, c.dataType)
       case c: TableChange.RenameColumn =>
         require(c.fieldNames.length == 1,

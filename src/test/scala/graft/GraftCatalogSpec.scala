@@ -294,6 +294,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.ns.rw").count() == 100 + 40 + 20)
   }
 
+  test("column DEFAULT values: CREATE-time defaults fill INSERTs at write") {
+    wh
+    spark.sql("""CREATE TABLE gcat.ns.dflt (
+                   id BIGINT,
+                   status STRING DEFAULT 'new',
+                   score DOUBLE DEFAULT 1.5)""")
+    // omitted columns take the default; explicit DEFAULT keyword too
+    spark.sql("INSERT INTO gcat.ns.dflt (id) VALUES (1)")
+    spark.sql("INSERT INTO gcat.ns.dflt VALUES (2, DEFAULT, 9.0)")
+    spark.sql("INSERT INTO gcat.ns.dflt VALUES (3, 'done', DEFAULT)")
+    val got = spark.sql("SELECT * FROM gcat.ns.dflt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "new", 1.5), (2L, "new", 9.0), (3L, "done", 1.5)))
+    // defaults survive the log round-trip into a fresh snapshot read
+    // and ALTER ADD COLUMN with DEFAULT is refused
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ns.dflt ADD COLUMN extra INT DEFAULT 7")
+    }
+    assert(err.getMessage.contains("DEFAULT") ||
+      err.getCause != null && err.getCause.getMessage.contains("DEFAULT"))
+  }
+
   test("CALL verify_table: clean audit on a healthy table, failures on corruption") {
     wh
     val root = s"$wh/ns/fsck"
