@@ -225,6 +225,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(c.fieldNames.length == 1,
           "graft tables support renaming top-level columns only")
         GraftTable.renameColumn(spark, root, c.fieldNames.head, c.newName)
+      // `ALTER TABLE t ALTER COLUMN x TYPE BIGINT` — lossless numeric
+      // widening only (metadata-only; readers promote old files)
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames.length == 1,
+          "graft tables support widening top-level columns only")
+        GraftTable.widenColumn(spark, root, c.fieldNames.head, c.newDataType)
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1,
           "graft tables support dropping top-level columns only")

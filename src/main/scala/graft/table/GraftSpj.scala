@@ -470,11 +470,21 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
     */
   private def value(g: Group, idx: Int, dt: DataType, pt: Type): Any =
     dt match {
-      case LongType => g.getLong(idx, 0)
+      // int-class reads check the PHYSICAL width: files written before
+      // a widenColumn still hold INT32 under a LONG logical type
+      case LongType =>
+        if (pt.asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+          g.getInteger(idx, 0).toLong
+        else g.getLong(idx, 0)
       case IntegerType => g.getInteger(idx, 0)
       case ShortType => g.getInteger(idx, 0).toShort
       case ByteType => g.getInteger(idx, 0).toByte
-      case DoubleType => g.getDouble(idx, 0)
+      case DoubleType =>
+        if (pt.asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
+          g.getFloat(idx, 0).toDouble
+        else g.getDouble(idx, 0)
       case FloatType => g.getFloat(idx, 0)
       case BooleanType => g.getBoolean(idx, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)

@@ -229,6 +229,49 @@ object GraftTable {
       Some((Nil, Nil, snap.schema.add(field), None))
     }
 
+  /** Widening pairs the parquet readers promote natively (probed on
+    * Spark 4.1: INT32-class → wider int, FLOAT → DOUBLE). Within one
+    * stats class ("i64" / "f64"), so per-file zone maps, metadata
+    * aggregates and pruning comparators stay homogeneous across old
+    * and new files. Cross-class (int → double) is deliberately OUT:
+    * it would mix stats types file-to-file and lose exactness.
+    */
+  private val widenings: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val ints = Seq(ByteType, ShortType, IntegerType, LongType)
+    (for {
+      (from, i) <- ints.zipWithIndex
+      to <- ints.drop(i + 1)
+    } yield (from: DataType, to: DataType)).toSet + (FloatType -> DoubleType)
+  }
+
+  /** Schema evolution: WIDEN a column's type in one metadata-only
+    * commit (the Delta type-widening shape). Existing files keep their
+    * narrower physical type — Spark's parquet readers promote at scan
+    * time — and new writes land wide. Only [[widenings]] pairs are
+    * legal; anything else (narrowing, cross-class, non-numeric)
+    * refuses.
+    */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long =
+    commitRetry(spark, root) { snap =>
+      require(snap.version >= 0, s"GraftTable: no table at $root")
+      val i = snap.schema.fieldNames.indexOf(name)
+      require(i >= 0, s"GraftTable: no column '$name'")
+      val old = snap.schema.fields(i)
+      require(widenings.contains((old.dataType, newType)),
+        s"GraftTable: cannot change ${old.dataType.simpleString} to " +
+          s"${newType.simpleString} — only lossless numeric widening " +
+          "within one stats class is supported")
+      require(!snap.spec.exists(_.srcCol == name),
+        s"GraftTable: '$name' is a partition source column — widening " +
+          "would re-key existing partition tuples")
+      val fields = snap.schema.fields.clone()
+      fields(i) = old.copy(dataType = newType)
+      Some((Nil, Nil, org.apache.spark.sql.types.StructType(fields), None))
+    }
+
   /** Replace the whole table content in one atomic commit. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commitRetry(spark, root) { snap =>

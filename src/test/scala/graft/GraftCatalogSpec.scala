@@ -294,6 +294,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.ns.rw").count() == 100 + 40 + 20)
   }
 
+  test("ALTER COLUMN TYPE: SQL numeric widening through the catalog") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.widen (n INT, x FLOAT)")
+    spark.sql("INSERT INTO gcat.ns.widen VALUES (7, 1.5)")
+    spark.sql("ALTER TABLE gcat.ns.widen ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO gcat.ns.widen VALUES (3000000000, 2.5)")
+    val got = spark.sql("SELECT n FROM gcat.ns.widen ORDER BY n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 3000000000L))
+    // narrowing refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ns.widen ALTER COLUMN n TYPE INT")
+    }
+  }
+
   test("column DEFAULT values: CREATE-time defaults fill INSERTs at write") {
     wh
     spark.sql("""CREATE TABLE gcat.ns.dflt (

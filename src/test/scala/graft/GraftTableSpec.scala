@@ -22,6 +22,39 @@ class GraftTableSpec extends SparkSpec {
   private def rows(lo: Long, hi: Long) =
     (lo until hi).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
 
+  test("widenColumn: lossless numeric widening, old files promote at read") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val narrow = Seq((1, 1.5f), (2, 2.5f)).toDF("n", "x")
+    GraftTable.append(spark, root, narrow)
+    GraftTable.widenColumn(spark, root, "n", LongType)
+    GraftTable.widenColumn(spark, root, "x", DoubleType)
+    // new writes land wide; old INT32/FLOAT files read under the
+    // widened logical schema
+    GraftTable.append(spark, root,
+      Seq((3_000_000_000L, 9.25)).toDF("n", "x"))
+    val df = GraftTable.read(spark, root)
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("x").dataType == DoubleType)
+    val got = df.orderBy("n").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.5), (2L, 2.5), (3_000_000_000L, 9.25)))
+    // zone-map pruning still serves the widened column (homogeneous
+    // "i64" stats across narrow and wide files)
+    assert(GraftTable.scanWhere(spark, root, "n >= 3000000000").count() == 1)
+    // refusals: narrowing, cross-class, non-numeric
+    intercept[IllegalArgumentException] {
+      GraftTable.widenColumn(spark, root, "n", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.widenColumn(spark, root, "n", DoubleType)
+    }
+    // DML on the widened column stays exact (CoW rewrite reads
+    // promoted old files)
+    GraftTable.deleteWhere(spark, root, "n = 2", prune = None)
+    assert(GraftTable.read(spark, root).count() == 2)
+  }
+
   test("append/read: versions advance, content accumulates, time travel works") {
     val root = freshRoot()
     val v0 = GraftTable.append(spark, root, rows(0, 50))

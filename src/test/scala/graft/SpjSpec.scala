@@ -222,6 +222,21 @@ class SpjSpec extends SparkSpec {
     assert(on.count(_.contains("null")) == 3) // three pre-evolution rows
   }
 
+  test("widened column reads through the SPJ row reader (INT32 under LONG)") {
+    val root = s"$wh/ns/tw"
+    val df0 = Seq((1L, 10), (2L, 20)).toDF("k", "n")
+    GraftTable.createPartitioned(spark, root, df0.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df0)
+    GraftTable.widenColumn(spark, root, "n",
+      org.apache.spark.sql.types.LongType)
+    GraftTable.append(spark, root, Seq((1L, 3000000000L)).toDF("k", "n"))
+    val q = s"SELECT k, n FROM $cat.ns.tw"
+    val off = withSpj(on = false)(sorted(spark.sql(q)))
+    val on = withSpj(on = true)(sorted(spark.sql(q)))
+    assert(on == off && on.size == 3)
+  }
+
   test("NULL partition value flows through the SPJ path") {
     val root = s"$wh/ns/tn"
     val df0 = Seq((java.lang.Long.valueOf(1L), "a"),
