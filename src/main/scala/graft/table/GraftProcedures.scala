@@ -18,7 +18,8 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("optimize", "vacuum", "history", "expire_versions",
-      "describe_detail", "maintain", "verify_table")
+      "describe_detail", "maintain", "verify_table",
+      "evolve_partitioning")
 
   def apply(cat: GraftCatalog, name: String): UnboundProcedure = name match {
     case "optimize" => Optimize(cat)
@@ -28,6 +29,7 @@ object GraftProcedures {
     case "describe_detail" => DescribeDetail(cat)
     case "maintain" => Maintain(cat)
     case "verify_table" => VerifyTable(cat)
+    case "evolve_partitioning" => EvolvePartitioning(cat)
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure '$other' " +
         s"(have ${names.mkString(", ")})")
@@ -140,6 +142,30 @@ object GraftProcedures {
           GraftTable.verifyTable(spark, root).map { case (c, t, ok, d) =>
             Array[Any](str(c), str(t), ok, str(d))
           }
+        }
+      }
+  }
+
+  /** `CALL c.system.evolve_partitioning(table => 'ns.t',
+    * spec => 'days(ts), bucket(16, id)')` — replace the partition spec
+    * metadata-only ([[GraftTable.evolvePartitioning]]; the DDL-ish
+    * spec string parses via [[Partitioning.parse]], bare identifiers
+    * are identity). Returns the bumped version and the new spec.
+    */
+  private case class EvolvePartitioning(cat: GraftCatalog)
+      extends GraftProc("evolve_partitioning") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound("evolve_partitioning", Array(
+        tableParam,
+        ProcedureParameter.in("spec", StringType)
+          .comment("DDL-ish transforms, e.g. 'days(ts), bucket(16, id)'")
+          .build()),
+        new StructType().add("version", LongType).add("spec", StringType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val root = cat.resolveRoot(in.getUTF8String(0).toString)
+          val spec = Partitioning.parse(in.getUTF8String(1).toString)
+          val v = GraftTable.evolvePartitioning(spark, root, spec)
+          Seq(Array[Any](v, str(spec.map(_.describe).mkString(", "))))
         }
       }
   }

@@ -328,17 +328,62 @@ object GraftTable {
       require(snap.spec.nonEmpty,
         "overwritePartitions needs a partitioned table " +
           "(createPartitioned) — use overwrite/replaceWhere otherwise")
+      // after evolvePartitioning, pre-evolution files lack the current
+      // tuple — a dynamic overwrite could not replace their rows, so
+      // silent drift is REFUSED until a compact/optimize migrates them
+      val specKeys = snap.spec.map(_.fieldName).toSet
+      require(snap.files.forall(f => specKeys.subsetOf(f.part.keySet)),
+        "overwritePartitions on an evolved spec requires migrating " +
+          "pre-evolution files first (compact/optimize rewrites them " +
+          "under the current spec)")
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None
       else {
         enforceConstraints(spark, root, df)
         val schema = mergedSchema(snap, df)
         val adds = writeData(spark, root, df, schema)
-        val touched = adds.map(_.part).toSet
-        val removes = snap.files.filter(f => touched.contains(f.part))
+        // compare tuples PROJECTED onto the current spec: a spec that
+        // evolved by dropping a transform leaves migrated files with
+        // the old extra key, which must not defeat the match
+        def proj(part: Map[String, String]) =
+          part.view.filterKeys(specKeys).toMap
+        val touched = adds.map(a => proj(a.part)).toSet
+        val removes = snap.files.filter(f => touched.contains(proj(f.part)))
         Some((adds, removes.map(_.path), schema, txn))
       }
     }
+
+  /** PARTITION SPEC EVOLUTION (the Iceberg capability the immutable
+    * spec lacked): atomically replace the table's transform spec. Pure
+    * metadata — no file rewrites. Every file keeps the tuple of the
+    * spec it was WRITTEN under: scans stay exact (tuple pruning is
+    * per-file and conservatively skips files lacking a field), new
+    * writes cluster under the new spec, and any rewrite
+    * (compact/optimize/CoW DML) migrates what it touches because
+    * [[writeData]] always clusters by the CURRENT spec. Mixed
+    * generations fall off the SPJ fast path (its eligibility demands
+    * the full current tuple on every file) and refuse
+    * [[overwritePartitions]] until migrated — explicit, never silent
+    * drift. The spec file rewrite is pinned by a version bump so
+    * cached snapshots can never serve the old spec at the new tip.
+    */
+  def evolvePartitioning(spark: SparkSession, root: String,
+      newSpec: Seq[Partitioning.PTransform]): Long = {
+    val snap0 = snapshot(spark, root)
+    require(snap0.version >= 0, s"GraftTable: no table at $root")
+    require(snap0.spec.nonEmpty,
+      "evolvePartitioning needs a transform-partitioned table " +
+        "(createPartitioned)")
+    Partitioning.validate(newSpec, snap0.schema)
+    val (fs, logDir) = logFs(spark, root)
+    writeString(fs, new Path(logDir, PartSpecFile),
+      Partitioning.toJson(newSpec))
+    // (len, mtime) cache keys can collide across two same-length
+    // rewrites within one mtime tick — drop the parsed-spec cache
+    specCache.clear()
+    // empty commit: advances the version so snapshot caches re-read
+    commitRetry(spark, root) { snap => Some((Nil, Nil, snap.schema, None)) }
+  }
 
   /** Copy-on-write delete: files whose zone maps PROVE no row matches
     * `condSql` survive untouched; every other file is rewritten without

@@ -405,6 +405,33 @@ object Partitioning {
     mapper.writeValueAsString(root)
   }
 
+  /** Parse a DDL-ish spec string — `"days(ts), bucket(16, id), k"` —
+    * the text form the `evolve_partitioning` CALL procedure takes.
+    * A bare identifier is `identity`.
+    */
+  def parse(s: String): Seq[PTransform] = {
+    val fn = """(\w+)\s*\(\s*([^)]*?)\s*\)""".r
+    // split on top-level commas only (a comma whose remainder reaches
+    // a ')' without an intervening '(' sits inside transform args)
+    s.split(""",(?![^(]*\))""").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case fn("identity", col) => PIdentity(col)
+      case fn("days", col) => PDays(col)
+      case fn("hours", col) => PHours(col)
+      case fn("months", col) => PMonths(col)
+      case fn("years", col) => PYears(col)
+      case fn("bucket", args) => args.split(',').map(_.trim) match {
+        case Array(n, col) => PBucket(col, n.toInt)
+        case _ => sys.error(s"bucket expects (n, col), got '$args'")
+      }
+      case fn("truncate", args) => args.split(',').map(_.trim) match {
+        case Array(w, col) => PTruncate(col, w.toInt)
+        case _ => sys.error(s"truncate expects (w, col), got '$args'")
+      }
+      case bare if bare.matches("\\w+") => PIdentity(bare)
+      case other => sys.error(s"cannot parse partition transform '$other'")
+    }
+  }
+
   def fromJson(s: String): Seq[PTransform] = {
     import scala.jdk.CollectionConverters._
     val root = mapper.readTree(s)

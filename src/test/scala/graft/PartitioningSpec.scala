@@ -32,6 +32,72 @@ class PartitioningSpec extends SparkSpec {
     (5L, null.asInstanceOf[Timestamp], "a", 50.0)
   ).toDF("id", "etime", "kind", "v")
 
+  test("partition spec evolution: metadata-only, mixed generations exact, compact migrates") {
+    val root = freshRoot()
+    GraftTable.createPartitioned(spark, root, events().schema,
+      Seq(PDays("etime")))
+    GraftTable.append(spark, root, events())
+    val preEvolveVersion = GraftTable.snapshot(spark, root).version
+
+    // evolve days(etime) -> (months(etime), kind): pure metadata
+    val filesBefore = GraftTable.snapshot(spark, root).files.map(_.path).toSet
+    GraftTable.evolvePartitioning(spark, root,
+      Seq(PMonths("etime"), PIdentity("kind")))
+    val snap1 = GraftTable.snapshot(spark, root)
+    assert(snap1.spec.map(_.describe) == Seq("months(etime)", "kind"))
+    assert(snap1.files.map(_.path).toSet == filesBefore, "no file rewrites")
+
+    // new writes cluster under the NEW spec
+    GraftTable.append(spark, root, Seq(
+      (6L, ts("2024-04-10 09:00:00"), "a", 60.0),
+      (7L, ts("2024-04-15 10:00:00"), "b", 70.0)).toDF("id", "etime", "kind", "v"))
+    val snap2 = GraftTable.snapshot(spark, root)
+    val newGen = snap2.files.filterNot(f => filesBefore.contains(f.path))
+    assert(newGen.nonEmpty &&
+      newGen.forall(f => f.part.contains("gp_etime_month") &&
+        f.part.contains("gp_kind")))
+
+    // mixed generations read exactly; pruning stays correct (old files
+    // conservative, new files prune by the new transforms)
+    assert(GraftTable.read(spark, root).count() == 7)
+    assert(GraftTable.scanWhere(spark, root,
+      "etime >= TIMESTAMP '2024-04-01 00:00:00'").count() == 2)
+    assert(GraftTable.scanWhere(spark, root,
+      "etime < TIMESTAMP '2024-03-02 00:00:00'").count() == 2)
+
+    // dynamic overwrite refuses on mixed generations — never silent drift
+    intercept[IllegalArgumentException] {
+      GraftTable.overwritePartitions(spark, root,
+        Seq((8L, ts("2024-04-10 11:00:00"), "a", 80.0))
+          .toDF("id", "etime", "kind", "v"))
+    }
+
+    // compact migrates every file to the current spec...
+    GraftTable.compact(spark, root, targetFiles = 2)
+    val snap3 = GraftTable.snapshot(spark, root)
+    assert(snap3.files.forall(f => f.part.contains("gp_etime_month") &&
+      f.part.contains("gp_kind")))
+    assert(GraftTable.read(spark, root).count() == 7)
+    // ...after which dynamic overwrite works under the new spec:
+    // replace the (2024-04, a) partition
+    GraftTable.overwritePartitions(spark, root,
+      Seq((9L, ts("2024-04-20 11:00:00"), "a", 90.0))
+        .toDF("id", "etime", "kind", "v"))
+    val ids = GraftTable.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(6L) && ids.contains(9L) && ids.contains(7L))
+
+    // time travel to the pre-evolution version still reads in full
+    assert(GraftTable.read(spark, root,
+      version = Some(preEvolveVersion)).count() == 5)
+
+    // the spec string form round-trips through the parser
+    assert(Partitioning.parse("months(etime), kind").map(_.describe) ==
+      Seq("months(etime)", "kind"))
+    assert(Partitioning.parse("days(ts), bucket(16, id)").map(_.describe) ==
+      Seq("days(ts)", "bucket(16, id)"))
+  }
+
   test("partitioned append: one tuple per file, tuple recorded in the log") {
     val root = freshRoot()
     GraftTable.createPartitioned(spark, root, events().schema,
