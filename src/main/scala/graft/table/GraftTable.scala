@@ -1624,6 +1624,12 @@ object GraftTable {
       summarize("dv_count", badCounts, dvFiles.size)
     }
 
+    // informational: unreferenced files a vacuum would reclaim —
+    // never a failure (expired versions leave these by design)
+    out += (("orphans", "*", true,
+      s"${vacuumDryRun(spark, root).size} unreferenced files " +
+        "(vacuum reclaims)"))
+
     val existing = snap.files
       .filterNot(f => missing.exists(_._1 == f.path))
       .map(f => (new Path(root, f.path).toString, f.path, f.rows))

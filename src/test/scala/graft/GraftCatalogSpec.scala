@@ -346,7 +346,7 @@ class GraftCatalogSpec extends SparkSpec {
     val clean = audit()
     assert(clean.nonEmpty && clean.forall(_._3), s"expected clean: ${clean.mkString("\n")}")
     assert(clean.map(_._1).toSet ==
-      Set("file_exists", "dv_exists", "dv_count", "row_count"))
+      Set("file_exists", "dv_exists", "dv_count", "row_count", "orphans"))
 
     // corruption 1: a logged data file vanishes (dv-* parquets are the
     // deletion vectors — exclude them here, corrupt one in step 2)
