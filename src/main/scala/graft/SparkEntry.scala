@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` / `oracleSql` carry the declared inventory (SURVEY §2.4 —
-  * Q01–Q62 plus the named operator queries; 142 total as of round 10,
-  * 134 DuckDB-oracled + 3 declared rows-only ANN entries)
+  * Q01–Q62 plus the named operator queries; 146 total as of round 10,
+  * 143 DuckDB-oracled + 3 declared rows-only ANN entries)
   * across the L2/L3 operator surface; names must match between the two
   * maps, and every aliased output column matches the oracle's.
   */

@@ -1231,7 +1231,194 @@ object EngineOps {
                       ${Canonical.moneySumSql("c_acctbal + s_acctbal")} AS bal
                FROM customer JOIN supplier ON c_nationkey = s_nationkey
                GROUP BY c_nationkey ORDER BY nk""")),
+
+    // Bucket-transform SPJ judged end-to-end: orders and customer land
+    // in tables PARTITIONED BY bucket(8, custkey); with the SPJ flag
+    // on, Spark resolves both sides' bucket transforms through the
+    // catalog's FunctionCatalog (GraftBucketFunction) and plans the
+    // custkey join with ZERO exchange — the production bucketed
+    // fact-fact join, content pinned under the hash gate.
+    ("catalog_spj_bucket",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val od = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val cu = Tables(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")
+        val (cat, nsDir) = catalogFor(s, dir, "cspb")
+        val oRoot = s"$nsDir/spbo"
+        val cRoot = s"$nsDir/spbc"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, oRoot).version < 0L)
+            gt.createPartitioned(s, oRoot, od.schema,
+              Seq(graft.table.Partitioning.PBucket("o_custkey", 8)))
+          if (gt.snapshot(s, oRoot).version == 0L)
+            gt.append(s, oRoot, od, txn = Some(("cat_spb_o", 0L)))
+          if (gt.snapshot(s, cRoot).version < 0L)
+            gt.createPartitioned(s, cRoot, cu.schema,
+              Seq(graft.table.Partitioning.PBucket("c_custkey", 8)))
+          if (gt.snapshot(s, cRoot).version == 0L)
+            gt.append(s, cRoot, cu, txn = Some(("cat_spb_c", 0L)))
+        }
+        val spjPrev = s.conf.getOption(graft.table.GraftSpj.ConfKey)
+        val bcPrev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set(graft.table.GraftSpj.ConfKey, "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try s.sql(
+          s"""SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+                     ${Canonical.moneySumSql("o.o_totalprice")} AS rev
+              FROM $cat.ops.spbo o JOIN $cat.ops.spbc c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment ORDER BY seg""").localCheckpoint()
+        finally {
+          spjPrev match {
+            case Some(v) => s.conf.set(graft.table.GraftSpj.ConfKey, v)
+            case None => s.conf.unset(graft.table.GraftSpj.ConfKey)
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcPrev)
+        }
+      },
+      Some(s"""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("o_totalprice")} AS rev
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY seg""")),
+
+    // Partition spec evolution judged end-to-end: events land under
+    // days(ts), the spec evolves METADATA-ONLY to (months(ts),
+    // event_type), a second batch lands under the new spec, and the
+    // judged read spans BOTH file generations — the oracle is the
+    // plain relational answer, so mixed-generation reads and the
+    // conservative old-file pruning are pinned under the hash gate.
+    ("table_spec_evolution",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        val pt = graft.table.Partitioning
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val cut = "2024-01-15 00:00:00"
+        val root = s"target/graft_tables/${EngineOps.fingerprint(dir,
+          "specevo")}/evo"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            gt.createPartitioned(s, root, ev.schema,
+              Seq(pt.PDays("ts")))
+          if (gt.snapshot(s, root).version == 0L)
+            gt.append(s, root, ev.filter(col("ts") < cut),
+              txn = Some(("specevo", 0L)))
+          if (gt.snapshot(s, root).version == 1L)
+            gt.evolvePartitioning(s, root,
+              Seq(pt.PMonths("ts"), pt.PIdentity("event_type")))
+          if (gt.snapshot(s, root).version == 2L)
+            gt.append(s, root, ev.filter(col("ts") >= cut),
+              txn = Some(("specevo", 1L)))
+        }
+        gt.scanWhere(s, root,
+          "ts >= TIMESTAMP '2024-01-10 00:00:00'")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            Canonical.moneySum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("value")} AS sum_value,
+                      MIN(event_id) AS min_id
+               FROM events
+               WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+               GROUP BY event_type ORDER BY event_type""")),
+
+    // Type widening judged end-to-end: an INT quantity column lands,
+    // `ALTER COLUMN … TYPE BIGINT` widens it metadata-only, and a
+    // second insert lands values past 2³¹ — the judged aggregate reads
+    // INT32 parquet under the LONG logical type next to genuine INT64
+    // files, vs an oracle that reconstructs the same union.
+    ("catalog_widen",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "lineitem").createOrReplaceTempView("li_widen_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cwdn")
+        val root = s"$nsDir/wdn"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"CREATE TABLE $cat.ops.wdn (k BIGINT, q INT)")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.wdn
+                      SELECT l_orderkey, CAST(l_quantity AS INT)
+                      FROM li_widen_src
+                      WHERE l_shipdate < TIMESTAMP '1995-01-01'""")
+          if (gt.snapshot(s, root).schema("q").dataType ==
+              org.apache.spark.sql.types.IntegerType)
+            s.sql(s"ALTER TABLE $cat.ops.wdn ALTER COLUMN q TYPE BIGINT")
+          if (gt.snapshot(s, root).version == 2L)
+            s.sql(s"""INSERT INTO $cat.ops.wdn
+                      SELECT l_orderkey,
+                             CAST(l_quantity AS BIGINT) + 3000000000
+                      FROM li_widen_src
+                      WHERE l_shipdate >= TIMESTAMP '1995-01-01'""")
+        }
+        s.sql(s"""SELECT COUNT(*) AS n, SUM(q) AS sum_q,
+                         MIN(q) AS min_q, MAX(q) AS max_q
+                  FROM $cat.ops.wdn""")
+      },
+      Some("""WITH u AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1995-01-01'
+                UNION ALL
+                SELECT CAST(l_quantity AS BIGINT) + 3000000000 AS q
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+              SELECT COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+                     MIN(q) AS min_q, MAX(q) AS max_q
+              FROM u""")),
+
+    // Column DEFAULT values judged end-to-end: a table declares
+    // defaults at CREATE, one insert omits the defaulted columns and
+    // one supplies them — the analyzer fills at write time, and the
+    // judged group-by pins the filled content vs a relational oracle.
+    ("catalog_defaults",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "orders").createOrReplaceTempView("ord_dflt_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cdfl")
+        val root = s"$nsDir/dfl"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.dfl (
+                        ok BIGINT,
+                        prio STRING DEFAULT 'unspecified',
+                        amt DOUBLE DEFAULT 0.0)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.dfl (ok)
+                      SELECT o_orderkey FROM ord_dflt_src
+                      WHERE o_orderstatus = 'F'""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""INSERT INTO $cat.ops.dfl
+                      SELECT o_orderkey, o_orderpriority, o_totalprice
+                      FROM ord_dflt_src WHERE o_orderstatus <> 'F'""")
+        }
+        s.sql(s"""SELECT prio, COUNT(*) AS n,
+                         ${Canonical.moneySumSql("amt")} AS sum_amt
+                  FROM $cat.ops.dfl GROUP BY prio ORDER BY prio""")
+      },
+      Some(s"""WITH u AS (
+                 SELECT 'unspecified' AS prio, 0.0 AS amt FROM orders
+                 WHERE o_orderstatus = 'F'
+                 UNION ALL
+                 SELECT o_orderpriority AS prio, o_totalprice AS amt
+                 FROM orders WHERE o_orderstatus <> 'F')
+               SELECT prio, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("amt")} AS sum_amt
+               FROM u GROUP BY prio ORDER BY prio""")),
   )
+
+  /** Write-once root fingerprint for non-catalog table builds, keyed
+    * by the source generation and a tag (same rule as [[catalogFor]]).
+    */
+  private def fingerprint(dir: String, tag: String): String = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    java.lang.Long.toHexString(
+      src.length ^ (src.lastModified * 31) ^ tag.hashCode.toLong)
+  }
 
   /** The shared `csel` catalog table (two appends of lineitem split at
     * 1998) — built write-once, used by catalog_sql_select and
