@@ -213,24 +213,44 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(GraftTable.snapshot(spark, root).schema.fieldNames.contains("tag"))
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION refuses a type conflict") {
+  test("MERGE WITH SCHEMA EVOLUTION widens a numeric type conflict losslessly") {
     wh
     spark.sql("DROP TABLE IF EXISTS gdml.ns.evoc")
     spark.sql("CREATE TABLE gdml.ns.evoc (id BIGINT, n INT)")
     GraftTable.append(spark, s"$wh/ns/evoc",
       Seq((1L, 10), (2L, 20)).toDF("id", "n"))
-    // source widens n to BIGINT → an UpdateColumnType change, which
-    // the catalog's alterTable does not support: refused, not rewritten
-    Seq((1L, 100L)).toDF("sid", "n").createOrReplaceTempView("evoc_src")
+    // source carries n as BIGINT → the derived UpdateColumnType change
+    // routes through widenColumn: metadata-only widening, then merge
+    Seq((1L, 3000000000L)).toDF("sid", "n")
+      .createOrReplaceTempView("evoc_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.ns.evoc t
+                 USING evoc_src s ON t.id = s.sid
+                 WHEN MATCHED THEN UPDATE SET n = s.n""")
+    val t = spark.table("gdml.ns.evoc")
+    assert(t.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType, "n widened to BIGINT")
+    val m = t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 3000000000L, 2L -> 20L),
+      "updated row past 2^31; untouched INT32 row promotes at read")
+
+    // a NON-widenable conflict (string source) still refuses untouched
+    spark.sql("DROP TABLE IF EXISTS gdml.ns.evos")
+    spark.sql("CREATE TABLE gdml.ns.evos (id BIGINT, n INT)")
+    GraftTable.append(spark, s"$wh/ns/evos",
+      Seq((1L, 10)).toDF("id", "n"))
+    Seq((1L, "oops")).toDF("sid", "n").createOrReplaceTempView("evos_src")
     val e = intercept[Exception] {
-      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.ns.evoc t
-                   USING evoc_src s ON t.id = s.sid
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.ns.evos t
+                   USING evos_src s ON t.id = s.sid
                    WHEN MATCHED THEN UPDATE SET n = s.n""")
     }
-    assert(e.getMessage.contains("does not support table change"),
-      s"expected alterTable refusal, got: ${e.getMessage}")
-    // table untouched
-    assert(spark.table("gdml.ns.evoc").count() == 2)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("cannot change") ||
+      m.contains("does not support table change") || m.contains("CAST")),
+      s"expected a widening refusal, got: ${chain(e).mkString(" | ")}")
+    assert(spark.table("gdml.ns.evos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 10)))
   }
 
   test("constraints on a column absent from pre-evolution rows admit NULLs") {
