@@ -183,7 +183,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * EXISTS_DEFAULT fill, which the physical read path does not do).
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      .asJava
+
+  /** GENERATED ALWAYS AS columns arrive only through the V2 `Column`
+    * overload (`generationExpression()` — the StructType conversion
+    * drops it): capture the expressions, delegate to the interface
+    * default for the schema conversion (which preserves DEFAULT-value
+    * metadata), then persist them; [[GraftTable.writeData]] recomputes
+    * the columns on every write, so the ALWAYS contract holds through
+    * INSERT, DML rewrites and compaction alike.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val gen = columns.flatMap(c =>
+      Option(c.generationExpression()).map(c.name -> _)).toMap
+    val t = super.createTable(ident, columns, partitions, properties)
+    if (gen.nonEmpty)
+      GraftTable.setGenerated(spark, tablePath(ident).toString, gen)
+    t
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -2081,9 +2081,16 @@ object GraftTable {
     * files — conservative, never wrong).
     */
   private[table] def writeData(spark: SparkSession, root: String,
-      df: DataFrame, tableSchema: StructType,
+      dfIn: DataFrame, tableSchema: StructType,
       layout: Option[String] = None,
       preserveLayout: Boolean = false): Seq[AddFile] = {
+    // GENERATED ALWAYS AS columns recompute on every write — the one
+    // choke point that makes the contract survive DML and compaction
+    val df = generatedOf(spark, root).foldLeft(dfIn) { case (d, (c, e)) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, expr(e).cast(tableSchema(c).dataType))
+      else d
+    }
     val spec = partitionSpecOf(spark, root)
     val commitId = UUID.randomUUID().toString
     val dir = new Path(new Path(root, "data"), commitId)
@@ -2217,6 +2224,27 @@ object GraftTable {
       val cn = node.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e) }
     }
+
+  /** Declare GENERATED ALWAYS AS columns: column → SQL expression over
+    * the row's other columns. EVERY write ([[writeData]] is the single
+    * choke point — inserts, CoW DML rewrites, compaction, purge)
+    * recomputes the column from its expression, which is what makes
+    * the "ALWAYS" contract hold even through UPDATE/MERGE of the
+    * source columns: a rewrite can never persist a stale derived
+    * value, and an explicitly-supplied value is simply overwritten.
+    */
+  def setGenerated(spark: SparkSession, root: String,
+      gen: Map[String, String]): Unit =
+    updateProps(spark, root) { node =>
+      val gn = node.putObject("generated")
+      gen.toSeq.sortBy(_._1).foreach { case (n, e) => gn.put(n, e) }
+    }
+
+  def generatedOf(spark: SparkSession, root: String): Map[String, String] =
+    readProps(spark, root).filter(_.hasNonNull("generated"))
+      .map(_.get("generated").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty)
 
   private def updateProps(spark: SparkSession, root: String)(
       f: ObjectNode => Unit): Unit = {

@@ -309,6 +309,27 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("GENERATED ALWAYS AS columns recompute on every write") {
+    wh
+    spark.sql("""CREATE TABLE gcat.ns.gen (
+                   id BIGINT,
+                   twice BIGINT GENERATED ALWAYS AS (id * 2),
+                   tag STRING)""")
+    spark.sql("INSERT INTO gcat.ns.gen (id, tag) VALUES (5, 'a')")
+    // an explicitly-supplied value is overwritten by the expression
+    spark.sql("INSERT INTO gcat.ns.gen VALUES (7, 99, 'b')")
+    def rows() = spark.sql("SELECT id, twice, tag FROM gcat.ns.gen ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows() == Seq((5L, 10L, "a"), (7L, 14L, "b")))
+    // UPDATE of the SOURCE column recomputes the derived one — the
+    // CoW rewrite runs through the same write choke point
+    spark.sql("UPDATE gcat.ns.gen SET id = 20 WHERE tag = 'a'")
+    assert(rows() == Seq((7L, 14L, "b"), (20L, 40L, "a")))
+    // compaction preserves values (recompute is idempotent)
+    graft.table.GraftTable.compact(spark, s"$wh/ns/gen", targetFiles = 1)
+    assert(rows() == Seq((7L, 14L, "b"), (20L, 40L, "a")))
+  }
+
   test("column DEFAULT values: CREATE-time defaults fill INSERTs at write") {
     wh
     spark.sql("""CREATE TABLE gcat.ns.dflt (
