@@ -456,10 +456,13 @@ class GraftV2Table(val root: String, ident: Identifier,
       (if (snap.spec.isEmpty) Map.empty[String, String]
        else Map("partition.spec" ->
          snap.spec.map(_.describe).mkString(", "))) ++
-      // declared CHECK constraints surface as properties, so
-      // DESCRIBE EXTENDED / SHOW TBLPROPERTIES list what gates writes
+      // declared CHECK constraints and generated columns surface as
+      // properties, so DESCRIBE EXTENDED / SHOW TBLPROPERTIES list
+      // what gates and what computes on writes
       GraftTable.constraintsOf(spark, root)
-        .map { case (n, e) => s"constraint.$n" -> e }).asJava
+        .map { case (n, e) => s"constraint.$n" -> e } ++
+      GraftTable.generatedOf(spark, root)
+        .map { case (n, e) => s"generated.$n" -> e }).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(spark, root, snap)

@@ -328,6 +328,10 @@ class GraftCatalogSpec extends SparkSpec {
     // compaction preserves values (recompute is idempotent)
     graft.table.GraftTable.compact(spark, s"$wh/ns/gen", targetFiles = 1)
     assert(rows() == Seq((7L, 14L, "b"), (20L, 40L, "a")))
+    // the generation expression is visible operationally
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.ns.gen")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("generated.twice").exists(_.contains("id * 2")))
   }
 
   test("column DEFAULT values: CREATE-time defaults fill INSERTs at write") {
