@@ -72,6 +72,14 @@ class PartitioningSpec extends SparkSpec {
           .toDF("id", "etime", "kind", "v"))
     }
 
+    // CoW DML on mixed generations stays exact (stats-proven pruning,
+    // rewrite lands under the CURRENT spec)
+    GraftTable.deleteWhere(spark, root, "id = 2", prune = None)
+    assert(GraftTable.read(spark, root).count() == 6)
+    GraftTable.append(spark, root,
+      Seq((2L, ts("2024-03-01 23:59:59"), "b", 20.0))
+        .toDF("id", "etime", "kind", "v")) // restore for the counts below
+
     // compact migrates every file to the current spec...
     GraftTable.compact(spark, root, targetFiles = 2)
     val snap3 = GraftTable.snapshot(spark, root)
