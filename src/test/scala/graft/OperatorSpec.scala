@@ -86,6 +86,24 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall@5 = $recall")
   }
 
+  test("SQ8 ANN: int8 shortlist + exact re-rank recovers the brute top-k") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf(Similarity.bruteTopKExact(qs, emb, 5))
+    val sq8 = pairsOf(Similarity.sq8TopK(qs, emb, k = 5, shortlist = 20))
+    assert(sq8.size == brute.size)
+    // 6-bit codes rank cosine well enough that a 4x shortlist recovers
+    // nearly all true neighbors; the exact re-rank orders them
+    val recall = brute.count(sq8.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall@5 = $recall")
+    // the full-corpus shortlist IS the exact answer (re-rank is exact)
+    val full = pairsOf(Similarity.sq8TopK(qs, emb, k = 5,
+      shortlist = emb.count().toInt))
+    assert(full == brute)
+  }
+
   test("LSH ANN: index-free buckets, sane recall, no fabricated rows") {
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
