@@ -174,6 +174,7 @@ class SpjSpec extends SparkSpec {
       val nodes = executed(df)
       val scans = nodes.collect { case b: BatchScanExec => b }
       assert(scans.size == 2, s"expected 2 V2 batch scans, got $nodes")
+      assert(scans.forall(_.scan.toString.contains("GraftBatchScan")))
       val join = nodes.find(p =>
         p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
       assert(join.isDefined, s"no join in $nodes")
