@@ -76,13 +76,25 @@ object Dsir {
       (b, ct, cr)
     }.toDF("b", "ct", "cr")
     // the qlog2 COLUMN program (the cross-engine contract) applied on
-    // the local B-row relation — no second derivation to drift
-    val model = modelIn.select(col("b"),
-      FixedLog2.qlog2(col("ct") + 1).as("qt"),
-      FixedLog2.qlog2(col("cr") + 1).as("qr"))
-    val totals = modelIn.agg(
-      FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
-      FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
+    // the local B-row relation — no second derivation to drift. TWO
+    // qlog2 copies in one projection exceed janino's 64KB method limit
+    // (each is a 64-threshold sum), and the failed compile attempt
+    // costs real wall-clock per run before Spark falls back — so the
+    // B-row frames materialize INTERPRETED (no codegen to fail) and
+    // checkpoint, keeping the giant expression out of every downstream
+    // stage's whole-stage method.
+    val model = noCodegen(spark) {
+      modelIn.select(col("b"),
+        FixedLog2.qlog2(col("ct") + 1).as("qt"),
+        FixedLog2.qlog2(col("cr") + 1).as("qr"))
+        .localCheckpoint(true)
+    }
+    val totals = noCodegen(spark) {
+      modelIn.agg(
+        FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
+        FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
+        .localCheckpoint(true)
+    }
     // SCORE: `base` is already per-(doc, token) counted — filter to
     // the raw side, hash the collapsed frame, fold tokens into buckets
     base.filter(!col("tgt"))
@@ -98,6 +110,27 @@ object Dsir {
         (col("s1") + col("t") * (col("qr_tot") - col("qt_tot"))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Evaluate `body` with codegen fully off (whole-stage AND projection
+    * factories) — for tiny frames whose expressions are too wide for
+    * janino's 64KB method limit; interpretation of B rows is free,
+    * a failed compile attempt is not.
+    */
+  private def noCodegen[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      fm match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 
   /** DuckDB oracle: the SAME integer program re-derived relationally —
