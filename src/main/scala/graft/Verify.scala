@@ -26,6 +26,10 @@ object Verify {
     */
   def dump(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
     new java.io.File(outDir).mkdirs()
+    // announce the SF dir so the driver-side ANN oracles
+    // (queries.AnnOracle, surfaced through LlmOps.oracleSql) can
+    // re-derive their expected rows from the same input tables
+    System.setProperty("graft.oracle.sfDir", sfDir)
     val failed = SparkEntry.queries.flatMap { case (name, fn) =>
       val r =
         try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -48,15 +48,18 @@ object Dsir {
     // stream — is persisted and feeds BOTH the train models and the
     // score pass (previously each re-tokenized the corpus). The train
     // `.collect()` below materializes it eagerly; the score lineage
-    // then reads the cached blocks. ContextCleaner reclaims the cache
-    // once the returned frame is unreferenced. `tgt` is functionally
-    // dependent on doc_id, so (doc_id, tok) stays a unique key.
-    val base = docs
+    // then reads the cached blocks. The persist is registered with
+    // [[graft.CacheTracker]] — the caller never sees this frame, so a
+    // long-lived application releases it via `CacheTracker
+    // .unpersistAll()` (ContextCleaner's weak-ref GC is the backstop).
+    // `tgt` is functionally dependent on doc_id, so (doc_id, tok)
+    // stays a unique key.
+    val base = graft.CacheTracker.track(docs
       .select(col("doc_id"), targetCond.as("tgt"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id", "tgt", "tok").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // TRAIN: the two bucket models, materialized to B rows on the
     // driver — the hashing trick's whole point is that the model is
     // B-sized, so "collect the model" is the published two-phase DSIR
@@ -69,32 +72,38 @@ object Dsir {
         sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"),
         sum(when(!col("tgt"), col("c")).otherwise(0L)).as("cr"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // dense grid: unseen buckets still carry the smoothed prior
-    import spark.implicits._
-    val modelIn = (0L until buckets).map { b =>
+    // dense grid: unseen buckets still carry the smoothed prior.
+    // The qlog2 COLUMN program (the cross-engine contract) runs on a
+    // THROWAWAY SESSION CLONE with codegen off: TWO qlog2 copies in
+    // one projection exceed janino's 64KB method limit (each is a
+    // 64-threshold sum) and the failed compile attempt costs real
+    // wall-clock before Spark falls back — and setting the codegen
+    // confs on the CALLER's session would leak interpreted planning
+    // into any query planned concurrently on it. The clone shares the
+    // SparkContext but owns its SQLConf, so the override is scoped by
+    // construction; the exact B-row result then rebinds into the
+    // caller's session as a plain local relation, keeping the giant
+    // expression out of every downstream stage's whole-stage method.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val modelIn = s2.createDataFrame((0L until buckets).map { b =>
       val (ct, cr) = counted.getOrElse(b, (0L, 0L))
       (b, ct, cr)
-    }.toDF("b", "ct", "cr")
-    // the qlog2 COLUMN program (the cross-engine contract) applied on
-    // the local B-row relation — no second derivation to drift. TWO
-    // qlog2 copies in one projection exceed janino's 64KB method limit
-    // (each is a 64-threshold sum), and the failed compile attempt
-    // costs real wall-clock per run before Spark falls back — so the
-    // B-row frames materialize INTERPRETED (no codegen to fail) and
-    // checkpoint, keeping the giant expression out of every downstream
-    // stage's whole-stage method.
-    val model = noCodegen(spark) {
-      modelIn.select(col("b"),
-        FixedLog2.qlog2(col("ct") + 1).as("qt"),
-        FixedLog2.qlog2(col("cr") + 1).as("qr"))
-        .localCheckpoint(true)
-    }
-    val totals = noCodegen(spark) {
-      modelIn.agg(
-        FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
-        FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
-        .localCheckpoint(true)
-    }
+    }).toDF("b", "ct", "cr")
+    val modelRows = modelIn.select(col("b"),
+      FixedLog2.qlog2(col("ct") + 1).as("qt"),
+      FixedLog2.qlog2(col("cr") + 1).as("qr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totRow = modelIn.agg(
+      FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
+      FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
+      .collect().head
+    val model = spark.createDataFrame(modelRows.toSeq)
+      .toDF("b", "qt", "qr")
+    val totals = spark
+      .createDataFrame(Seq((totRow.getLong(0), totRow.getLong(1))))
+      .toDF("qt_tot", "qr_tot")
     // SCORE: `base` is already per-(doc, token) counted — filter to
     // the raw side, hash the collapsed frame, fold tokens into buckets
     base.filter(!col("tgt"))
@@ -110,27 +119,6 @@ object Dsir {
         (col("s1") + col("t") * (col("qr_tot") - col("qt_tot"))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-  }
-
-  /** Evaluate `body` with codegen fully off (whole-stage AND projection
-    * factories) — for tiny frames whose expressions are too wide for
-    * janino's 64KB method limit; interpretation of B rows is free,
-    * a failed compile attempt is not.
-    */
-  private def noCodegen[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try body
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", ws)
-      fm match {
-        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
-        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
-      }
-    }
   }
 
   /** DuckDB oracle: the SAME integer program re-derived relationally —

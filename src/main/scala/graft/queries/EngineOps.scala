@@ -1375,23 +1375,33 @@ object EngineOps {
     // defaults at CREATE, one insert omits the defaulted columns and
     // one supplies them — the analyzer fills at write time, and the
     // judged group-by pins the filled content vs a relational oracle.
+    // Column DEFAULTs across BOTH fill mechanisms: CREATE-time
+    // defaults fill at write (the analyzer's CURRENT_DEFAULT), and a
+    // post-data `ALTER … ADD COLUMN … DEFAULT` fills the PRE-ALTER
+    // file generation at READ (EXISTS_DEFAULT — those files are never
+    // rewritten and physically lack the column). The judged aggregate
+    // mixes rows from both generations, so the hash pins the
+    // metadata-only fill against a relational oracle.
     ("catalog_defaults",
       (s: SparkSession, dir: String) => {
         val gt = graft.table.GraftTable
         Tables(s, dir, "orders").createOrReplaceTempView("ord_dflt_src")
-        val (cat, nsDir) = catalogFor(s, dir, "cdfl")
+        val (cat, nsDir) = catalogFor(s, dir, "cdf2")
         val root = s"$nsDir/dfl"
         EngineOps.synchronized {
           if (gt.snapshot(s, root).version < 0L)
             s.sql(s"""CREATE TABLE $cat.ops.dfl (
                         ok BIGINT,
-                        prio STRING DEFAULT 'unspecified',
-                        amt DOUBLE DEFAULT 0.0)""")
+                        prio STRING DEFAULT 'unspecified')""")
           if (gt.snapshot(s, root).version == 0L)
             s.sql(s"""INSERT INTO $cat.ops.dfl (ok)
                       SELECT o_orderkey FROM ord_dflt_src
                       WHERE o_orderstatus = 'F'""")
+          // generation boundary: the column does not exist in the
+          // files above; the ALTER captures the fill as metadata only
           if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"ALTER TABLE $cat.ops.dfl ADD COLUMN amt DOUBLE DEFAULT 5.0")
+          if (gt.snapshot(s, root).version == 2L)
             s.sql(s"""INSERT INTO $cat.ops.dfl
                       SELECT o_orderkey, o_orderpriority, o_totalprice
                       FROM ord_dflt_src WHERE o_orderstatus <> 'F'""")
@@ -1401,7 +1411,7 @@ object EngineOps {
                   FROM $cat.ops.dfl GROUP BY prio ORDER BY prio""")
       },
       Some(s"""WITH u AS (
-                 SELECT 'unspecified' AS prio, 0.0 AS amt FROM orders
+                 SELECT 'unspecified' AS prio, 5.0 AS amt FROM orders
                  WHERE o_orderstatus = 'F'
                  UNION ALL
                  SELECT o_orderpriority AS prio, o_totalprice AS amt
@@ -1409,6 +1419,53 @@ object EngineOps {
                SELECT prio, COUNT(*) AS n,
                       ${Canonical.moneySumSql("amt")} AS sum_amt
                FROM u GROUP BY prio ORDER BY prio""")),
+
+    // GENERATED ALWAYS AS end to end: CREATE with a generation
+    // expression, INSERT (the write choke point computes the column),
+    // a CoW UPDATE of the SOURCE column (the rewrite recomputes), and
+    // a layout-only compaction (which carries the stored values
+    // WITHOUT re-evaluating the expression — asserted separately by
+    // GraftCatalogSpec's probe-UDF spec). FLOOR keeps the derivation
+    // one exact IEEE op sequence, bit-identical in DuckDB.
+    ("catalog_generated",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "orders").createOrReplaceTempView("ord_gen_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cgen")
+        val root = s"$nsDir/gen"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.gen (
+                        ok BIGINT,
+                        amt DOUBLE,
+                        cents BIGINT GENERATED ALWAYS AS
+                          (CAST(FLOOR(amt * 100.0) AS BIGINT)),
+                        st STRING)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.gen (ok, amt, st)
+                      SELECT o_orderkey, o_totalprice, o_orderstatus
+                      FROM ord_gen_src""")
+          // CoW update of the SOURCE column: every rewritten row's
+          // generated value must track it
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"""UPDATE $cat.ops.gen SET amt = amt + 1.5
+                      WHERE st = 'F'""")
+          // layout-only compaction carries stored generated values
+          if (gt.snapshot(s, root).version == 2L)
+            gt.compact(s, root, targetFiles = 2)
+        }
+        s.sql(s"""SELECT st, COUNT(*) AS n, SUM(cents) AS sum_cents
+                  FROM $cat.ops.gen GROUP BY st ORDER BY st""")
+      },
+      Some("""WITH g AS (
+                SELECT o_orderstatus AS st,
+                       CASE WHEN o_orderstatus = 'F'
+                            THEN o_totalprice + 1.5
+                            ELSE o_totalprice END AS amt
+                FROM orders)
+              SELECT st, COUNT(*) AS n,
+                     SUM(CAST(FLOOR(amt * 100.0) AS BIGINT)) AS sum_cents
+              FROM g GROUP BY st ORDER BY st""")),
   )
 
   /** Write-once root fingerprint for non-catalog table builds, keyed

@@ -386,9 +386,10 @@ object LlmOps {
     // shortlist, exact quantized re-rank. The full train/encode/search
     // pipeline is bit-deterministic (ProductQuantizerSpec proves
     // partition-invariance and ≥0.8 recall vs the judged brute
-    // contract), but M per-subspace Lloyd loops are beyond reasonable
-    // SQL — no oracle, so the driver records the weaker rows-only
-    // check; the spec suite carries the semantics.
+    // contract). M per-subspace Lloyd loops are beyond reasonable SQL,
+    // so the hash oracle is AnnOracle.pqTopKSql — a transparent
+    // driver-side sequential re-derivation of the same integer
+    // program, embedded as a VALUES relation (see LlmOps.annOracles).
     ("ann_pq_topk",
       (s: SparkSession, dir: String) => {
         val pq = graft.operators.ProductQuantizer
@@ -423,8 +424,9 @@ object LlmOps {
     // as the coarse quantizer (the judged ann_ivf contract), PQ codes
     // trained on RESIDUALS qa − centroid(cell), search probes nprobe
     // cells and ADC-scores only their code rows via q·x ≈ q·c +
-    // Σ lut[code_m]. Same no-oracle rationale as ann_pq_topk (Lloyd
-    // loops); ProductQuantizerSpec pins recall ≥ the flat-PQ floor and
+    // Σ lut[code_m]. Hash-judged the same way as ann_pq_topk: the
+    // AnnOracle.ivfPqTopKSql driver re-derivation is the oracle;
+    // ProductQuantizerSpec pins recall ≥ the flat-PQ floor and
     // partitioning invariance.
     ("ann_ivfpq_topk",
       (s: SparkSession, dir: String) => {
@@ -461,11 +463,12 @@ object LlmOps {
     // (operators/Hnsw.scala). The index is STATE like the PQ
     // codebooks — built write-once per source generation — and the
     // query measures what production pays per search: shard beam
-    // walks + the queries·ef·shards merge. Rows-only by the same
-    // declared contract as ann_pq_topk (a pointer-chasing graph build
-    // is beyond reasonable SQL); HnswSpec pins recall ≥ the 0.8
-    // IVFADC re-rank floor at equal candidate budget (ef = 64 = the
-    // ADC shortlist), bit-determinism, and partitioning invariance.
+    // walks + the queries·ef·shards merge. A pointer-chasing graph
+    // build is beyond reasonable SQL, so the hash oracle is
+    // AnnOracle.hnswTopKSql's sequential re-derivation; HnswSpec pins
+    // recall ≥ the 0.8 IVFADC re-rank floor at equal candidate budget
+    // (ef = 64 = the ADC shortlist), bit-determinism, and
+    // partitioning invariance.
     ("ann_hnsw_topk",
       (s: SparkSession, dir: String) => {
         val emb = Tables(s, dir, "embeddings")
@@ -1284,5 +1287,23 @@ object LlmOps {
     entries.map { case (n, q, _) => n -> q }.toMap
 
   def oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(o)) => n -> o.stripMargin }.toMap
+    entries.collect { case (n, _, Some(o)) => n -> o.stripMargin }.toMap ++
+      annOracles
+
+  /** The three training-loop ANN tiers (PQ / IVF+PQ / HNSW) hash-judge
+    * against [[AnnOracle]]'s transparent driver-side re-derivation —
+    * the expected rows are embedded as a VALUES relation in the DuckDB
+    * oracle. Deriving them needs the scale-factor dir, which only the
+    * verify harness knows ([[graft.Verify.dump]] announces it via the
+    * `graft.oracle.sfDir` system property); outside a verify run the
+    * entries are simply absent, as before.
+    */
+  private def annOracles: Map[String, String] =
+    sys.props.get("graft.oracle.sfDir") match {
+      case Some(dir) => Map(
+        "ann_pq_topk" -> AnnOracle.pqTopKSql(dir),
+        "ann_ivfpq_topk" -> AnnOracle.ivfPqTopKSql(dir),
+        "ann_hnsw_topk" -> AnnOracle.hnswTopKSql(dir))
+      case None => Map.empty
+    }
 }

@@ -128,6 +128,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketFunction
+      case "truncate" => GraftTruncateFunction
       case k if GraftCatalog.timeFnNames.contains(k) => GraftTimeFunction(k)
       case _ => throw new NoSuchFunctionException(ident)
     }
@@ -178,9 +179,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * schema — which this catalog persists verbatim in the commit log
     * (and [[GraftCatalog.stripPhys]] preserves), so declaring the
     * capability is sufficient: defaults fill at WRITE time and every
-    * stored row is complete. `ALTER TABLE … ADD COLUMN … DEFAULT`
-    * stays refused (existing rows would need read-time
-    * EXISTS_DEFAULT fill, which the physical read path does not do).
+    * stored row is complete. `ALTER TABLE … ADD COLUMN … DEFAULT` is
+    * metadata-only too ([[GraftTable.addColumn]]): the folded literal
+    * is captured at ALTER time as EXISTS_DEFAULT, pre-ALTER files —
+    * which can never contain the column's fresh physical name — are
+    * filled at read by Spark's own parquet absent-column fill, and
+    * post-ALTER writes store values physically.
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
     Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
@@ -237,11 +241,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft tables support adding top-level columns only")
         require(c.isNullable,
           "a column added to existing rows must be nullable")
-        require(c.defaultValue() == null,
-          "ADD COLUMN with DEFAULT is not supported: existing rows " +
-            "would need read-time EXISTS_DEFAULT fill; add the column, " +
-            "then UPDATE")
-        GraftTable.addColumn(spark, root, c.fieldNames.head, c.dataType)
+        // ADD COLUMN … DEFAULT with EXISTS_DEFAULT semantics: the
+        // analyzer has already constant-folded the DEFAULT clause
+        // into a connector Literal — capture it ONCE, as of now
+        // (later changes to the default never rewrite history), and
+        // let the read schema's EXISTS_DEFAULT fill pre-ALTER files
+        val default = Option(c.defaultValue()).map { dv =>
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+            dv.getValue.value, dv.getValue.dataType)
+          val cur = Option(dv.getSql).getOrElse(lit.sql)
+          (cur, lit.sql)
+        }
+        GraftTable.addColumn(spark, root, c.fieldNames.head, c.dataType,
+          default)
       case c: TableChange.RenameColumn =>
         require(c.fieldNames.length == 1,
           "graft tables support renaming top-level columns only")
@@ -514,7 +526,7 @@ object GraftCatalog {
   private[table] val timeFnNames =
     Set("days", "hours", "months", "years")
   private[table] val fnNames: Array[String] =
-    ("bucket" +: timeFnNames.toSeq.sorted).toArray
+    ("bucket" +: "truncate" +: timeFnNames.toSeq.sorted).toArray
 
   /** Spark connector `Transform` → graft [[Partitioning.PTransform]]
     * (the `PARTITIONED BY` clause's shapes). Matched on the public

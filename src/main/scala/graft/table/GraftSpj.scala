@@ -35,8 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - flag OFF (default): reads flow through the V1 bridge
   *    ([[GraftScan]]) — vectorized parquet, row-group pushdown.
-  *  - flag ON and the snapshot is SPJ-capable (all-identity partition
-  *    spec, no deletion vectors, primitive column types): reads flow
+  *  - flag ON and the snapshot is SPJ-capable ([[GraftSpj.eligible]]:
+  *    every transform reportable — identity/bucket/truncate or a
+  *    calendar kind — every file carrying its full current-spec tuple,
+  *    primitive column types; deletion vectors stay eligible via an
+  *    inline sorted-positions skip in the reader): reads flow
   *    through THIS genuine DSv2 `Batch` — one [[InputPartition]] per
   *    partition TUPLE ([[HasPartitionKey]] carries the decoded key),
   *    zone-map/partition file pruning still applies, and every offered
@@ -65,18 +68,21 @@ object GraftSpj {
   }
 
   /** Transforms the SPJ path can report: `identity(c)` maps to the V2
-    * identity expression; `bucket(n, c)` maps to `Expressions.bucket`
-    * and the calendar kinds to `Expressions.days/hours/months/years`,
-    * all resolved through the catalog's FunctionCatalog
-    * ([[GraftBucketFunction]], [[GraftTimeFunction]]) — bucketed
-    * fact-fact joins and co-partitioned time-sliced joins alike.
-    * `truncate` stays off the SPJ path (no V2 transform spelling with
-    * a resolvable two-arg function in the scan-side report).
+    * identity expression; `bucket(n, c)` maps to `Expressions.bucket`,
+    * the calendar kinds to `Expressions.days/hours/months/years`, and
+    * `truncate(w, c)` to the general named transform
+    * `Expressions.apply("truncate", literal(w), column(c))` — all
+    * resolved through the catalog's FunctionCatalog
+    * ([[GraftBucketFunction]], [[GraftTimeFunction]],
+    * [[GraftTruncateFunction]]) — bucketed fact-fact joins,
+    * co-partitioned time-sliced joins, and prefix-blocked string keys
+    * alike. Every declared transform kind is reportable.
     */
   def spjTransform(t: Partitioning.PTransform): Boolean = t match {
     case _: Partitioning.PIdentity | _: Partitioning.PBucket |
         _: Partitioning.PDays | _: Partitioning.PHours |
-        _: Partitioning.PMonths | _: Partitioning.PYears => true
+        _: Partitioning.PMonths | _: Partitioning.PYears |
+        _: Partitioning.PTruncate => true
     case _ => false
   }
 
@@ -208,6 +214,74 @@ final case class GraftBoundBucket(dt: DataType)
     }
 }
 
+/** The catalog-level `truncate` V2 function — same SPJ-resolution role
+  * as [[GraftBucketFunction]]: both sides of a join over
+  * `truncate(w, col)`-partitioned tables bind here, and matching
+  * canonical functions with equal width arguments is what lets
+  * `KeyGroupedShuffleSpec` declare the partitionings compatible.
+  * Evaluation replicates [[Partitioning.PTruncate]] exactly: strings
+  * keep their first `w` CODE POINTS, integers floor to a multiple of
+  * `w` — the write-side clustering value, so reported keys and
+  * function results can never disagree.
+  */
+object GraftTruncateFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col): first w code points (string) / floor to a " +
+      "multiple of w (integral) — the graft partition transform"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate expects (width, col), got ${inputType.catalogString}")
+    GraftBoundTruncate(inputType.fields(1).dataType)
+  }
+}
+
+/** Bound `truncate` for one source type. `canonicalName` carries the
+  * type (the width travels as the transform's literal argument, which
+  * SPJ compares separately): a 4-byte and an 8-byte keyed table floor
+  * to different domains and must not be declared co-partitioned.
+  */
+final case class GraftBoundTruncate(dt: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Any] {
+  require(dt == StringType || dt == LongType || dt == IntegerType ||
+    dt == ShortType || dt == ByteType,
+    s"truncate does not accept ${dt.catalogString}")
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = dt
+  override def name(): String = "truncate"
+  override def canonicalName(): String = s"graft.truncate(${dt.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Any =
+    if (input.isNullAt(1)) null
+    else {
+      val w = input.getInt(0)
+      dt match {
+        case StringType =>
+          val s = input.getUTF8String(1).toString
+          val cps = s.codePoints().limit(w).toArray
+          UTF8String.fromString(new String(cps, 0, cps.length))
+        case _ =>
+          val l = dt match {
+            case LongType => input.getLong(1)
+            case IntegerType => input.getInt(1).toLong
+            case ShortType => input.getShort(1).toLong
+            case ByteType => input.getByte(1).toLong
+            case other => sys.error(s"unreachable: $other")
+          }
+          val f = l - Math.floorMod(l, w.toLong)
+          dt match {
+            case LongType => f
+            case IntegerType => f.toInt
+            case ShortType => f.toShort
+            case ByteType => f.toByte
+            case other => sys.error(s"unreachable: $other")
+          }
+      }
+    }
+}
+
 /** Hadoop `Configuration` over Java serialization (it is `Writable`,
   * not `Serializable`) — the executor-side reader resolves the
   * warehouse path through the session's filesystem confs.
@@ -294,6 +368,9 @@ class GraftBatchScan(spark: SparkSession, root: String,
         case Partitioning.PHours(c) => Expressions.hours(c): Expression
         case Partitioning.PMonths(c) => Expressions.months(c): Expression
         case Partitioning.PYears(c) => Expressions.years(c): Expression
+        case Partitioning.PTruncate(c, w) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(c)): Expression
         case t => Expressions.identity(t.srcCol): Expression
       }.toArray,
       groups.size)
@@ -314,8 +391,26 @@ class GraftBatchScan(spark: SparkSession, root: String,
     val fields = required.fields.map { f =>
       (f, GraftTable.physicalNameOf(snap.schema, f.name))
     }.toSeq
+    // EXISTS_DEFAULT fill values (ADD COLUMN … DEFAULT): the folded
+    // literal, evaluated ONCE driver-side to its INTERNAL value, so a
+    // file written before the column existed reads the default — the
+    // same semantics the V1 path gets from Spark's parquet reader.
+    // null = no default (absent column reads NULL, as before).
+    val defaults: Array[Any] = required.fields.map { f =>
+      snap.schema.fields.find(_.name == f.name)
+        .filter(_.metadata.contains("EXISTS_DEFAULT"))
+        .map { sf =>
+          val sql = sf.metadata.getString("EXISTS_DEFAULT")
+          val r = spark.range(1)
+            .select(org.apache.spark.sql.functions.expr(sql)
+              .cast(f.dataType))
+            .queryExecution.executedPlan.executeCollect()(0)
+          if (r.isNullAt(0)) null else r.copy().get(0, f.dataType)
+        }.orNull
+    }
     GraftSpjReaderFactory(fields,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      defaults)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -343,16 +438,17 @@ class GraftBatchScan(spark: SparkSession, root: String,
   */
 final case class GraftSpjReaderFactory(
     fields: Seq[(StructField, String)],
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    defaults: Array[Any]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftSpjReader(fields, conf.value,
-      p.asInstanceOf[GraftSpjPartition].files)
+      p.asInstanceOf[GraftSpjPartition].files, defaults)
 }
 
 final class GraftSpjReader(fields: Seq[(StructField, String)],
-    conf: Configuration, files: Seq[GraftSpjFile])
-    extends PartitionReader[InternalRow] {
+    conf: Configuration, files: Seq[GraftSpjFile],
+    defaults: Array[Any]) extends PartitionReader[InternalRow] {
 
   private val fileIter = files.iterator
   private var reader: ParquetReader[Group] = _
@@ -427,8 +523,9 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
     while (true) {
       if (emptyRows > 0) {
         emptyRows -= 1
-        current = new GenericInternalRow(
-          Array.fill[Any](fields.length)(null))
+        // a footer-skipped file still owes each ABSENT column its
+        // EXISTS_DEFAULT (null when none is declared)
+        current = new GenericInternalRow(defaults.clone())
         return true
       }
       if (reader != null) {
@@ -457,7 +554,11 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
     while (i < fields.length) {
       val idx = fieldIdx(i)
       out(i) =
-        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        // ABSENT column → its EXISTS_DEFAULT (null when undeclared);
+        // a PRESENT column's stored NULL stays NULL — the same
+        // absent-vs-stored distinction Spark's own reader draws
+        if (idx < 0) defaults(i)
+        else if (g.getFieldRepetitionCount(idx) == 0) null
         else value(g, idx, fields(i)._1.dataType, fieldType(i))
       i += 1
     }

@@ -103,7 +103,9 @@ object GraftTable {
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
     * `spec` is the table's declared partition transforms
-    * ([[Partitioning]]) — immutable from CREATE, empty for an
+    * ([[Partitioning]]) as of this version — seeded at CREATE
+    * (`_partspec.json`), replaced atomically by the commit entry that
+    * carries an [[evolvePartitioning]] rewrite, empty for an
     * unpartitioned table.
     */
   final case class Snapshot(version: Long, schema: StructType,
@@ -176,14 +178,12 @@ object GraftTable {
 
   private val PartSpecFile = "_partspec.json"
 
-  /** The declared partition transforms (empty = unpartitioned). */
+  /** The CURRENT partition transforms (empty = unpartitioned) —
+    * resolved through the tip snapshot so an [[evolvePartitioning]]
+    * commit is visible the instant its entry is, in every session.
+    */
   def partitionSpecOf(spark: SparkSession, root: String)
-      : Seq[Partitioning.PTransform] = {
-    val (fs, logDir) = logFs(spark, root)
-    val p = new Path(logDir, PartSpecFile)
-    if (!fs.exists(p)) Nil
-    else specCached(fs, p, fs.getFileStatus(p))
-  }
+      : Seq[Partitioning.PTransform] = snapshot(spark, root).spec
 
   /** Parsed-spec cache keyed by (qualified path, len, mtime) — the
     * file is immutable, but a dropped-and-recreated table at the same
@@ -213,19 +213,36 @@ object GraftTable {
     * widening: the new logical column maps to a FRESH physical name so
     * that re-adding a previously-dropped name can never resurrect the
     * dropped column's data from immutable files. Existing rows read
-    * back NULL.
+    * back NULL — unless `default` supplies EXISTS_DEFAULT semantics.
+    *
+    * @param default optional `(currentDefaultSql, existsDefaultSql)`:
+    *   `currentDefaultSql` is the user's DEFAULT expression text (the
+    *   analyzer resolves later `INSERT … DEFAULT` references from it),
+    *   `existsDefaultSql` the CONSTANT-FOLDED literal captured AT
+    *   ALTER TIME. Existing rows are never rewritten: the fresh
+    *   physical name is absent from every pre-ALTER file, and the
+    *   read schema's EXISTS_DEFAULT metadata makes Spark's parquet
+    *   readers fill exactly those absent columns with the literal
+    *   (the Delta ADD COLUMN DEFAULT design). Post-ALTER writes store
+    *   values physically, so a stored NULL stays NULL, and any
+    *   rewrite (compact/CoW) migrates the fill into real bytes.
     */
   def addColumn(spark: SparkSession, root: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType): Long =
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[(String, String)] = None): Long =
     commitRetry(spark, root) { snap =>
       require(snap.version >= 0, s"GraftTable: no table at $root")
       require(!snap.schema.fieldNames.contains(name),
         s"GraftTable: column '$name' already exists")
       val phys = s"$name-${UUID.randomUUID().toString.take(8)}"
+      val mdb = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(PhysKey, phys)
+      default.foreach { case (cur, exists) =>
+        mdb.putString(CurrentDefaultKey, cur)
+        mdb.putString(ExistsDefaultKey, exists)
+      }
       val field = org.apache.spark.sql.types.StructField(name, dataType,
-        nullable = true, metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(PhysKey, phys).build())
+        nullable = true, metadata = mdb.build())
       Some((Nil, Nil, snap.schema.add(field), None))
     }
 
@@ -364,26 +381,32 @@ object GraftTable {
     * generations fall off the SPJ fast path (its eligibility demands
     * the full current tuple on every file) and refuse
     * [[overwritePartitions]] until migrated — explicit, never silent
-    * drift. The spec file rewrite is pinned by a version bump so
-    * cached snapshots can never serve the old spec at the new tip.
+    * drift; once a compact/optimize has migrated every file, the
+    * table re-qualifies automatically (eligibility is re-derived from
+    * each snapshot's file tuples, never latched).
+    *
+    * Atomicity: the new spec rides INSIDE the commit entry itself
+    * (`partSpec`), published through the same [[LogStore]]
+    * write-if-absent as every other commit — there is no window where
+    * the new spec is live at the old version, two racing evolves
+    * serialize like any other commit conflict, time travel reads each
+    * version under the spec that was current THEN, and remote
+    * sessions see the change through ordinary snapshot replay (no
+    * side-file cache to go stale). `_partspec.json` remains only the
+    * CREATE-time seed.
     */
   def evolvePartitioning(spark: SparkSession, root: String,
-      newSpec: Seq[Partitioning.PTransform]): Long = {
-    val snap0 = snapshot(spark, root)
-    require(snap0.version >= 0, s"GraftTable: no table at $root")
-    require(snap0.spec.nonEmpty,
-      "evolvePartitioning needs a transform-partitioned table " +
-        "(createPartitioned)")
-    Partitioning.validate(newSpec, snap0.schema)
-    val (fs, logDir) = logFs(spark, root)
-    writeString(fs, new Path(logDir, PartSpecFile),
-      Partitioning.toJson(newSpec))
-    // (len, mtime) cache keys can collide across two same-length
-    // rewrites within one mtime tick — drop the parsed-spec cache
-    specCache.clear()
-    // empty commit: advances the version so snapshot caches re-read
-    commitRetry(spark, root) { snap => Some((Nil, Nil, snap.schema, None)) }
-  }
+      newSpec: Seq[Partitioning.PTransform]): Long =
+    commitRetry(spark, root, newSpec = Some(newSpec)) { snap =>
+      require(snap.version >= 0, s"GraftTable: no table at $root")
+      require(snap.spec.nonEmpty,
+        "evolvePartitioning needs a transform-partitioned table " +
+          "(createPartitioned)")
+      // validated against the schema of the SNAPSHOT the commit wins
+      // against — a racing ADD/DROP COLUMN forces re-validation here
+      Partitioning.validate(newSpec, snap.schema)
+      Some((Nil, Nil, snap.schema, None))
+    }
 
   /** Copy-on-write delete: files whose zone maps PROVE no row matches
     * `condSql` survive untouched; every other file is rewritten without
@@ -729,7 +752,8 @@ object GraftTable {
       if (masked.isEmpty) None
       else {
         val live = readFiles(spark, root, snap, masked)
-        Some((writeData(spark, root, live, snap.schema), masked.map(_.path),
+        Some((writeData(spark, root, live, snap.schema,
+          layoutOnly = true), masked.map(_.path),
           snap.schema, None))
       }
     }
@@ -919,7 +943,8 @@ object GraftTable {
       // stamped with the spec: a later zorderIncremental with the same
       // (cols, bits) sees these files as already clustered
       Some((writeData(spark, root, keyed, snap.schema,
-        Some(layoutSpec(cols, bits)), preserveLayout = true),
+        Some(layoutSpec(cols, bits)), preserveLayout = true,
+        layoutOnly = true),
         snap.files.map(_.path), snap.schema, None))
     }
 
@@ -970,7 +995,8 @@ object GraftTable {
           .sortWithinPartitions("__zkey")
           .drop("__zkey")
         Some((writeData(spark, root, keyed, snap.schema, Some(spec),
-          preserveLayout = true), debt.map(_.path), snap.schema, None))
+          preserveLayout = true, layoutOnly = true),
+          debt.map(_.path), snap.schema, None))
       }
     }
 
@@ -982,7 +1008,7 @@ object GraftTable {
       val all = readFiles(spark, root, snap, snap.files)
         .repartition(targetFiles)
       Some((writeData(spark, root, all, snap.schema,
-        preserveLayout = true), snap.files.map(_.path),
+        preserveLayout = true, layoutOnly = true), snap.files.map(_.path),
         snap.schema, None))
     }
 
@@ -1002,7 +1028,8 @@ object GraftTable {
         val merged = readFiles(spark, root, snap, small)
           .repartition(targetFiles)
         Some((writeData(spark, root, merged, snap.schema,
-          preserveLayout = true), small.map(_.path), snap.schema, None))
+          preserveLayout = true, layoutOnly = true),
+          small.map(_.path), snap.schema, None))
       }
     }
 
@@ -1305,6 +1332,10 @@ object GraftTable {
 
     def replay(from: Snapshot, upto: Long): Snapshot = {
       var schema = from.schema
+      // the spec folds forward exactly like the schema: an entry that
+      // carries `partSpec` (an evolvePartitioning commit) replaces it
+      // from that version on — spec and version are read atomically
+      var curSpec = from.spec
       val files = mutable.LinkedHashMap[String, AddFile]()
       from.files.foreach(f => files(f.path) = f)
       val txns = mutable.Map[String, Long](from.txns.toSeq: _*)
@@ -1312,6 +1343,8 @@ object GraftTable {
         val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
         schema = DataType.fromJson(node.get("schema").asText)
           .asInstanceOf[StructType]
+        if (node.hasNonNull("partSpec"))
+          curSpec = Partitioning.fromJson(node.get("partSpec").asText)
         node.get("removes").elements().asScala
           .foreach(p => files.remove(p.asText))
         node.get("adds").elements().asScala.foreach { f =>
@@ -1321,19 +1354,24 @@ object GraftTable {
         if (node.hasNonNull("txnApp"))
           txns(node.get("txnApp").asText) = node.get("txnBatch").asLong
       }
-      Snapshot(upto, schema, files.values.toSeq, txns.toMap, spec)
+      Snapshot(upto, schema, files.values.toSeq, txns.toMap, curSpec)
     }
 
     def replayFromCheckpoint(): Snapshot = {
       val ckptV = names.filter(_.matches("\\d{8}\\.ckpt\\.json"))
         .map(_.take(8).toLong).filter(_ <= target).sorted.lastOption
       var schema = new StructType(): StructType
+      // seed from the create-time spec file; a checkpoint that covers
+      // an evolution carries the then-current spec and overrides it
+      var ckptSpec = spec
       val files = mutable.LinkedHashMap[String, AddFile]()
       val txns = mutable.Map[String, Long]()
       ckptV.foreach { v =>
         val node = mapper.readTree(readString(fs, new Path(logDir, ckptName(v))))
         schema = DataType.fromJson(node.get("schema").asText)
           .asInstanceOf[StructType]
+        if (node.hasNonNull("partSpec"))
+          ckptSpec = Partitioning.fromJson(node.get("partSpec").asText)
         node.get("files").elements().asScala.foreach { f =>
           val af = addFileFrom(f)
           files(af.path) = af
@@ -1343,7 +1381,7 @@ object GraftTable {
         }
       }
       replay(Snapshot(ckptV.getOrElse(-1L), schema, files.values.toSeq,
-        txns.toMap, spec), target)
+        txns.toMap, ckptSpec), target)
     }
 
     // tip reads take the cache path; explicit-version reads (time
@@ -1857,7 +1895,8 @@ object GraftTable {
     * rebuild and retry (bounded). The builder returns None for a
     * no-op (e.g. an already-committed txn batch).
     */
-  private[table] def commitRetry(spark: SparkSession, root: String)(
+  private[table] def commitRetry(spark: SparkSession, root: String,
+      newSpec: Option[Seq[Partitioning.PTransform]] = None)(
       build: Snapshot => Option[(Seq[AddFile], Seq[String], StructType,
         Option[(String, Long)])]): Long = {
     val (fs, logDir) = logFs(spark, root)
@@ -1872,7 +1911,8 @@ object GraftTable {
           val removeDvs = snap.files
             .filter(f => removes.contains(f.path) && f.dv.isDefined)
             .map(f => f.path -> f.dv.get).toMap
-          val entry = entryJson(v, adds, removes, removeDvs, schema, txn)
+          val entry = entryJson(v, adds, removes, removeDvs, schema, txn,
+            newSpec)
           if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v), entry)) {
             maybeCheckpoint(spark, root, fs, logDir, v)
             return v
@@ -1896,6 +1936,11 @@ object GraftTable {
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("schema", snap.schema.json)
+    // the spec current AT v — replay seeded from this checkpoint must
+    // not resurrect the create-time spec after an evolution's entry
+    // has been expired
+    if (snap.spec.nonEmpty)
+      node.put("partSpec", Partitioning.toJson(snap.spec))
     val fl = node.putArray("files")
     snap.files.foreach(f => fl.add(addFileNode(f)))
     val tx = node.putObject("txns")
@@ -2031,6 +2076,14 @@ object GraftTable {
 
   private val PhysKey = "graftPhys"
 
+  /** Spark's own default-value metadata keys
+    * (`ResolveDefaultColumns`): CURRENT_DEFAULT feeds the analyzer's
+    * `INSERT … DEFAULT` resolution, EXISTS_DEFAULT feeds the file
+    * readers' absent-column fill.
+    */
+  private[table] val CurrentDefaultKey = "CURRENT_DEFAULT"
+  private[table] val ExistsDefaultKey = "EXISTS_DEFAULT"
+
   private def physName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
 
@@ -2050,9 +2103,22 @@ object GraftTable {
 
   /** The schema as stored in parquet: physical names, no metadata. */
   private def physicalSchema(schema: StructType): StructType =
-    StructType(schema.fields.map(f =>
+    StructType(schema.fields.map { f =>
+      // EXISTS_DEFAULT rides into the READ schema: Spark's parquet
+      // readers fill a column ABSENT from a file's footer with this
+      // folded literal instead of NULL — the metadata-only
+      // `ADD COLUMN … DEFAULT` read path (pre-ALTER files are never
+      // rewritten; post-ALTER files store values physically, so a
+      // stored NULL still reads as NULL)
+      val md =
+        if (f.metadata.contains(ExistsDefaultKey))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(ExistsDefaultKey,
+              f.metadata.getString(ExistsDefaultKey)).build()
+        else org.apache.spark.sql.types.Metadata.empty
       org.apache.spark.sql.types.StructField(physName(f), f.dataType,
-        f.nullable)))
+        f.nullable, md)
+    })
 
   /** Rename a physically-named frame's columns to their logical names. */
   private def toLogicalCols(schema: StructType): Seq[org.apache.spark.sql.Column] =
@@ -2083,14 +2149,29 @@ object GraftTable {
   private[table] def writeData(spark: SparkSession, root: String,
       dfIn: DataFrame, tableSchema: StructType,
       layout: Option[String] = None,
-      preserveLayout: Boolean = false): Seq[AddFile] = {
-    // GENERATED ALWAYS AS columns recompute on every write — the one
-    // choke point that makes the contract survive DML and compaction
-    val df = generatedOf(spark, root).foldLeft(dfIn) { case (d, (c, e)) =>
-      if (d.columns.contains(c))
-        d.withColumn(c, expr(e).cast(tableSchema(c).dataType))
-      else d
-    }
+      preserveLayout: Boolean = false,
+      layoutOnly: Boolean = false): Seq[AddFile] = {
+    // GENERATED ALWAYS AS columns recompute on EVERY value-bearing
+    // write — the one choke point that makes the ALWAYS contract
+    // survive DML — including a programmatic append that OMITTED the
+    // column (skipping it would silently write NULLs); a write whose
+    // frame lacks the generation expression's source columns is
+    // rejected outright, mirroring the partition-source require below.
+    // Layout-only rewrites (compact/zorder/purge) carry the STORED
+    // values instead: they re-shuffle committed rows whose generated
+    // values were computed at their original write's choke point, so
+    // recomputing is pure per-row cost — at 100 TB a compaction pays
+    // the generation expression over the whole table for nothing.
+    val df =
+      if (layoutOnly) dfIn
+      else generatedOf(spark, root).foldLeft(dfIn) { case (d, (c, e)) =>
+        try d.withColumn(c, expr(e).cast(tableSchema(c).dataType))
+        catch { case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"write cannot satisfy GENERATED ALWAYS AS column '$c' " +
+              s"($e): a source column is missing from the frame", ex)
+        }
+      }
     val spec = partitionSpecOf(spark, root)
     val commitId = UUID.randomUUID().toString
     val dir = new Path(new Path(root, "data"), commitId)
@@ -2435,11 +2516,15 @@ object GraftTable {
 
   private def entryJson(v: Long, adds: Seq[AddFile], removes: Seq[String],
       removeDvs: Map[String, DvRef], schema: StructType,
-      txn: Option[(String, Long)]): String = {
+      txn: Option[(String, Long)],
+      newSpec: Option[Seq[Partitioning.PTransform]] = None): String = {
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("ts", System.currentTimeMillis())
     node.put("schema", schema.json)
+    // a spec-evolution commit carries its new spec IN the entry: the
+    // spec change and the version bump are one atomic publish
+    newSpec.foreach(s => node.put("partSpec", Partitioning.toJson(s)))
     val a = node.putArray("adds")
     adds.foreach(f => a.add(addFileNode(f)))
     val rm = node.putArray("removes")

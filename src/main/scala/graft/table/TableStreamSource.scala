@@ -61,8 +61,13 @@ class GraftTableSourceProvider extends StreamSourceProvider
       "grafttable: versionAsOf and timestampAsOf are mutually exclusive")
     opts.get("versionAsOf").map(_.toLong).orElse(
       opts.get("timestampAsOf").map { t =>
+        // parse through an explicit UTC offset — Timestamp.valueOf
+        // would resolve in the JVM default zone, silently pinning a
+        // different instant than the catalog's FOR TIMESTAMP AS OF
+        // route whenever JVM TZ ≠ session TZ
         val ms = t.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(t).getTime)
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
         GraftTable.versionAt(spark, root, ms)
       })
   }

@@ -334,6 +334,54 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("generated.twice").exists(_.contains("id * 2")))
   }
 
+  test("layout-only rewrites carry stored generated values, zero recomputes") {
+    // a COUNTING generation expression: every evaluation bumps the
+    // static probe, so "compaction skipped the recompute" is a hard
+    // zero, not an inference from timings
+    GraftCatalogSpec.genProbe.set(0L)
+    spark.udf.register("graft_gen_probe", (x: Long) => {
+      GraftCatalogSpec.genProbe.incrementAndGet(); x * 3
+    })
+    val gt = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_genprobe").toString
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType)))
+    gt.create(spark, root, schema)
+    gt.setGenerated(spark, root, Map("g" -> "graft_gen_probe(id)"))
+    gt.append(spark, root, (1L to 10L).toDF("id").repartition(2))
+    assert(GraftCatalogSpec.genProbe.get() >= 10L,
+      "the write choke point must evaluate the expression per row")
+    def values() = gt.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = values()
+    assert(before == (1L to 10L).map(i => (i, i * 3)))
+    // layout-only passes: compaction and z-order carry stored bytes
+    GraftCatalogSpec.genProbe.set(0L)
+    gt.compact(spark, root, targetFiles = 1)
+    assert(GraftCatalogSpec.genProbe.get() == 0L,
+      "compaction is layout-only: zero generation-expression evaluations")
+    assert(values() == before, "compaction output bit-identical")
+    gt.zorderBy(spark, root, "id", "g", targetFiles = 1)
+    assert(GraftCatalogSpec.genProbe.get() == 0L,
+      "z-order is layout-only: zero generation-expression evaluations")
+    assert(values() == before)
+    // a VALUE-bearing write still recomputes — and a frame missing
+    // the expression's source columns is rejected outright
+    gt.append(spark, root, Seq(11L).toDF("id"))
+    assert(GraftCatalogSpec.genProbe.get() >= 1L)
+    assert(values().last == ((11L, 33L)),
+      "an append that OMITS the generated column still computes it")
+    intercept[IllegalArgumentException] {
+      gt.append(spark, root, Seq((12L, 0L)).toDF("wrong", "g")
+        .select(org.apache.spark.sql.functions.col("g")))
+    }
+  }
+
   test("column DEFAULT values: CREATE-time defaults fill INSERTs at write") {
     wh
     spark.sql("""CREATE TABLE gcat.ns.dflt (
@@ -347,13 +395,26 @@ class GraftCatalogSpec extends SparkSpec {
     val got = spark.sql("SELECT * FROM gcat.ns.dflt ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq((1L, "new", 1.5), (2L, "new", 9.0), (3L, "done", 1.5)))
-    // defaults survive the log round-trip into a fresh snapshot read
-    // and ALTER ADD COLUMN with DEFAULT is refused
-    val err = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.ns.dflt ADD COLUMN extra INT DEFAULT 7")
-    }
-    assert(err.getMessage.contains("DEFAULT") ||
-      err.getCause != null && err.getCause.getMessage.contains("DEFAULT"))
+    // ALTER … ADD COLUMN … DEFAULT: metadata-only EXISTS_DEFAULT —
+    // the three pre-ALTER rows are NEVER rewritten, yet read back the
+    // fill captured at ALTER time
+    spark.sql("ALTER TABLE gcat.ns.dflt ADD COLUMN extra INT DEFAULT 7")
+    def extras() = spark.sql("SELECT id, extra FROM gcat.ns.dflt ORDER BY id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toSeq
+    assert(extras() == Seq(1L -> 7, 2L -> 7, 3L -> 7))
+    // later INSERTs resolve the analyzer default (omitted column and
+    // the DEFAULT keyword), and an EXPLICIT NULL stays NULL — stored
+    // values are physical from here on
+    spark.sql("INSERT INTO gcat.ns.dflt (id) VALUES (4)")
+    spark.sql("INSERT INTO gcat.ns.dflt VALUES (5, 'x', 2.0, DEFAULT)")
+    spark.sql("INSERT INTO gcat.ns.dflt VALUES (6, 'y', 3.0, NULL)")
+    assert(extras() == Seq(1L -> 7, 2L -> 7, 3L -> 7, 4L -> 7, 5L -> 7,
+      6L -> null))
+    // compaction migrates the fill into stored bytes; reads identical
+    graft.table.GraftTable.compact(spark, s"$wh/ns/dflt", targetFiles = 1)
+    assert(extras() == Seq(1L -> 7, 2L -> 7, 3L -> 7, 4L -> 7, 5L -> 7,
+      6L -> null))
   }
 
   test("CALL verify_table: clean audit on a healthy table, failures on corruption") {
@@ -637,4 +698,9 @@ class GraftCatalogSpec extends SparkSpec {
     GraftTable.append(spark, root, Seq((5L, "a")).toDF("id", "key"))
     assert(GraftTable.read(spark, root).columns.toSeq == Seq("id", "key"))
   }
+}
+
+object GraftCatalogSpec {
+  /** Evaluation counter for the probe generation expression. */
+  val genProbe = new java.util.concurrent.atomic.AtomicLong(0L)
 }

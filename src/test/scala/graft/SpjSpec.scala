@@ -252,13 +252,98 @@ class SpjSpec extends SparkSpec {
     assert(on == off && on.size == 3)
   }
 
+  test("truncate-partitioned string keys join with zero exchange (SPJ)") {
+    // truncate(2, tag): prefix blocks as the partition tuple — the
+    // round-11 tier that previously fell to V1
+    def mk(root: String, salt: Int): Unit = {
+      val df = (1 to 120).map { i =>
+        (s"p${i % 9}_x$i", i.toLong + salt, i * 1.5) }
+        .toDF("tag", "id", "amt")
+      GraftTable.createPartitioned(spark, root, df.schema,
+        Seq(Partitioning.PTruncate("tag", 2)))
+      GraftTable.append(spark, root, df)
+    }
+    mk(s"$wh/ns/tra", 0)
+    mk(s"$wh/ns/trb", 1000)
+    val q =
+      s"""SELECT a.tag, COUNT(*) AS n, SUM(a.amt + b.amt) AS s
+         |FROM $cat.ns.tra a JOIN $cat.ns.trb b ON a.tag = b.tag
+         |GROUP BY a.tag ORDER BY a.tag""".stripMargin
+    val expected = withSpj(on = false)(sorted(spark.sql(q)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withSpj(on = true) {
+      val df = spark.sql(q)
+      assert(sorted(df) == expected)
+      val nodes = executed(df)
+      val scans = nodes.collect { case b: BatchScanExec => b }
+      assert(scans.size == 2 &&
+        scans.forall(_.scan.toString.contains("GraftBatchScan")),
+        s"expected 2 SPJ batch scans in $nodes")
+      // the join key `tag` is truncate-derived, NOT the partition
+      // value itself — Spark still needs a shuffle on the raw key
+      // UNLESS both sides resolve graft.truncate as compatible; the
+      // assertion is exactly that resolution
+      val join = nodes.find(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(join.isDefined, s"no join in $nodes")
+      assert(!collectPlan(join.get)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"shuffle under the truncate SPJ join: ${join.get}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("spec evolution drops SPJ until compaction migrates, then re-qualifies") {
+    // evolve identity(k) → bucket(4, k) on BOTH sides: mixed
+    // generations lack the current tuple → V1 fallback (explicit,
+    // never wrong); one compaction later every file carries it and
+    // the zero-exchange join comes back WITHOUT any operator action
+    def mk(root: String, salt: Int): Unit = {
+      val df = sampleRows(80, salt).toDF("k", "id", "amt", "tag", "d")
+      GraftTable.createPartitioned(spark, root, df.schema,
+        Seq(Partitioning.PIdentity("k")))
+      GraftTable.append(spark, root, df)
+      GraftTable.evolvePartitioning(spark, root,
+        Seq(Partitioning.PBucket("k", 4)))
+    }
+    mk(s"$wh/ns/tea", 0)
+    mk(s"$wh/ns/teb", 500)
+    val q =
+      s"""SELECT a.k, COUNT(*) AS n
+         |FROM $cat.ns.tea a JOIN $cat.ns.teb b ON a.k = b.k
+         |GROUP BY a.k ORDER BY a.k""".stripMargin
+    val expected = withSpj(on = false)(sorted(spark.sql(q)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withSpj(on = true) {
+      val before = spark.sql(q)
+      assert(sorted(before) == expected)
+      assert(!executed(before).exists(_.isInstanceOf[BatchScanExec]),
+        "mixed-generation snapshots must fall back to the V1 scan")
+      GraftTable.compact(spark, s"$wh/ns/tea", targetFiles = 2)
+      GraftTable.compact(spark, s"$wh/ns/teb", targetFiles = 2)
+      val after = spark.sql(q)
+      assert(sorted(after) == expected)
+      val nodes = executed(after)
+      val scans = nodes.collect { case b: BatchScanExec => b }
+      assert(scans.size == 2 &&
+        scans.forall(_.scan.toString.contains("GraftBatchScan")),
+        s"expected SPJ re-qualification after compaction in $nodes")
+      val join = nodes.find(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(join.isDefined && !collectPlan(join.get)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"shuffle under the re-qualified bucket SPJ join: ${join.get}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ineligible snapshots keep the V1 path even with the flag on") {
-    // a transform with no SPJ spelling (truncate)
+    // a column type the SPJ Group reader does not convert (array)
     val root1 = s"$wh/ns/tf1"
-    val df1 = Seq((1L, "alpha", 1.0), (2L, "beta", 2.0))
-      .toDF("id", "tag", "v")
+    val df1 = Seq((1L, Seq(1L, 2L), 1.0), (2L, Seq(3L), 2.0))
+      .toDF("id", "xs", "v")
     GraftTable.createPartitioned(spark, root1, df1.schema,
-      Seq(Partitioning.PTruncate("tag", 2)))
+      Seq(Partitioning.PIdentity("id")))
     GraftTable.append(spark, root1, df1)
 
     withSpj(on = true) {
