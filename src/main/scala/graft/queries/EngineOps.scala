@@ -1427,11 +1427,17 @@ object EngineOps {
     // WITHOUT re-evaluating the expression — asserted separately by
     // GraftCatalogSpec's probe-UDF spec). FLOOR keeps the derivation
     // one exact IEEE op sequence, bit-identical in DuckDB.
+    //
+    // Tag history: "cgen" tables built by a mid-development recipe
+    // poisoned one verify run (the write-once build is keyed on data
+    // fingerprint + tag, so a stale warehouse survives code fixes);
+    // "cge2" forces every environment onto the final recipe. Rule:
+    // whenever a version-gated build recipe changes, bump its tag.
     ("catalog_generated",
       (s: SparkSession, dir: String) => {
         val gt = graft.table.GraftTable
         Tables(s, dir, "orders").createOrReplaceTempView("ord_gen_src")
-        val (cat, nsDir) = catalogFor(s, dir, "cgen")
+        val (cat, nsDir) = catalogFor(s, dir, "cge2")
         val root = s"$nsDir/gen"
         EngineOps.synchronized {
           if (gt.snapshot(s, root).version < 0L)
