@@ -129,10 +129,9 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def toMerge(m: MergeIntoTable, tgt: AttributeSet,
       table: GraftV2Table): LogicalPlan = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
     require(!hasSubquery(m.mergeCondition) &&
-      (m.matchedActions ++ m.notMatchedActions).forall {
+      (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions).forall {
         case UpdateAction(c, as, _) =>
           !c.exists(hasSubquery) && !as.exists(a => hasSubquery(a.value))
         case InsertAction(c, as) =>
@@ -228,6 +227,46 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
+    // WHEN NOT MATCHED BY SOURCE: its own first-matching-clause chain,
+    // independent of the matched class (a row is in exactly one class).
+    // Expressions may reference TARGET columns only — the source side
+    // of an unmatched row does not exist (Spark's analyzer enforces
+    // the same rule; re-checked here because rend would silently map
+    // stray source refs into the all-NULL src_ namespace).
+    var bsPriors = Seq.empty[String]
+    var bsUnreachable = false
+    var bsUpdate: Option[(Seq[(String, String)], String)] = None
+    var bsDelete: Option[String] = None
+    def tgtOnly(what: String, es: Seq[Expression]): Unit =
+      es.foreach(e => require(e.references.subsetOf(tgt),
+        s"graft MERGE: NOT MATCHED BY SOURCE $what may reference " +
+          "target columns only"))
+    m.notMatchedBySourceActions.foreach { act =>
+      if (!bsUnreachable) act match {
+        case UpdateAction(c, assigns, _) =>
+          require(bsUpdate.isEmpty,
+            "graft MERGE supports one NOT MATCHED BY SOURCE UPDATE")
+          tgtOnly("UPDATE", c.toSeq ++ assigns.map(_.value))
+          val sets = assigns.map { a =>
+            a.key match {
+              case ar: AttributeReference => ar.name -> rend(a.value)
+              case other => throw new IllegalArgumentException(
+                s"graft MERGE supports top-level SET only, got $other")
+            }
+          }
+          bsUpdate = Some((sets, guarded(bsPriors, c)))
+          if (c.isEmpty) bsUnreachable = true else bsPriors :+= rend(c.get)
+        case DeleteAction(c) =>
+          require(bsDelete.isEmpty,
+            "graft MERGE supports one NOT MATCHED BY SOURCE DELETE")
+          tgtOnly("DELETE", c.toSeq)
+          bsDelete = Some(guarded(bsPriors, c))
+          if (c.isEmpty) bsUnreachable = true else bsPriors :+= rend(c.get)
+        case other => throw new IllegalArgumentException(
+          s"graft MERGE: unsupported NOT MATCHED BY SOURCE action $other")
+      }
+    }
+
     val insert = m.notMatchedActions match {
       case Nil => None
       case Seq(InsertAction(c, assigns)) =>
@@ -270,7 +309,10 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       matchedUpdateCond = update.map(_._2),
       matchedDelete = delete,
       notMatchedInsert = insert.map(_._1),
-      notMatchedInsertCond = insert.flatMap(_._2))
+      notMatchedInsertCond = insert.flatMap(_._2),
+      bySourceUpdate = bsUpdate.map(_._1).getOrElse(Nil),
+      bySourceUpdateCond = bsUpdate.map(_._2),
+      bySourceDelete = bsDelete)
   }
 }
 
@@ -301,13 +343,19 @@ case class GraftMergeCommand(root: String, sourcePlan: LogicalPlan,
     keys: Seq[String], matchedUpdate: Seq[(String, String)],
     matchedUpdateCond: Option[String], matchedDelete: Option[String],
     notMatchedInsert: Option[Seq[(String, String)]],
-    notMatchedInsertCond: Option[String]) extends LeafRunnableCommand {
+    notMatchedInsertCond: Option[String],
+    bySourceUpdate: Seq[(String, String)] = Nil,
+    bySourceUpdateCond: Option[String] = None,
+    bySourceDelete: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftStreamingShim.frameOf(spark, sourcePlan)
     Seq(Row(GraftTable.mergeInto(spark, root, src, keys,
       matchedUpdate, matchedUpdateCond, matchedDelete,
-      notMatchedInsert, notMatchedInsertCond)))
+      notMatchedInsert, notMatchedInsertCond,
+      bySourceUpdate = bySourceUpdate,
+      bySourceUpdateCond = bySourceUpdateCond,
+      bySourceDelete = bySourceDelete)))
   }
 }

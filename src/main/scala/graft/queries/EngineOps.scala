@@ -1472,6 +1472,114 @@ object EngineOps {
               SELECT st, COUNT(*) AS n,
                      SUM(CAST(FLOOR(amt * 100.0) AS BIGINT)) AS sum_cents
               FROM g GROUP BY st ORDER BY st""")),
+
+    // BATCH CHANGE FEED end to end: SQL INSERT (v1), a CoW UPDATE (v2
+    // — pairs of delete-old/insert-new for exactly the touched rows,
+    // carried rows cancel in the bag-diff), a DELETE (v3), then
+    // `spark.read.format("grafttable").option("readChangeFeed", true)`
+    // reads the whole feed DISTRIBUTED (the Delta batch-CDF spelling;
+    // a CALL-procedure surface would funnel a table-scale feed through
+    // the driver). The oracle re-derives every change row relationally
+    // from the known build script. `amt * 2.0` is one exact IEEE
+    // double op in both engines.
+    ("catalog_cdc",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "orders").createOrReplaceTempView("ord_cdc_src")
+        val (cat, nsDir) = catalogFor(s, dir, "ccdc")
+        val root = s"$nsDir/cdc"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.cdc (
+                        ok BIGINT, amt DOUBLE, st STRING)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.cdc
+                      SELECT o_orderkey, o_totalprice, o_orderstatus
+                      FROM ord_cdc_src""")
+          if (gt.snapshot(s, root).version == 1L)
+            s.sql(s"UPDATE $cat.ops.cdc SET amt = amt * 2.0 WHERE st = 'F'")
+          if (gt.snapshot(s, root).version == 2L)
+            s.sql(s"DELETE FROM $cat.ops.cdc WHERE st = 'P'")
+        }
+        s.read.format("grafttable").option("path", root)
+          .option("readChangeFeed", "true").load()
+          .select("ok", "amt", "st", "_change_type", "_commit_version")
+          .orderBy("_commit_version", "_change_type", "ok")
+      },
+      Some("""WITH feed AS (
+                SELECT o_orderkey AS ok, o_totalprice AS amt,
+                       o_orderstatus AS st, 'insert' AS _change_type,
+                       CAST(1 AS BIGINT) AS _commit_version
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       'delete', CAST(2 AS BIGINT)
+                FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 2.0, o_orderstatus,
+                       'insert', CAST(2 AS BIGINT)
+                FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       'delete', CAST(3 AS BIGINT)
+                FROM orders WHERE o_orderstatus = 'P')
+              SELECT ok, amt, st, _change_type, _commit_version
+              FROM feed
+              ORDER BY _commit_version, _change_type, ok""")),
+
+    // Five-clause MERGE: both matched verbs, the not-matched insert,
+    // AND the round-12 WHEN NOT MATCHED BY SOURCE class (update +
+    // delete over the target rows the source does NOT touch — the
+    // Delta clause that completes SQL MERGE's three match classes).
+    // Source = every 'O' key (so the by-source class is exactly the
+    // F/P rows) plus offset-shifted 'P' keys for the insert clause.
+    // `amt + sp` = o_totalprice + o_totalprice: one exact IEEE add.
+    ("catalog_merge_by_source",
+      (s: SparkSession, dir: String) => {
+        val gt = graft.table.GraftTable
+        Tables(s, dir, "orders").createOrReplaceTempView("ord_mbs_src")
+        val (cat, nsDir) = catalogFor(s, dir, "cmbs")
+        val root = s"$nsDir/mbs"
+        EngineOps.synchronized {
+          if (gt.snapshot(s, root).version < 0L)
+            s.sql(s"""CREATE TABLE $cat.ops.mbs (
+                        ok BIGINT, amt DOUBLE, st STRING)""")
+          if (gt.snapshot(s, root).version == 0L)
+            s.sql(s"""INSERT INTO $cat.ops.mbs
+                      SELECT o_orderkey, o_totalprice, o_orderstatus
+                      FROM ord_mbs_src""")
+          if (gt.snapshot(s, root).version == 1L) {
+            s.sql("""SELECT o_orderkey AS sk, o_totalprice AS sp
+                     FROM ord_mbs_src WHERE o_orderstatus = 'O'
+                     UNION ALL
+                     SELECT o_orderkey + 10000000, o_totalprice
+                     FROM ord_mbs_src WHERE o_orderstatus = 'P'""")
+              .createOrReplaceTempView("mbs_merge_src")
+            s.sql(s"""MERGE INTO $cat.ops.mbs t USING mbs_merge_src s
+                      ON t.ok = s.sk
+                      WHEN MATCHED AND t.amt < 30000.0 THEN DELETE
+                      WHEN MATCHED THEN UPDATE SET amt = t.amt + s.sp
+                      WHEN NOT MATCHED THEN INSERT (ok, amt, st)
+                        VALUES (s.sk, s.sp, 'NEW')
+                      WHEN NOT MATCHED BY SOURCE AND t.st = 'P' THEN DELETE
+                      WHEN NOT MATCHED BY SOURCE THEN
+                        UPDATE SET st = 'STALE'""")
+          }
+        }
+        s.sql(s"""SELECT ok, amt, st FROM $cat.ops.mbs ORDER BY ok""")
+      },
+      Some("""WITH f AS (
+                SELECT o_orderkey AS ok,
+                       o_totalprice + o_totalprice AS amt, 'O' AS st
+                FROM orders
+                WHERE o_orderstatus = 'O' AND o_totalprice >= 30000.0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, 'STALE'
+                FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_totalprice, 'NEW'
+                FROM orders WHERE o_orderstatus = 'P')
+              SELECT ok, amt, st FROM f ORDER BY ok""")),
   )
 
   /** Write-once root fingerprint for non-catalog table builds, keyed

@@ -130,6 +130,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "bucket" => GraftBucketFunction
       case "truncate" => GraftTruncateFunction
       case k if GraftCatalog.timeFnNames.contains(k) => GraftTimeFunction(k)
+      // width-pinned SPJ spelling, e.g. truncate_4 (GraftBatchScan
+      // reports it so the partition transform carries no literal arg)
+      case k if k.startsWith("truncate_") &&
+          k.drop(9).nonEmpty && k.drop(9).forall(_.isDigit) =>
+        GraftTruncateWidthFunction(k.drop(9).toInt)
       case _ => throw new NoSuchFunctionException(ident)
     }
 
@@ -409,6 +414,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(parts.init, parts.last)
     val p = tablePath(ident)
     require(isTableDir(p), s"no graft table at $tableArg")
+    p.toString
+  }
+
+  /** Directory a NEW table identifier would occupy (clone targets) —
+    * same mapping as [[resolveRoot]] minus the existence gate; refuses
+    * an identifier that already IS a table so a clone can never
+    * silently land inside one.
+    */
+  private[table] def resolveNewRoot(tableArg: String): String = {
+    val parts = tableArg.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = tablePath(ident)
+    require(!isTableDir(p), s"graft table already exists at $tableArg")
     p.toString
   }
 }

@@ -19,7 +19,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("optimize", "vacuum", "history", "expire_versions",
       "describe_detail", "maintain", "verify_table",
-      "evolve_partitioning")
+      "evolve_partitioning", "restore", "clone", "deep_clone")
 
   def apply(cat: GraftCatalog, name: String): UnboundProcedure = name match {
     case "optimize" => Optimize(cat)
@@ -30,6 +30,9 @@ object GraftProcedures {
     case "maintain" => Maintain(cat)
     case "verify_table" => VerifyTable(cat)
     case "evolve_partitioning" => EvolvePartitioning(cat)
+    case "restore" => Restore(cat)
+    case "clone" => Clone(cat, deep = false)
+    case "deep_clone" => Clone(cat, deep = true)
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure '$other' " +
         s"(have ${names.mkString(", ")})")
@@ -166,6 +169,66 @@ object GraftProcedures {
           val spec = Partitioning.parse(in.getUTF8String(1).toString)
           val v = GraftTable.evolvePartitioning(spark, root, spec)
           Seq(Array[Any](v, str(spec.map(_.describe).mkString(", "))))
+        }
+      }
+  }
+
+  /** `CALL c.system.restore(table => 'ns.t', version => v)` or
+    * `(…, timestamp_ms => t)` — swing the table back to an earlier
+    * state as ONE NEW metadata commit ([[GraftTable.restore]] /
+    * [[GraftTable.restoreAsOf]]): nothing is rewritten or deleted and
+    * every intermediate version stays time-travelable. Returns the
+    * committed version.
+    */
+  private case class Restore(cat: GraftCatalog)
+      extends GraftProc("restore") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound("restore", Array(
+        tableParam,
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1").build(),
+        ProcedureParameter.in("timestamp_ms", LongType)
+          .defaultValue("-1").build()),
+        new StructType().add("version", LongType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val root = cat.resolveRoot(in.getUTF8String(0).toString)
+          val (ver, ts) = (in.getLong(1), in.getLong(2))
+          require((ver >= 0) != (ts >= 0),
+            "restore needs exactly one of version / timestamp_ms")
+          val v =
+            if (ver >= 0) GraftTable.restore(spark, root, ver)
+            else GraftTable.restoreAsOf(spark, root, ts)
+          Seq(Array[Any](v))
+        }
+      }
+  }
+
+  /** `CALL c.system.clone(source => 'ns.s', target => 'ns.t'
+    * [, version => v])` — zero-copy metadata branch
+    * ([[GraftTable.clone]]); `deep_clone` is the self-contained
+    * physical copy ([[GraftTable.deepClone]]). The target identifier
+    * maps through the catalog's own directory scheme and must not
+    * already be a table. Returns the target's committed version.
+    */
+  private case class Clone(cat: GraftCatalog, deep: Boolean)
+      extends GraftProc(if (deep) "deep_clone" else "clone") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound(name, Array(
+        ProcedureParameter.in("source", StringType)
+          .comment("source table identifier, e.g. 'ns.s'").build(),
+        ProcedureParameter.in("target", StringType)
+          .comment("new table identifier, e.g. 'ns.t'").build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1").build()),
+        new StructType().add("version", LongType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val src = cat.resolveRoot(in.getUTF8String(0).toString)
+          val dst = cat.resolveNewRoot(in.getUTF8String(1).toString)
+          val at = Some(in.getLong(2)).filter(_ >= 0)
+          val v =
+            if (deep) GraftTable.deepClone(spark, src, dst, at)
+            else GraftTable.clone(spark, src, dst, at)
+          Seq(Array[Any](v))
         }
       }
   }

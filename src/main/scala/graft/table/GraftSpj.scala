@@ -245,9 +245,7 @@ object GraftTruncateFunction
   */
 final case class GraftBoundTruncate(dt: DataType)
     extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Any] {
-  require(dt == StringType || dt == LongType || dt == IntegerType ||
-    dt == ShortType || dt == ByteType,
-    s"truncate does not accept ${dt.catalogString}")
+  GraftTruncateEval.check(dt)
   override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
   override def resultType(): DataType = dt
   override def name(): String = "truncate"
@@ -255,30 +253,78 @@ final case class GraftBoundTruncate(dt: DataType)
   override def isResultNullable: Boolean = true
   override def produceResult(input: InternalRow): Any =
     if (input.isNullAt(1)) null
-    else {
-      val w = input.getInt(0)
-      dt match {
-        case StringType =>
-          val s = input.getUTF8String(1).toString
-          val cps = s.codePoints().limit(w).toArray
-          UTF8String.fromString(new String(cps, 0, cps.length))
-        case _ =>
-          val l = dt match {
-            case LongType => input.getLong(1)
-            case IntegerType => input.getInt(1).toLong
-            case ShortType => input.getShort(1).toLong
-            case ByteType => input.getByte(1).toLong
-            case other => sys.error(s"unreachable: $other")
-          }
-          val f = l - Math.floorMod(l, w.toLong)
-          dt match {
-            case LongType => f
-            case IntegerType => f.toInt
-            case ShortType => f.toShort
-            case ByteType => f.toByte
-            case other => sys.error(s"unreachable: $other")
-          }
-      }
+    else GraftTruncateEval(input.getInt(0), dt, input, 1)
+}
+
+/** WIDTH-PINNED single-argument `truncate` — what the SPJ batch
+  * REPORTS. Spark's key-grouped scan machinery downgrades a
+  * partitioning whose transform carries a literal argument (the
+  * two-argument `truncate(w, col)` spelling left the scan at
+  * `UnknownPartitioning`), so the width moves into the FUNCTION
+  * IDENTITY instead: the transform is `truncate_<w>(col)` and
+  * `canonicalName` pins (width, type) — which is also the correct
+  * compatibility semantics, since co-partitioned means SAME width.
+  * The two-argument [[GraftTruncateFunction]] stays for SQL callers.
+  */
+final case class GraftTruncateWidthFunction(w: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(col): the graft truncate($w, col) partition transform"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate_$w expects (col), got ${inputType.catalogString}")
+    GraftBoundTruncateWidth(w, inputType.fields(0).dataType)
+  }
+}
+
+final case class GraftBoundTruncateWidth(w: Int, dt: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Any] {
+  GraftTruncateEval.check(dt)
+  override def inputTypes(): Array[DataType] = Array(dt)
+  override def resultType(): DataType = dt
+  override def name(): String = s"truncate_$w"
+  override def canonicalName(): String =
+    s"graft.truncate($w, ${dt.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Any =
+    if (input.isNullAt(0)) null
+    else GraftTruncateEval(w, dt, input, 0)
+}
+
+/** The one truncate evaluation both function spellings share —
+  * replicates [[Partitioning.PTruncate]] exactly (first `w` code
+  * points for strings, floor to a multiple of `w` for integrals).
+  */
+private[table] object GraftTruncateEval {
+  def check(dt: DataType): Unit =
+    require(dt == StringType || dt == LongType || dt == IntegerType ||
+      dt == ShortType || dt == ByteType,
+      s"truncate does not accept ${dt.catalogString}")
+
+  def apply(w: Int, dt: DataType, input: InternalRow, ord: Int): Any =
+    dt match {
+      case StringType =>
+        val s = input.getUTF8String(ord).toString
+        val cps = s.codePoints().limit(w).toArray
+        UTF8String.fromString(new String(cps, 0, cps.length))
+      case _ =>
+        val l = dt match {
+          case LongType => input.getLong(ord)
+          case IntegerType => input.getInt(ord).toLong
+          case ShortType => input.getShort(ord).toLong
+          case ByteType => input.getByte(ord).toLong
+          case other => sys.error(s"unreachable: $other")
+        }
+        val f = l - Math.floorMod(l, w.toLong)
+        dt match {
+          case LongType => f
+          case IntegerType => f.toInt
+          case ShortType => f.toShort
+          case ByteType => f.toByte
+          case other => sys.error(s"unreachable: $other")
+        }
     }
 }
 
@@ -369,8 +415,11 @@ class GraftBatchScan(spark: SparkSession, root: String,
         case Partitioning.PMonths(c) => Expressions.months(c): Expression
         case Partitioning.PYears(c) => Expressions.years(c): Expression
         case Partitioning.PTruncate(c, w) =>
-          Expressions.apply("truncate",
-            Expressions.literal(w), Expressions.column(c)): Expression
+          // width-pinned single-arg spelling: a literal transform
+          // argument downgrades Spark's key-grouped scan to
+          // UnknownPartitioning (see GraftTruncateWidthFunction)
+          Expressions.apply(s"truncate_$w",
+            Expressions.column(c)): Expression
         case t => Expressions.identity(t.srcCol): Expression
       }.toArray,
       groups.size)

@@ -796,13 +796,23 @@ object GraftTable {
     *   - WHEN MATCHED [AND `matchedDeleteCond`] THEN DELETE
     *   - WHEN MATCHED [AND `matchedUpdateCond`] THEN UPDATE SET …
     *   - WHEN NOT MATCHED [AND `notMatchedInsertCond`] THEN INSERT …
+    *   - WHEN NOT MATCHED BY SOURCE [AND `bySourceDelete`] THEN DELETE
+    *   - WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …
     *
-    * Clause precedence for a matched row: delete first, then update,
-    * else carry unchanged (the fixed evaluation order; conditions make
-    * any other composition expressible). Expression namespace: TARGET
-    * columns by their own names, SOURCE non-key columns as
-    * `src_<name>` — conditions and SET/INSERT expressions may read
-    * both sides of the match. INSERT expressions cover any subset of
+    * Clause precedence within each match class: delete first, then
+    * update, else carry unchanged (the fixed evaluation order;
+    * conditions make any other composition expressible). Expression
+    * namespace: TARGET columns by their own names, SOURCE non-key
+    * columns as `src_<name>` — matched-class conditions and
+    * SET/INSERT expressions may read both sides of the match;
+    * by-source expressions see TARGET columns only (the source side
+    * of an unmatched row is all NULL by construction).
+    *
+    * Cost note: the by-source clauses quantify over target rows the
+    * source does NOT touch, so their presence disables source-range
+    * file pruning — the merge reads every live file (the same
+    * whole-table scan the Delta clause costs). Without them the
+    * O(overlap + source) contract below is unchanged. INSERT expressions cover any subset of
     * non-key columns (the rest land NULL); key columns always take the
     * source key. Every produced value casts to the declared table
     * type, so the schema is invariant.
@@ -833,9 +843,13 @@ object GraftTable {
       matchedDelete: Option[String] = None,
       notMatchedInsert: Option[Seq[(String, String)]] = None,
       notMatchedInsertCond: Option[String] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      bySourceUpdate: Seq[(String, String)] = Nil,
+      bySourceUpdateCond: Option[String] = None,
+      bySourceDelete: Option[String] = None): Long = {
     require(matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
-      notMatchedInsert.nonEmpty, "mergeInto: no clauses given")
+      notMatchedInsert.nonEmpty || bySourceUpdate.nonEmpty ||
+      bySourceDelete.nonEmpty, "mergeInto: no clauses given")
     require(keys.nonEmpty, "mergeInto: keys must be non-empty")
     // one aggregate pass: row count and exact key-distinct together
     val cnts = source.agg(count(lit(1)),
@@ -844,13 +858,17 @@ object GraftTable {
     require(srcCount == distinctKeys,
       s"mergeInto: source keys must be unique ($srcCount rows, " +
         s"$distinctKeys distinct keys) — a row matched twice is undefined")
-    if (srcCount == 0) return snapshot(spark, root).version // no-op
+    // an empty source is a no-op ONLY without by-source clauses: with
+    // them, nothing matches and the by-source verbs apply to EVERY row
+    if (srcCount == 0 && bySourceUpdate.isEmpty && bySourceDelete.isEmpty)
+      return snapshot(spark, root).version
     commitRetry(spark, root) { snap =>
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None // already committed — idempotent replay (commit no-op)
       else mergeBuild(spark, root, snap, source, keys, matchedUpdate,
         matchedUpdateCond, matchedDelete, notMatchedInsert,
-        notMatchedInsertCond, txn)
+        notMatchedInsertCond, txn, bySourceUpdate, bySourceUpdateCond,
+        bySourceDelete)
     }
   }
 
@@ -861,14 +879,20 @@ object GraftTable {
       matchedDelete: Option[String],
       notMatchedInsert: Option[Seq[(String, String)]],
       notMatchedInsertCond: Option[String],
-      txn: Option[(String, Long)])
+      txn: Option[(String, Long)],
+      bySourceUpdate: Seq[(String, String)] = Nil,
+      bySourceUpdateCond: Option[String] = None,
+      bySourceDelete: Option[String] = None)
       : Option[(Seq[AddFile], Seq[String], StructType,
         Option[(String, Long)])] = {
-      val badSet = matchedUpdate.map(_._1)
+      val badSet = (matchedUpdate ++ bySourceUpdate).map(_._1)
         .filterNot(snap.schema.fieldNames.contains)
       require(badSet.isEmpty, s"mergeInto: no such column(s) $badSet")
+      val hasBySource = bySourceUpdate.nonEmpty || bySourceDelete.nonEmpty
+      // by-source clauses quantify over UNmatched target rows, so the
+      // source key range proves nothing about which files they touch
       val touched =
-        if (keys.size != 1) snap.files
+        if (keys.size != 1 || hasBySource) snap.files
         else {
           val k = keys.head
           val mm = source.agg(min(col(k)), max(col(k))).head
@@ -893,9 +917,16 @@ object GraftTable {
       val doIns = !isT && isS && lit(notMatchedInsert.nonEmpty) &&
         notMatchedInsertCond.map(c => coalesce(expr(c), lit(false)))
           .getOrElse(lit(true))
+      // the by-source class: target rows no source key matched
+      val unmatched = isT && !isS
+      val doDelSrc = unmatched && bySourceDelete
+        .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(false))
+      val doUpdSrc = unmatched && !doDelSrc && lit(bySourceUpdate.nonEmpty) &&
+        bySourceUpdateCond.map(c => coalesce(expr(c), lit(false)))
+          .getOrElse(lit(true))
       val inserts = notMatchedInsert.getOrElse(Nil).toMap
       val out = j
-        .filter((isT && !doDel) || doIns)
+        .filter((isT && !doDel && !doDelSrc) || doIns)
         .select(snap.schema.fields.map { f =>
           val base =
             if (keys.contains(f.name)) col(f.name) // using-join: coalesced
@@ -905,10 +936,15 @@ object GraftTable {
               case None => when(doIns, lit(null).cast(f.dataType))
                 .otherwise(col(f.name))
             }
-          (matchedUpdate.find(_._1 == f.name) match {
+          val withUpd = matchedUpdate.find(_._1 == f.name) match {
             case Some((_, e)) =>
               when(doUpd, expr(e).cast(f.dataType)).otherwise(base)
             case None => base
+          }
+          (bySourceUpdate.find(_._1 == f.name) match {
+            case Some((_, e)) =>
+              when(doUpdSrc, expr(e).cast(f.dataType)).otherwise(withUpd)
+            case None => withUpd
           }).cast(f.dataType).as(f.name)
         }.toSeq: _*)
       enforceConstraints(spark, root, out)

@@ -79,6 +79,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
       (k.toLowerCase(java.util.Locale.ROOT) match {
         case "versionasof" => "versionAsOf"
         case "timestampasof" => "timestampAsOf"
+        case "readchangefeed" => "readChangeFeed"
+        case "startingversion" => "startingVersion"
+        case "endingversion" => "endingVersion"
         case other => other
       }) -> v
     }
@@ -91,8 +94,15 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val opts = lower(options)
     val spark = SparkSession.active
     val root = rootOf(opts)
-    GraftCatalog.stripPhys(
-      GraftTable.snapshot(spark, root, asOfOf(spark, root, opts)).schema)
+    if (cdf(opts)) {
+      require(!opts.contains("versionAsOf") && !opts.contains("timestampAsOf"),
+        "grafttable: readChangeFeed cannot combine with time travel — " +
+          "bound the feed with startingVersion/endingVersion instead")
+      GraftTableSource.cdcSchema(GraftCatalog.stripPhys(
+        GraftTable.snapshot(spark, root).schema))
+    } else
+      GraftCatalog.stripPhys(
+        GraftTable.snapshot(spark, root, asOfOf(spark, root, opts)).schema)
   }
 
   /** Path-based batch READ of the table — the same [[GraftV2Table]]
@@ -113,10 +123,21 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val opts = lower(properties)
     val spark = SparkSession.active
     val root = rootOf(opts)
-    new GraftV2Table(root,
-      org.apache.spark.sql.connector.catalog.Identifier.of(
-        Array("grafttable"), new org.apache.hadoop.fs.Path(root).getName),
-      asOfOf(spark, root, opts))
+    if (cdf(opts)) {
+      // batch change-feed read (the Delta batch-CDF spelling):
+      // startingVersion INCLUSIVE (default 0 = the table's whole
+      // history), endingVersion INCLUSIVE (default = the tip AT PLAN
+      // TIME, pinned here so a concurrent commit can't shift the
+      // result between analysis and execution)
+      val tip = GraftTable.snapshot(spark, root).version
+      val from = opts.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val to = opts.get("endingVersion").map(_.toLong).getOrElse(tip)
+      new GraftChangesTable(root, from, to)
+    } else
+      new GraftV2Table(root,
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("grafttable"), new org.apache.hadoop.fs.Path(root).getName),
+        asOfOf(spark, root, opts))
   }
 
   private def cdf(parameters: Map[String, String]): Boolean =
@@ -178,6 +199,77 @@ object GraftTableSource {
   def cdcSchema(base: StructType): StructType = base
     .add("_change_type", org.apache.spark.sql.types.StringType)
     .add("_commit_version", org.apache.spark.sql.types.LongType)
+}
+
+/** BATCH change-feed read — the Delta batch-CDF spelling:
+  * `spark.read.format("grafttable").option("path", root)
+  * .option("readChangeFeed", "true")[.option("startingVersion", a)]
+  * [.option("endingVersion", b)].load()` serves
+  * [[GraftTable.changes]] over the INCLUSIVE version range `[a, b]`
+  * as a distributed scan (never a driver materialization — the feed
+  * of a 100 TB table's history is itself table-scale). Column pruning
+  * reaches the underlying parquet reads through the V1 bridge's
+  * projection, and the per-commit cost contract is `changes`'s own:
+  * O(files the commits touched), with layout-only commits
+  * contributing nothing.
+  */
+class GraftChangesTable(root: String, fromInclusive: Long, to: Long)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+
+  private def spark = SparkSession.active
+
+  override def name(): String = s"grafttable_changes($root)"
+
+  override lazy val schema: StructType =
+    GraftTableSource.cdcSchema(GraftCatalog.stripPhys(
+      GraftTable.snapshot(spark, root).schema))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Set.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"GraftChangesScan $root versions [$fromInclusive, $to] " +
+            s"[${required.fieldNames.mkString(", ")}]"
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            context: SQLContext): T = {
+          val relation = new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def needConversion: Boolean = false
+            override def buildScan()
+                : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              // changes() takes an EXCLUSIVE lower bound
+              val feed = GraftTable.changes(context.sparkSession, root,
+                fromInclusive - 1, to)
+              val projected =
+                if (required.isEmpty) feed.select()
+                else feed.select(required.fieldNames.toSeq.map(
+                  org.apache.spark.sql.functions.col): _*)
+              projected.queryExecution.toRdd
+                .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+            }
+            override def toString: String =
+              s"GraftTableChanges($root) [$fromInclusive, $to]"
+          }
+          relation.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 /** `readChangeFeed = true` streams [[GraftTable.changes]] per commit

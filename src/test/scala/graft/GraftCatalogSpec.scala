@@ -698,6 +698,96 @@ class GraftCatalogSpec extends SparkSpec {
     GraftTable.append(spark, root, Seq((5L, "a")).toDF("id", "key"))
     assert(GraftTable.read(spark, root).columns.toSeq == Seq("id", "key"))
   }
+
+  test("CALL restore swings the table back as one new commit; history stays travelable") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.rst (id BIGINT, key STRING, v DOUBLE)")
+    rows(0, 20).createOrReplaceTempView("rst_a")
+    rows(100, 130).createOrReplaceTempView("rst_b")
+    spark.sql("INSERT INTO gcat.ns.rst SELECT * FROM rst_a") // v1
+    spark.sql("INSERT INTO gcat.ns.rst SELECT * FROM rst_b") // v2
+    val v = spark.sql("CALL gcat.system.restore(`table` => 'ns.rst', " +
+      "version => 1)").head.getLong(0)
+    assert(v == 3L, "restore is a NEW commit on top, not a log rewind")
+    assert(spark.table("gcat.ns.rst").count() == 20)
+    // the pre-restore state stays time-travelable
+    assert(spark.sql("SELECT * FROM gcat.ns.rst VERSION AS OF 2")
+      .count() == 50)
+    // timestamp route: restoring to v2's wall-clock brings the rows back
+    val root = s"$wh/ns/rst"
+    val t2 = GraftTable.commitTimeMs(spark, root, 2L)
+    spark.sql("CALL gcat.system.restore(`table` => 'ns.rst', " +
+      s"timestamp_ms => ${t2}L)")
+    assert(spark.table("gcat.ns.rst").count() == 50)
+    // exactly one of version/timestamp_ms
+    intercept[Exception] {
+      spark.sql("CALL gcat.system.restore(`table` => 'ns.rst')").collect()
+    }
+  }
+
+  test("CALL clone branches zero-copy; deep_clone is self-contained; existing target refuses") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.cls (id BIGINT, key STRING, v DOUBLE)")
+    rows(0, 30).createOrReplaceTempView("cls_src")
+    spark.sql("INSERT INTO gcat.ns.cls SELECT * FROM cls_src")
+    spark.sql("CALL gcat.system.clone(source => 'ns.cls', " +
+      "target => 'ns.cls_branch')")
+    assert(spark.table("gcat.ns.cls_branch").count() == 30)
+    // zero-copy: the branch carries no data dir of its own
+    assert(!new java.io.File(s"$wh/ns/cls_branch/data").exists())
+    // divergence: writes to the branch never touch the source
+    spark.sql("INSERT INTO gcat.ns.cls_branch SELECT id + 500, key, v " +
+      "FROM cls_src")
+    assert(spark.table("gcat.ns.cls_branch").count() == 60)
+    assert(spark.table("gcat.ns.cls").count() == 30)
+    // deep clone at a pinned version (the branch's clone commit = v0,
+    // before the divergent insert) is physically independent
+    spark.sql("CALL gcat.system.deep_clone(source => 'ns.cls_branch', " +
+      "target => 'ns.cls_backup', version => 0)")
+    assert(spark.table("gcat.ns.cls_backup").count() == 30)
+    assert(new java.io.File(s"$wh/ns/cls_backup/data").exists())
+    // an existing table can never be silently overwritten by a clone
+    intercept[Exception] {
+      spark.sql("CALL gcat.system.clone(source => 'ns.cls', " +
+        "target => 'ns.cls_backup')").collect()
+    }
+  }
+
+  test("batch change feed: format option readChangeFeed serves changes() distributed") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.cdfb (id BIGINT, key STRING, v DOUBLE)")
+    rows(0, 40).createOrReplaceTempView("cdfb_src")
+    spark.sql("INSERT INTO gcat.ns.cdfb SELECT * FROM cdfb_src")    // v1
+    spark.sql("UPDATE gcat.ns.cdfb SET v = v + 1.0 WHERE id < 10")  // v2
+    spark.sql("DELETE FROM gcat.ns.cdfb WHERE id >= 30")            // v3
+    val root = s"$wh/ns/cdfb"
+    def feed(extra: (String, String)*) = {
+      var r = spark.read.format("grafttable").option("path", root)
+        .option("readChangeFeed", "true")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    // full history ≡ the API feed
+    val all = feed().collect().map(_.toSeq).toSet
+    val api = GraftTable.changes(spark, root, -1L, 3L)
+      .collect().map(_.toSeq).toSet
+    assert(all == api)
+    assert(all.nonEmpty)
+    // inclusive version bounds: just the UPDATE's pair rows
+    val v2 = feed("startingVersion" -> "2", "endingVersion" -> "2")
+    assert(v2.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(v2.count() == 20, "10 updated rows surface as delete+insert pairs")
+    // column pruning survives the bridge
+    val pruned = feed("startingVersion" -> "3")
+      .select("id", "_change_type").collect()
+    assert(pruned.length == 10 &&
+      pruned.forall(_.getString(1) == "delete"))
+    // CDF + time travel is contradictory and refuses
+    intercept[Exception] {
+      feed("versionAsOf" -> "1").collect()
+    }
+  }
 }
 
 object GraftCatalogSpec {

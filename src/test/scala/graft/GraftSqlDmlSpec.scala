@@ -287,4 +287,54 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("unique"))
   }
+
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: update + delete over the unmatched class") {
+    freshTable("bsrc", 0, 40) // grp = g0..g3 cycling, v = id
+    // source touches ids 0-9 only; the other 30 rows are the by-source class
+    (0L until 10L).map(i => (i, i * 2.0)).toDF("sid", "sv")
+      .createOrReplaceTempView("bsrc_src")
+    spark.sql("""MERGE INTO gdml.ns.bsrc t USING bsrc_src s ON t.id = s.sid
+                 WHEN MATCHED THEN UPDATE SET v = s.sv
+                 WHEN NOT MATCHED BY SOURCE AND t.grp = 'g3' THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = 'stale'""")
+    val m = spark.table("gdml.ns.bsrc").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // matched rows updated from source
+    (0L until 10L).foreach(i => assert(m(i)._2 == i * 2.0))
+    // unmatched g3 rows (11, 15, ..., 39) deleted
+    assert((10L until 40L).filter(_ % 4 == 3).forall(!m.contains(_)),
+      "unmatched g3 rows must be deleted by the first by-source clause")
+    // remaining unmatched rows marked stale, values untouched
+    (10L until 40L).filterNot(_ % 4 == 3).foreach { i =>
+      assert(m(i) == ("stale", i * 1.0), s"row $i")
+    }
+    assert(m.size == 10 + 30 - (10L until 40L).count(_ % 4 == 3))
+  }
+
+  test("SQL MERGE BY SOURCE clause order: first matching by-source clause wins") {
+    freshTable("bsord", 0, 8)
+    // empty-ish source (key nothing matches): every row is by-source
+    Seq((999L, 0.0)).toDF("sid", "sv").createOrReplaceTempView("bsord_src")
+    // UPDATE listed FIRST: a row satisfying both conditions must
+    // update, not delete, even though the engine's internal order is
+    // delete-first
+    spark.sql("""MERGE INTO gdml.ns.bsord t USING bsord_src s ON t.id = s.sid
+                 WHEN NOT MATCHED BY SOURCE AND t.id < 6 THEN UPDATE SET v = -1.0
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val m = spark.table("gdml.ns.bsord").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((0L until 6L).forall(m(_) == -1.0),
+      "first by-source clause (update) wins where both conditions hold")
+    assert((6L until 8L).forall(!m.contains(_)),
+      "rows failing the update condition fall through to delete")
+    // by-source expressions may not read the source side
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gdml.ns.bsord t USING bsord_src s
+                   ON t.id = s.sid
+                   WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.sv""")
+    }
+    assert(e.getMessage.toLowerCase.contains("source") ||
+      e.getMessage.contains("resolve"),
+      s"stray source reference must refuse, got: ${e.getMessage}")
+  }
 }

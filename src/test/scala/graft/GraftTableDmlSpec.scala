@@ -318,4 +318,29 @@ class GraftTableDmlSpec extends SparkSpec {
     assert(real == dry, "vacuum must reclaim exactly the dry-run list")
     assert(!orphan.exists())
   }
+
+  test("mergeInto BY SOURCE: unmatched rows update/delete; empty source applies to all") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 12)) // ids 0-11
+    // source covers ids 0-3: the other 8 rows are the by-source class
+    val src = (0L until 4L).map(i => (i, "U", 1L)).toDF("id", "op", "dv")
+    GraftTable.mergeInto(spark, root, src, Seq("id"),
+      matchedUpdate = Seq("v" -> "v + src_dv"),
+      bySourceDelete = Some("id >= 10"),
+      bySourceUpdate = Seq("s" -> "'stale'"))
+    val m = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    (0L until 4L).foreach(i => assert(m(i) == (i * 10 + 1, s"s$i")))
+    assert(!m.contains(10L) && !m.contains(11L),
+      "by-source delete removes the unmatched tail")
+    (4L until 10L).foreach(i => assert(m(i) == (i * 10, "stale")))
+    assert(m.size == 10)
+    // an EMPTY source leaves nothing matched: the unconditional
+    // by-source delete clears the table (the no-op early-return must
+    // not swallow by-source clauses)
+    GraftTable.mergeInto(spark, root,
+      spark.emptyDataset[(Long, String, Long)].toDF("id", "op", "dv"),
+      Seq("id"), bySourceDelete = Some("true"))
+    assert(GraftTable.read(spark, root).count() == 0)
+  }
 }
