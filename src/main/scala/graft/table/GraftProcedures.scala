@@ -72,11 +72,14 @@ object GraftProcedures {
       .build()
 
   /** `CALL c.system.optimize(table => 'ns.t' [, zorder_by => 'x,y']
-    * [, target_files => n] [, bits => b] [, max_files => m])` —
-    * incremental Z-order when `zorder_by` is set ([[
-    * GraftTable.zorderIncremental]]; `max_files` bounds the pass),
-    * otherwise a full [[GraftTable.compact]] to `target_files`.
-    * Returns the committed version.
+    * [, target_files => n] [, bits => b] [, max_files => m]
+    * [, where => '<pred>'])` — incremental Z-order when `zorder_by`
+    * is set ([[GraftTable.zorderIncremental]]; `max_files` bounds the
+    * pass), predicate-SCOPED compaction when `where` is set
+    * ([[GraftTable.compactWhere]] — only the overlapping files
+    * rewrite, O(slice) not O(table)), otherwise a full
+    * [[GraftTable.compact]] to `target_files`. Returns the committed
+    * version.
     */
   private case class Optimize(cat: GraftCatalog)
       extends GraftProc("optimize") {
@@ -90,38 +93,54 @@ object GraftProcedures {
         ProcedureParameter.in("bits", IntegerType)
           .defaultValue("16").build(),
         ProcedureParameter.in("max_files", IntegerType)
-          .defaultValue("0").build()),
+          .defaultValue("0").build(),
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''").build()),
         new StructType().add("version", LongType)) {
         override def run(in: InternalRow): Seq[Array[Any]] = {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
           val zcols = in.getUTF8String(1).toString.split(',')
             .map(_.trim).filter(_.nonEmpty).toSeq
+          val where = in.getUTF8String(5).toString.trim
+          require(zcols.isEmpty || where.isEmpty,
+            "optimize: zorder_by and where are mutually exclusive")
           val v =
             if (zcols.nonEmpty)
               GraftTable.zorderIncremental(spark, root, zcols,
                 targetFiles = in.getInt(2), bits = in.getInt(3),
                 maxFiles = in.getInt(4))
+            else if (where.nonEmpty)
+              GraftTable.compactWhere(spark, root, where, in.getInt(2))
             else GraftTable.compact(spark, root, in.getInt(2))
           Seq(Array[Any](v))
         }
       }
   }
 
-  /** `CALL c.system.vacuum(table => 'ns.t' [, min_age_ms => n])` —
-    * reclaims unreferenced files ([[GraftTable.vacuum]]); returns the
-    * reclaimed paths.
+  /** `CALL c.system.vacuum(table => 'ns.t' [, min_age_ms => n]
+    * [, dry_run => true])` — reclaims unreferenced files
+    * ([[GraftTable.vacuum]]); `dry_run` lists exactly what a real
+    * vacuum would delete without touching anything
+    * ([[GraftTable.vacuumDryRun]]). Returns the (would-be) reclaimed
+    * paths.
     */
   private case class Vacuum(cat: GraftCatalog) extends GraftProc("vacuum") {
     override def bind(inputType: StructType): BoundProcedure =
       new Bound("vacuum", Array(
         tableParam,
         ProcedureParameter.in("min_age_ms", LongType)
-          .defaultValue("0").build()),
+          .defaultValue("0").build(),
+        ProcedureParameter.in("dry_run",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build()),
         new StructType().add("path", StringType)) {
         override def run(in: InternalRow): Seq[Array[Any]] = {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
-          GraftTable.vacuum(spark, root, in.getLong(1))
-            .map(p => Array[Any](str(p)))
+          val paths =
+            if (in.getBoolean(2))
+              GraftTable.vacuumDryRun(spark, root, in.getLong(1))
+            else GraftTable.vacuum(spark, root, in.getLong(1))
+          paths.map(p => Array[Any](str(p)))
         }
       }
   }
@@ -234,17 +253,22 @@ object GraftProcedures {
   }
 
   /** `CALL c.system.history(table => 'ns.t')` — the commit log as
-    * rows ([[GraftTable.history]]).
+    * rows ([[GraftTable.historyOps]]): version, commit wall-clock,
+    * the OPERATION verb that produced the commit (append / delete /
+    * merge_into / compact / restore / …; pre-field entries read
+    * `commit`), and the add/remove file counts.
     */
   private case class History(cat: GraftCatalog) extends GraftProc("history") {
     override def bind(inputType: StructType): BoundProcedure =
       new Bound("history", Array(tableParam),
         new StructType().add("version", LongType)
+          .add("ts_ms", LongType).add("operation", StringType)
           .add("adds", IntegerType).add("removes", IntegerType)) {
         override def run(in: InternalRow): Seq[Array[Any]] = {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
-          GraftTable.history(spark, root)
-            .map { case (v, a, r) => Array[Any](v, a, r) }
+          GraftTable.historyOps(spark, root)
+            .map { case (v, ts, op, a, r) =>
+              Array[Any](v, ts, str(op), a, r) }
         }
       }
   }

@@ -130,7 +130,7 @@ object GraftTable {
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
       txn: Option[(String, Long)] = None): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "append") { snap =>
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None // already committed — idempotent replay
       else {
@@ -147,7 +147,7 @@ object GraftTable {
     */
   def create(spark: SparkSession, root: String, schema: StructType): Long = {
     require(schema.nonEmpty, "cannot create a table with an empty schema")
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "create") { snap =>
       require(snap.version < 0,
         s"GraftTable: table already exists at $root (version ${snap.version})")
       Some((Nil, Nil, schema, None))
@@ -230,7 +230,7 @@ object GraftTable {
   def addColumn(spark: SparkSession, root: String, name: String,
       dataType: org.apache.spark.sql.types.DataType,
       default: Option[(String, String)] = None): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "add_column") { snap =>
       require(snap.version >= 0, s"GraftTable: no table at $root")
       require(!snap.schema.fieldNames.contains(name),
         s"GraftTable: column '$name' already exists")
@@ -272,7 +272,7 @@ object GraftTable {
     */
   def widenColumn(spark: SparkSession, root: String, name: String,
       newType: org.apache.spark.sql.types.DataType): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "widen_column") { snap =>
       require(snap.version >= 0, s"GraftTable: no table at $root")
       val i = snap.schema.fieldNames.indexOf(name)
       require(i >= 0, s"GraftTable: no column '$name'")
@@ -291,7 +291,7 @@ object GraftTable {
 
   /** Replace the whole table content in one atomic commit. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "overwrite") { snap =>
       enforceConstraints(spark, root, df)
       Some((writeData(spark, root, df, df.schema), snap.files.map(_.path),
         df.schema, None))
@@ -314,7 +314,7 @@ object GraftTable {
     */
   def replaceWhere(spark: SparkSession, root: String, condSql: String,
       df: DataFrame): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "replace_where") { snap =>
       val bad = df.filter(s"NOT coalesce(($condSql), false)").count()
       require(bad == 0L,
         s"replaceWhere: $bad incoming rows do not satisfy ($condSql)")
@@ -341,7 +341,7 @@ object GraftTable {
     */
   def overwritePartitions(spark: SparkSession, root: String,
       df: DataFrame, txn: Option[(String, Long)] = None): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "overwrite_partitions") { snap =>
       require(snap.spec.nonEmpty,
         "overwritePartitions needs a partitioned table " +
           "(createPartitioned) — use overwrite/replaceWhere otherwise")
@@ -397,7 +397,7 @@ object GraftTable {
     */
   def evolvePartitioning(spark: SparkSession, root: String,
       newSpec: Seq[Partitioning.PTransform]): Long =
-    commitRetry(spark, root, newSpec = Some(newSpec)) { snap =>
+    commitRetry(spark, root, newSpec = Some(newSpec), op = "evolve_partitioning") { snap =>
       require(snap.version >= 0, s"GraftTable: no table at $root")
       require(snap.spec.nonEmpty,
         "evolvePartitioning needs a transform-partitioned table " +
@@ -432,7 +432,7 @@ object GraftTable {
     */
   def deleteWhereRanges(spark: SparkSession, root: String, condSql: String,
       ranges: Seq[Range]): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "delete") { snap =>
       // bloom-aware pruning: a POINT delete (lo == hi) also skips
       // files whose filter proves the key absent — a wrongly-kept
       // file is only an extra rewrite, a wrong skip is impossible
@@ -477,7 +477,7 @@ object GraftTable {
     */
   def updateWhereRanges(spark: SparkSession, root: String, condSql: String,
       sets: Seq[(String, String)], ranges: Seq[Range]): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "update") { snap =>
       val unknown = sets.map(_._1).filterNot(snap.schema.fieldNames.contains)
       require(unknown.isEmpty, s"updateWhere: no such column(s) $unknown")
       val touched =
@@ -521,7 +521,7 @@ object GraftTable {
     * every (DV-surviving) row, same as any removed-without-readd file.
     */
   def deleteRange(spark: SparkSession, root: String, range: Range): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "delete_range") { snap =>
       val touched = prunedFilesAll(snap, Seq(range))
       if (touched.isEmpty) None
       else {
@@ -578,7 +578,7 @@ object GraftTable {
     */
   def deleteWhereDv(spark: SparkSession, root: String, condSql: String,
       prune: Option[Range]): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "dv_delete") { snap =>
       val touched = prune match {
         case Some(r) => prunedFilesAll(snap, Seq(r))
         case None => snap.files
@@ -599,7 +599,7 @@ object GraftTable {
     */
   def deleteKeysDv(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "dv_delete") { snap =>
       val mm = keys.agg(min(col(keyCol)), max(col(keyCol))).head
       if (mm.isNullAt(0)) None
       else {
@@ -747,7 +747,7 @@ object GraftTable {
     * maintenance pass that bounds read-side mask cost.
     */
   def purgeDeletes(spark: SparkSession, root: String): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "purge_deletes") { snap =>
       val masked = snap.files.filter(_.dv.isDefined)
       if (masked.isEmpty) None
       else {
@@ -771,7 +771,7 @@ object GraftTable {
   def merge(spark: SparkSession, root: String, changes: DataFrame,
       keys: Seq[String], versionCol: String, opCol: String,
       deleteOp: String = "D"): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "merge") { snap =>
       val touched =
         if (keys.size != 1) snap.files
         else {
@@ -862,7 +862,7 @@ object GraftTable {
     // them, nothing matches and the by-source verbs apply to EVERY row
     if (srcCount == 0 && bySourceUpdate.isEmpty && bySourceDelete.isEmpty)
       return snapshot(spark, root).version
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "merge_into") { snap =>
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None // already committed — idempotent replay (commit no-op)
       else mergeBuild(spark, root, snap, source, keys, matchedUpdate,
@@ -969,7 +969,7 @@ object GraftTable {
     */
   def zorderByCols(spark: SparkSession, root: String, cols: Seq[String],
       targetFiles: Int, bits: Int = 16): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "zorder") { snap =>
       val keyed = readFiles(spark, root, snap, snap.files)
         .withColumn("__zkey",
           graft.operators.Layout.zorderKeyN(cols.map(col), bits))
@@ -1017,7 +1017,7 @@ object GraftTable {
   def zorderIncremental(spark: SparkSession, root: String,
       cols: Seq[String], targetFiles: Int, bits: Int = 16,
       maxFiles: Int = 0): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "zorder") { snap =>
       val spec = layoutSpec(cols, bits)
       val debtAll = snap.files.filterNot(_.layout.contains(spec))
       val debt =
@@ -1040,12 +1040,40 @@ object GraftTable {
     * compaction); content-identical, one atomic swap.
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "compact") { snap =>
       val all = readFiles(spark, root, snap, snap.files)
         .repartition(targetFiles)
       Some((writeData(spark, root, all, snap.schema,
         preserveLayout = true, layoutOnly = true), snap.files.map(_.path),
         snap.schema, None))
+    }
+
+  /** PREDICATE-SCOPED compaction (the `OPTIMIZE … WHERE` verb):
+    * rewrite only the files whose zone maps / partition tuples overlap
+    * `condSql` into `targetFiles`, leaving every provably-disjoint
+    * file untouched by reference — re-layouting one hot slice of a
+    * 100 TB table costs O(slice), where [[compact]] is O(table).
+    * Layout-only: content is carried bit-identical (the predicate
+    * SCOPES the work, it never filters rows). No-op when fewer than
+    * two files overlap.
+    */
+  def compactWhere(spark: SparkSession, root: String, condSql: String,
+      targetFiles: Int = 1): Long =
+    commitRetry(spark, root, op = "compact") { snap =>
+      val ranges = rangesOf(spark, condSql)
+      require(ranges.nonEmpty,
+        s"compactWhere: no prunable range in '$condSql' — a predicate " +
+          "that scopes nothing would silently compact the whole table; " +
+          "use compact() for that")
+      val touched = prunedFilesAll(snap, ranges)
+      if (touched.size < 2) None
+      else {
+        val merged = readFiles(spark, root, snap, touched)
+          .repartition(targetFiles)
+        Some((writeData(spark, root, merged, snap.schema,
+          preserveLayout = true, layoutOnly = true),
+          touched.map(_.path), snap.schema, None))
+      }
     }
 
   /** PARTIAL compaction: rewrite only the files under `minRows` rows
@@ -1057,7 +1085,7 @@ object GraftTable {
     */
   def compactSmall(spark: SparkSession, root: String, minRows: Long,
       targetFiles: Int = 1): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "compact") { snap =>
       val small = snap.files.filter(_.rows < minRows)
       if (small.size < 2) None
       else {
@@ -1568,7 +1596,7 @@ object GraftTable {
     * a mutable 100 TB table needs: O(log entry), not O(data).
     */
   def restore(spark: SparkSession, root: String, toVersion: Long): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "restore") { snap =>
       val old = snapshot(spark, root, Some(toVersion))
       // identity = path + deletion vector: a DV commit changes CONTENT
       // under unchanged paths, and restoring across it must swing the
@@ -1620,13 +1648,26 @@ object GraftTable {
   }
 
   /** Commit metadata, newest first — the DESCRIBE HISTORY analogue. */
-  def history(spark: SparkSession, root: String): Seq[(Long, Int, Int)] = {
+  def history(spark: SparkSession, root: String): Seq[(Long, Int, Int)] =
+    historyOps(spark, root).map { case (v, _, _, a, r) => (v, a, r) }
+
+  /** [[history]] with the operational columns: (version, commit
+    * wall-clock ms, OPERATION verb, adds, removes). Every commit
+    * records the verb that produced it (`append`, `delete`, `merge`,
+    * `compact`, `restore`, …) — entries written before the field
+    * existed read back as the generic `commit`.
+    */
+  def historyOps(spark: SparkSession, root: String)
+      : Seq[(Long, Long, String, Int, Int)] = {
     val (fs, logDir) = logFs(spark, root)
     fs.listStatus(logDir).map(_.getPath.getName)
       .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toLong).sorted.reverse
       .map { v =>
         val node = mapper.readTree(readString(fs, new Path(logDir, entryName(v))))
-        (v, node.get("adds").size(), node.get("removes").size())
+        val op =
+          if (node.hasNonNull("op")) node.get("op").asText else "commit"
+        (v, if (node.hasNonNull("ts")) node.get("ts").asLong else 0L, op,
+          node.get("adds").size(), node.get("removes").size())
       }.toSeq
   }
 
@@ -1902,7 +1943,7 @@ object GraftTable {
         dv = f.dv.map(d => d.copy(path =
           dvCopies.getOrElseUpdate(d.path, copyInto(d.path)))))
     }
-    commitRetry(spark, targetRoot) { snap =>
+    commitRetry(spark, targetRoot, op = "deep_clone") { snap =>
       require(snap.version < 0,
         s"deepClone: target $targetRoot already exists (version ${snap.version})")
       Some((adds, Nil, src.schema, None))
@@ -1932,7 +1973,8 @@ object GraftTable {
     * no-op (e.g. an already-committed txn batch).
     */
   private[table] def commitRetry(spark: SparkSession, root: String,
-      newSpec: Option[Seq[Partitioning.PTransform]] = None)(
+      newSpec: Option[Seq[Partitioning.PTransform]] = None,
+      op: String = "commit")(
       build: Snapshot => Option[(Seq[AddFile], Seq[String], StructType,
         Option[(String, Long)])]): Long = {
     val (fs, logDir) = logFs(spark, root)
@@ -1948,7 +1990,7 @@ object GraftTable {
             .filter(f => removes.contains(f.path) && f.dv.isDefined)
             .map(f => f.path -> f.dv.get).toMap
           val entry = entryJson(v, adds, removes, removeDvs, schema, txn,
-            newSpec)
+            newSpec, op)
           if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v), entry)) {
             maybeCheckpoint(spark, root, fs, logDir, v)
             return v
@@ -2054,7 +2096,7 @@ object GraftTable {
     val adds = src.files.map { f =>
       f.copy(path = abs(f.path), dv = f.dv.map(d => d.copy(path = abs(d.path))))
     }
-    commitRetry(spark, targetRoot) { snap =>
+    commitRetry(spark, targetRoot, op = "clone") { snap =>
       require(snap.version < 0,
         s"clone: target $targetRoot already exists (version ${snap.version})")
       Some((adds, Nil, src.schema, None))
@@ -2073,7 +2115,7 @@ object GraftTable {
     */
   def renameColumn(spark: SparkSession, root: String, oldName: String,
       newName: String): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "rename_column") { snap =>
       require(snap.schema.fieldNames.contains(oldName),
         s"renameColumn: no column $oldName")
       require(!snap.spec.exists(_.srcCol == oldName),
@@ -2098,7 +2140,7 @@ object GraftTable {
     * ([[mergedSchema]]), so dropped data can never resurrect.
     */
   def dropColumn(spark: SparkSession, root: String, name: String): Long =
-    commitRetry(spark, root) { snap =>
+    commitRetry(spark, root, op = "drop_column") { snap =>
       require(snap.schema.fieldNames.contains(name),
         s"dropColumn: no column $name")
       require(!snap.spec.exists(_.srcCol == name),
@@ -2553,10 +2595,12 @@ object GraftTable {
   private def entryJson(v: Long, adds: Seq[AddFile], removes: Seq[String],
       removeDvs: Map[String, DvRef], schema: StructType,
       txn: Option[(String, Long)],
-      newSpec: Option[Seq[Partitioning.PTransform]] = None): String = {
+      newSpec: Option[Seq[Partitioning.PTransform]] = None,
+      op: String = "commit"): String = {
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("ts", System.currentTimeMillis())
+    node.put("op", op)
     node.put("schema", schema.json)
     // a spec-evolution commit carries its new spec IN the entry: the
     // spec change and the version bump are one atomic publish

@@ -753,6 +753,47 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("procedures: history operation column, optimize WHERE, vacuum dry_run") {
+    wh
+    spark.sql("CREATE TABLE gcat.ns.pops (id BIGINT, key STRING, v DOUBLE)")
+    val root = s"$wh/ns/pops"
+    // three disjoint-range files + one delete on the last
+    GraftTable.append(spark, root, rows(0, 100).coalesce(1))
+    GraftTable.append(spark, root, rows(100, 200).coalesce(1))
+    GraftTable.append(spark, root, rows(300, 400).coalesce(1))
+    spark.sql("DELETE FROM gcat.ns.pops WHERE id >= 390")
+    // history carries the verbs
+    val hist = spark.sql("CALL gcat.system.history(`table` => 'ns.pops')")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 3L).forall(hist(_) == "append"),
+      s"history operations: $hist")
+    assert(Set("delete", "dv_delete").contains(hist(4L)))
+    // optimize WHERE: the two overlapping files merge, the id>=300
+    // file (whatever the delete left it as) survives by path
+    val before = GraftTable.snapshot(spark, root)
+    val keep = before.files.map(_.path).toSet
+    spark.sql("CALL gcat.system.optimize(`table` => 'ns.pops', " +
+      "`where` => 'id < 250', target_files => 1)")
+    val after = GraftTable.snapshot(spark, root)
+    assert(after.files.size == before.files.size - 1,
+      "two overlapping files must merge into one")
+    assert(after.files.map(_.path).count(keep) == before.files.size - 2,
+      "the disjoint file must survive by path")
+    assert(spark.table("gcat.ns.pops").count() == 290)
+    // dry_run lists the orphaned generation without deleting anything
+    spark.sql("CALL gcat.system.expire_versions(`table` => 'ns.pops', " +
+      "keep => 1)").collect()
+    val dry = spark.sql("CALL gcat.system.vacuum(`table` => 'ns.pops', " +
+      "dry_run => true)").collect().map(_.getString(0)).sorted
+    assert(dry.nonEmpty, "expired generation must be reclaimable")
+    dry.foreach(p => assert(new java.io.File(root, p).exists(),
+      s"dry_run must not delete $p"))
+    val real = spark.sql("CALL gcat.system.vacuum(`table` => 'ns.pops')")
+      .collect().map(_.getString(0)).sorted
+    assert(real.toSeq == dry.toSeq, "vacuum must reclaim exactly the dry-run list")
+    assert(spark.table("gcat.ns.pops").count() == 290)
+  }
+
   test("batch change feed: format option readChangeFeed serves changes() distributed") {
     wh
     spark.sql("CREATE TABLE gcat.ns.cdfb (id BIGINT, key STRING, v DOUBLE)")

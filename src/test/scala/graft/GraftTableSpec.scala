@@ -623,4 +623,54 @@ class GraftTableSpec extends SparkSpec {
       s"reader failed during concurrent retention: ${failure.get()}")
     assert(GraftTable.read(spark, root).count() == 260)
   }
+
+  test("historyOps: every commit records its operation verb and wall-clock") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 20))
+    GraftTable.append(spark, root, rows(20, 40))
+    GraftTable.deleteWhereAuto(spark, root, "id >= 35")
+    GraftTable.compact(spark, root, targetFiles = 1)
+    GraftTable.restore(spark, root, 1L)
+    val h = GraftTable.historyOps(spark, root) // newest first
+    assert(h.map(_._3) ==
+      Seq("restore", "compact", "delete", "append", "append"),
+      s"operation verbs: ${h.map(_._3)}")
+    assert(h.forall(_._2 > 0L), "every commit carries its wall-clock")
+    // the compat surface is a projection of the same rows
+    assert(GraftTable.history(spark, root) ==
+      h.map { case (v, _, _, a, r) => (v, a, r) })
+  }
+
+  test("compactWhere: only predicate-overlapping files rewrite; disjoint survive by path") {
+    val root = freshRoot()
+    // four single-file appends with disjoint id ranges
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L)).foreach {
+      case (lo, hi) =>
+        GraftTable.append(spark, root, rows(lo, hi).coalesce(1))
+    }
+    val before = GraftTable.snapshot(spark, root)
+    assert(before.files.size == 4)
+    val keep = before.files.map(_.path).toSet
+    GraftTable.compactWhere(spark, root, "id < 150", targetFiles = 1)
+    val after = GraftTable.snapshot(spark, root)
+    // files 3 and 4 (ids 200+) are provably disjoint and survive by path
+    val survivors = after.files.map(_.path).filter(keep)
+    assert(survivors.size == 2,
+      s"expected 2 untouched files, got ${after.files.map(_.path)}")
+    assert(after.files.size == 3, "two overlapping files merged into one")
+    // content bit-identical
+    assert(GraftTable.read(spark, root).orderBy("id")
+      .collect().toSeq == rows(0, 400).orderBy("id").collect().toSeq)
+    // layout-only: the change feed is silent
+    assert(GraftTable.changes(spark, root,
+      before.version, after.version).isEmpty)
+    // fewer than two overlapping files = commit no-op
+    val v = GraftTable.compactWhere(spark, root, "id >= 300", 1)
+    assert(v == after.version, "single-file overlap must not commit")
+    // a predicate no zone map can scope refuses instead of silently
+    // compacting everything
+    intercept[IllegalArgumentException] {
+      GraftTable.compactWhere(spark, root, "key LIKE '%7'", 1)
+    }
+  }
 }
