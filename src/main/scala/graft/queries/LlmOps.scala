@@ -51,10 +51,18 @@ object LlmOps {
        WHERE len(toks) >= 3"""
 
   /** Oracle-side connected components of the n-gram-Jaccard near-dup
-    * graph (minJac = 0.2): recursive-CTE transitive closure ending in a
+    * graph (minJac = 0.2): recursive min-label propagation ending in a
     * `comps(id, comp)` relation — the shared substrate of the
     * `dedup_components` and `dedup_canonical` oracles (the engine side
     * uses [[graft.operators.Components]], a different algorithm).
+    *
+    * Two sf1-scale survival choices (round 12 — the naive closure
+    * stalled the sf1 soak for 80+ minutes on ONE query):
+    * `edges AS MATERIALIZED` stops DuckDB inlining the ENTIRE pair
+    * pipeline into every recursive iteration (observed ≈9 re-runs of
+    * a ~4-minute prefix), and the guarded label recursion
+    * (`lab < e.d`) floods only the component-min label instead of
+    * materializing the full transitive closure's reachable-pair set.
     */
   val componentsCteSql: String =
     s"""WITH RECURSIVE sh AS (
@@ -73,15 +81,16 @@ object LlmOps {
          JOIN sizes ca ON ca.doc_id = a_id
          JOIN sizes cb ON cb.doc_id = b_id
          WHERE ROUND(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) >= 0.2),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT a_id AS s, b_id AS d FROM pairs
          UNION SELECT b_id, a_id FROM pairs),
-       reach(s, d) AS (
-         SELECT s, d FROM edges
+       reach(id, lab) AS (
+         SELECT s, LEAST(s, d) FROM edges
          UNION
-         SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+         WHERE r.lab < e.d),
        comps AS (
-         SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)"""
+         SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)"""
 
   /** Per-doc unigram-LM encoding cost (doc_id, nt, bits, bpt) — the
     * shared engine side of `text_perplexity` and `text_ccnet_buckets`.
