@@ -44,9 +44,18 @@ object Verify {
       spark.catalog.clearCache()
       r
     }.toSeq
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleJson(SparkEntry.oracleSql))
+    failed
+  }
+
+  /** The oracle map as one JSON object. String escape covers
+    * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness. Shared by
+    * [[dump]], [[graft.tools.VerifyOne]], and OracleTypeSpec's lint.
+    */
+  def oracleJson(m: Map[String, String]): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -56,9 +65,6 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    failed
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
   }
 }

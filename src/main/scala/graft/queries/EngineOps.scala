@@ -1428,11 +1428,13 @@ object EngineOps {
     // GraftCatalogSpec's probe-UDF spec). FLOOR keeps the derivation
     // one exact IEEE op sequence, bit-identical in DuckDB.
     //
-    // Tag history: "cgen" tables built by a mid-development recipe
-    // poisoned one verify run (the write-once build is keyed on data
-    // fingerprint + tag, so a stale warehouse survives code fixes);
-    // "cge2" forces every environment onto the final recipe. Rule:
-    // whenever a version-gated build recipe changes, bump its tag.
+    // Tag history: "cgen"->"cge2" bumped on a stale-warehouse theory
+    // that turned out to be a MISDIAGNOSIS — the two red rounds were
+    // caused by the oracle typing sum_cents as HUGEINT (DuckDB
+    // SUM(BIGINT) widens; fixed below with an outer CAST ... AS
+    // BIGINT, the rule Contract.scala documents and OracleTypeSpec
+    // now enforces). The tag-bump rule itself still stands: whenever
+    // a version-gated build recipe changes, bump its tag.
     ("catalog_generated",
       (s: SparkSession, dir: String) => {
         val gt = graft.table.GraftTable
@@ -1470,7 +1472,8 @@ object EngineOps {
                             ELSE o_totalprice END AS amt
                 FROM orders)
               SELECT st, COUNT(*) AS n,
-                     SUM(CAST(FLOOR(amt * 100.0) AS BIGINT)) AS sum_cents
+                     CAST(SUM(CAST(FLOOR(amt * 100.0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
               FROM g GROUP BY st ORDER BY st""")),
 
     // BATCH CHANGE FEED end to end: SQL INSERT (v1), a CoW UPDATE (v2

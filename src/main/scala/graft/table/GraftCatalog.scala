@@ -131,9 +131,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "truncate" => GraftTruncateFunction
       case k if GraftCatalog.timeFnNames.contains(k) => GraftTimeFunction(k)
       // width-pinned SPJ spelling, e.g. truncate_4 (GraftBatchScan
-      // reports it so the partition transform carries no literal arg)
+      // reports it so the partition transform carries no literal arg).
+      // toIntOption bounds the digit string to Int range and >= 1
+      // rejects truncate_0 (floorMod by 0 would throw at ROW
+      // evaluation otherwise) — both fall through to the catalog's
+      // normal unknown-function error instead of a parse crash.
       case k if k.startsWith("truncate_") &&
-          k.drop(9).nonEmpty && k.drop(9).forall(_.isDigit) =>
+          k.drop(9).nonEmpty && k.drop(9).forall(_.isDigit) &&
+          k.drop(9).toIntOption.exists(_ >= 1) =>
         GraftTruncateWidthFunction(k.drop(9).toInt)
       case _ => throw new NoSuchFunctionException(ident)
     }

@@ -268,6 +268,7 @@ final case class GraftBoundTruncate(dt: DataType)
   */
 final case class GraftTruncateWidthFunction(w: Int)
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  require(w >= 1, s"truncate width must be >= 1, got $w")
   override def name(): String = s"truncate_$w"
   override def description(): String =
     s"truncate_$w(col): the graft truncate($w, col) partition transform"

@@ -129,9 +129,19 @@ class GraftTableSourceProvider extends StreamSourceProvider
       // history), endingVersion INCLUSIVE (default = the tip AT PLAN
       // TIME, pinned here so a concurrent commit can't shift the
       // result between analysis and execution)
+      // NOTE the deliberate divergence from the STREAMING source: a
+      // batch CDF startingVersion is INCLUSIVE ("give me the feed
+      // from v on"), while the streaming option is EXCLUSIVE
+      // ("resume strictly after v" — the checkpoint-offset shape).
+      // Validated here so a reversed range surfaces as a CDF error,
+      // not changes()'s confusing off-by-one "fromVersion N-1".
       val tip = GraftTable.snapshot(spark, root).version
       val from = opts.get("startingVersion").map(_.toLong).getOrElse(0L)
       val to = opts.get("endingVersion").map(_.toLong).getOrElse(tip)
+      require(from <= to,
+        s"readChangeFeed: startingVersion $from > endingVersion $to " +
+          "(both bounds are INCLUSIVE for batch change-feed reads; " +
+          "the streaming source's startingVersion is exclusive)")
       new GraftChangesTable(root, from, to)
     } else
       new GraftV2Table(root,
