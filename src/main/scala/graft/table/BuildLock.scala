@@ -54,7 +54,7 @@ object BuildLock {
     */
   val timeoutMs: Long = 15 * 60 * 1000L
 
-  private val pollMs = 100L
+  private val pollMs = 25L
 
   private def sanitize(key: String): String = {
     val tail = key.takeRight(48).map(c =>
@@ -65,16 +65,22 @@ object BuildLock {
     s"$tail-$h"
   }
 
+  /** Session spelling of [[withLock]] — the EngineOps call sites. */
+  def withLock[T](spark: SparkSession, key: String)(body: => T): T =
+    withLock(spark.sessionState.newHadoopConf(), key, DefaultDir)(body)
+
   /** Run `body` holding the exclusive cross-process lock for `key`
     * (any stable string naming the build — the primary table root).
+    * Needs only a Hadoop conf, no session — the two-JVM racing spec
+    * probes this exact method from Spark-free child processes.
     * In-JVM callers must ALSO serialize among themselves (EngineOps
     * wraps this in its own `synchronized`); the file lock is
     * deliberately not reentrant.
     */
-  def withLock[T](spark: SparkSession, key: String,
-      lockDir: String = DefaultDir)(body: => T): T = {
+  def withLock[T](conf: org.apache.hadoop.conf.Configuration, key: String,
+      lockDir: String)(body: => T): T = {
     val dir = new Path(lockDir)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val store = LogStore.forFs(fs)
     val name = s"${sanitize(key)}.lock"
