@@ -57,6 +57,16 @@ object GraftSpj {
 
   val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
 
+  /** Columnar SPJ reads (default on): DV-free partitions decode
+    * through Spark's own vectorized parquet reader and flow to the
+    * join as [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
+    * the V1 path's decode rate WITHOUT the exchange. `false` pins
+    * every partition to the row-based Group reader (the pre-round-13
+    * behavior; DV-masked partitions always use it — the sorted
+    * skip-list merge is row-positional).
+    */
+  val VectorizedKey = "spark.graft.spj.vectorized"
+
   /** Column types the Group reader converts — primitives only;
     * nested/decimal/binary shapes stay on the V1 path.
     */
@@ -441,6 +451,46 @@ class GraftBatchScan(spark: SparkSession, root: String,
     val fields = required.fields.map { f =>
       (f, GraftTable.physicalNameOf(snap.schema, f.name))
     }.toSeq
+    // The COLUMNAR path's requested schema: physical names (column
+    // mapping renames change only the logical name), the TABLE
+    // field's metadata carried through so Spark's own vectorized
+    // reader fills EXISTS_DEFAULT for files written before an added
+    // column, nullable (parquet optional). One schema serves every
+    // file — absent columns become constant default/null vectors,
+    // INT32/FLOAT under a widened LONG/DOUBLE logical type promote
+    // inside the reader's updaters.
+    val physRequired = StructType(fields.map { case (f, phys) =>
+      val meta = snap.schema.fields.find(_.name == f.name)
+        .map(_.metadata).getOrElse(f.metadata)
+      StructField(phys, f.dataType, nullable = true, meta)
+    })
+    // Spark refuses mixed row/columnar input partitions within one
+    // scan, so the columnar decision is per-SCAN: all (pruned) files
+    // DV-free → columnar; any DV → the whole scan reads row-based
+    // (the skip-list merge is row-positional). DV debt is bounded by
+    // `maintain`, so a compacted table always takes the fast path.
+    val vectorized =
+      spark.conf.get(GraftSpj.VectorizedKey, "true").toBoolean &&
+        files.forall(_.dv.isEmpty)
+    val hc = spark.sessionState.newHadoopConf()
+    // what Spark's own parquet scan sets before handing conf to
+    // VectorizedParquetRecordReader (ParquetInputFormat's read-support
+    // class key + the requested-schema key its ReadSupport.init reads)
+    hc.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    hc.set("org.apache.spark.sql.parquet.row.requested_schema",
+      physRequired.json)
+    // ParquetToSparkSchemaConverter/ParquetReadSupport read these with
+    // conf.get(...).toBoolean — NO default — because Spark's own scan
+    // always pre-sets them; mirror the session values the same way
+    def mirror(k: String, d: String): Unit = hc.set(k, spark.conf.get(k, d))
+    mirror("spark.sql.parquet.binaryAsString", "false")
+    mirror("spark.sql.parquet.int96AsTimestamp", "true")
+    mirror("spark.sql.caseSensitive", "false")
+    mirror("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    mirror("spark.sql.legacy.parquet.nanosAsLong", "false")
+    mirror("spark.sql.parquet.fieldId.read.enabled", "false")
+    mirror("spark.sql.parquet.fieldId.read.ignoreMissing", "false")
     // EXISTS_DEFAULT fill values (ADD COLUMN … DEFAULT): the folded
     // literal, evaluated ONCE driver-side to its INTERNAL value, so a
     // file written before the column existed reads the default — the
@@ -459,8 +509,8 @@ class GraftBatchScan(spark: SparkSession, root: String,
         }.orNull
     }
     GraftSpjReaderFactory(fields,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      defaults)
+      new SerializableHadoopConf(hc),
+      defaults, vectorized)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -489,11 +539,109 @@ class GraftBatchScan(spark: SparkSession, root: String,
 final case class GraftSpjReaderFactory(
     fields: Seq[(StructField, String)],
     conf: SerializableHadoopConf,
-    defaults: Array[Any]) extends PartitionReaderFactory {
+    defaults: Array[Any],
+    vectorized: Boolean = true) extends PartitionReaderFactory {
+
+  /** Per-SCAN columnar decision, computed driver-side (all pruned
+    * files DV-free — Spark refuses mixed row/columnar partitions):
+    * Spark's vectorized parquet reader, see [[GraftSpjColumnarReader]].
+    * A DV's sorted skip-list merge is row-positional, so any masked
+    * file pins the scan to the row reader.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = vectorized
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftSpjReader(fields, conf.value,
       p.asInstanceOf[GraftSpjPartition].files, defaults)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftSpjColumnarReader(fields.size, conf.value,
+      p.asInstanceOf[GraftSpjPartition].files)
+}
+
+/** COLUMNAR executor-side reader for DV-free SPJ partitions: per
+  * file, Spark's own [[VectorizedParquetRecordReader]] decodes
+  * straight into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+  * — dictionary-aware, page-at-a-time, no per-row `Group`
+  * materialization. The conf already carries the requested PHYSICAL
+  * schema (set driver-side by [[GraftBatchScan.createReaderFactory]]),
+  * so schema evolution falls out of the reader's own machinery:
+  * absent columns become constant EXISTS_DEFAULT/null vectors,
+  * pre-widening INT32/FLOAT files promote to LONG/DOUBLE in the
+  * column updaters. The `SELECT count`-shaped EMPTY projection never
+  * opens data pages — each file's exact metadata row count is emitted
+  * as zero-column batches. Rebase modes are CORRECTED/UTC: every
+  * graft table file is written by this engine's own Spark 4 writer.
+  */
+final class GraftSpjColumnarReader(nFields: Int,
+    conf: Configuration, files: Seq[GraftSpjFile])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchRows = 4096
+  private val fileIter = files.iterator
+  private var vec: VectorizedParquetRecordReader = _
+  private var current: ColumnarBatch = _
+  /** countdown of metadata-only rows for the empty projection */
+  private var emptyRows = 0L
+  private lazy val emptyBatch =
+    new ColumnarBatch(Array.empty[org.apache.spark.sql.vectorized.ColumnVector])
+
+  private def closeVec(): Unit =
+    if (vec != null) { vec.close(); vec = null }
+
+  private def openNext(): Boolean = {
+    closeVec()
+    if (!fileIter.hasNext) return false
+    val f = fileIter.next()
+    if (nFields == 0) { emptyRows = f.rows; return true }
+    val p = new Path(f.path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    // the OLD-API split class: Spark's reader base casts to
+    // mapred.FileSplit (which subclasses the mapreduce one)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      new Configuration(conf), new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, BatchRows)
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+    } catch { case e: Throwable => r.close(); throw e }
+    vec = r
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (emptyRows > 0) {
+        val n = math.min(BatchRows.toLong, emptyRows).toInt
+        emptyRows -= n
+        emptyBatch.setNumRows(n)
+        current = emptyBatch
+        return true
+      }
+      if (vec != null) {
+        if (vec.nextBatch()) {
+          current = vec.resultBatch()
+          return true
+        }
+        closeVec()
+      }
+      if (vec == null && emptyRows == 0 && !openNext()) return false
+    }
+    false // unreachable
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = closeVec()
 }
 
 final class GraftSpjReader(fields: Seq[(StructField, String)],

@@ -26,6 +26,11 @@ class SpjSpec extends SparkSpec {
   private def freshRoot(tag: String): String =
     Files.createTempDirectory(s"graft_spj_$tag").toString
 
+  private def withVectorized[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(GraftSpj.VectorizedKey, on.toString)
+    try body finally spark.conf.unset(GraftSpj.VectorizedKey)
+  }
+
   private def withSpj[T](on: Boolean)(body: => T): T = {
     val prev = spark.conf.getOption(GraftSpj.ConfKey)
     spark.conf.set(GraftSpj.ConfKey, on.toString)
@@ -223,7 +228,7 @@ class SpjSpec extends SparkSpec {
     assert(on.count(_.contains("null")) == 3) // three pre-evolution rows
   }
 
-  test("widened column reads through the SPJ row reader (INT32 under LONG)") {
+  test("widened column reads through the SPJ readers (INT32 under LONG, both modes)") {
     val root = s"$wh/ns/tw"
     val df0 = Seq((1L, 10), (2L, 20)).toDF("k", "n")
     GraftTable.createPartitioned(spark, root, df0.schema,
@@ -234,8 +239,13 @@ class SpjSpec extends SparkSpec {
     GraftTable.append(spark, root, Seq((1L, 3000000000L)).toDF("k", "n"))
     val q = s"SELECT k, n FROM $cat.ns.tw"
     val off = withSpj(on = false)(sorted(spark.sql(q)))
+    // columnar (default): the vectorized reader's updaters promote
     val on = withSpj(on = true)(sorted(spark.sql(q)))
     assert(on == off && on.size == 3)
+    // row mode: the Group reader's physical-width check promotes
+    val onRow = withSpj(on = true)(withVectorized(false)(
+      sorted(spark.sql(q))))
+    assert(onRow == off)
   }
 
   test("NULL partition value flows through the SPJ path") {
@@ -406,6 +416,78 @@ class SpjSpec extends SparkSpec {
     val listed = spark.sql(s"SHOW FUNCTIONS IN $cat.ns")
       .collect().map(_.getString(0)).mkString(",")
     assert(listed.contains("bucket") && listed.contains("days"))
+  }
+
+  test("DV-free SPJ scans decode COLUMNAR; flag-off and DV-masked pin rows") {
+    val root = s"$wh/ns/tcol"
+    mkPartitioned(root, sampleRows(80, 11))
+    val q = s"SELECT k, amt, tag, d FROM $cat.ns.tcol"
+    withSpj(on = true) {
+      val df = spark.sql(q)
+      val scan = executed(df).collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.scan.toString.contains("GraftBatchScan"))
+      assert(scan.supportsColumnar,
+        "DV-free SPJ scan should take the vectorized columnar path")
+      val viaColumnar = sorted(df)
+      // kill switch: row mode, value-identical
+      withVectorized(false) {
+        val dfRow = spark.sql(q)
+        val scanRow =
+          executed(dfRow).collectFirst { case b: BatchScanExec => b }.get
+        assert(!scanRow.supportsColumnar)
+        assert(sorted(dfRow) == viaColumnar)
+      }
+      // one DV-masked file pins the WHOLE scan to rows (Spark refuses
+      // mixed row/columnar partitions) — values still identical
+      GraftTable.deleteWhereDv(spark, root, "id > 85", prune = None)
+      val dfDv = spark.sql(q)
+      val scanDv =
+        executed(dfDv).collectFirst { case b: BatchScanExec => b }.get
+      assert(!scanDv.supportsColumnar,
+        "a DV-masked file must pin the scan to the row reader")
+      assert(sorted(dfDv) == withSpj(on = false)(sorted(spark.sql(q))))
+    }
+  }
+
+  test("ADD COLUMN DEFAULT fills through the columnar SPJ reader") {
+    val root = s"$wh/ns/tdef"
+    val df0 = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("k", "v")
+    GraftTable.createPartitioned(spark, root, df0.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df0)
+    // post-data ADD COLUMN DEFAULT: EXISTS_DEFAULT metadata only,
+    // pre-ALTER files never rewritten
+    GraftTable.addColumn(spark, root, "extra",
+      org.apache.spark.sql.types.LongType, default = Some(("7", "7")))
+    GraftTable.append(spark, root, Seq((2L, "d", 10L)).toDF("k", "v", "extra"))
+    val q = s"SELECT k, v, extra FROM $cat.ns.tdef"
+    val off = withSpj(on = false)(sorted(spark.sql(q)))
+    withSpj(on = true) {
+      val df = spark.sql(q)
+      val scan = executed(df).collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.supportsColumnar,
+        "the default-fill contract must hold on the COLUMNAR path")
+      val on = sorted(df)
+      assert(on == off)
+      assert(on.count(_.contains("7")) == 3, s"default fill missing: $on")
+    }
+  }
+
+  test("empty projection (COUNT(*)) flows columnar from metadata counts") {
+    val root = s"$wh/ns/tcnt"
+    mkPartitioned(root, sampleRows(123, 5))
+    withSpj(on = true) {
+      // COUNT(*) itself is answered by pushdown (metadata-only in the
+      // catalog, closed-form agg on the path read) before any batch
+      // scan runs; a CONSTANT projection is what actually drives the
+      // zero-column batch path — one row per live row, no columns
+      val df = spark.read.format("grafttable").option("path", root).load()
+        .select(lit(1).as("one"))
+      val scan = executed(df).collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.scan.toString.contains("GraftBatchScan"))
+      assert(scan.supportsColumnar)
+      assert(df.collect().length == 123)
+    }
   }
 
   test("SPJ path: file pruning from a pushed range still engages") {
