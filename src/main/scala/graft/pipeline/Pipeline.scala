@@ -181,14 +181,34 @@ final class Pipeline(val assets: Seq[Asset]) {
     // seeds: failed last time, or absent from the report (run stopped
     // before reaching them, or the asset is new since)
     val seeds = topoOrder.map(_.name).filterNot(prevOk).toSet
-    // downstream closure: anything a seed (transitively) feeds re-runs
+    val toRun = downstreamClosure(seeds)
+    runSubset(spark, toRun, prevOk -- toRun, reportPath,
+      htmlReportPath, isolateSessions)
+  }
+
+  /** `seeds` plus everything they (transitively) feed — the subtree a
+    * changed input invalidates.
+    */
+  def downstreamClosure(seeds: Set[String]): Set[String] = {
+    seeds.foreach(s => require(byName.contains(s), s"unknown asset $s"))
     val toRun = collection.mutable.Set.empty[String] ++ seeds
     topoOrder.foreach { a => // topo order ⇒ one forward pass closes it
       if (!toRun(a.name) && a.deps.exists(toRun)) toRun += a.name
     }
-    runSubset(spark, toRun.toSet, prevOk -- toRun, reportPath,
-      htmlReportPath, isolateSessions)
+    toRun.toSet
   }
+
+  /** Materialize ONLY `roots` and their downstream closure — what a
+    * sensor tick runs when an upstream input arrives
+    * ([[Scheduling.FileSensor]]): the affected subtree re-executes,
+    * every unrelated asset is untouched (absent from the report, not
+    * "reused").
+    */
+  def materializeSubtree(spark: SparkSession, roots: Set[String],
+      reportPath: Option[String] = None,
+      isolateSessions: Boolean = false): Seq[AssetResult] =
+    runSubset(spark, downstreamClosure(roots), Set.empty, reportPath,
+      None, isolateSessions)
 
   private def runSubset(spark: SparkSession, toRun: Set[String],
       reuse: Set[String], reportPath: Option[String],
