@@ -453,22 +453,40 @@ object Similarity {
     * seed column `label`, top-`limit` pairs by cosine: same centroid,
     * assignment, and scoring contract re-derived in SQL.
     */
+  /** sf1-scale formulation (round 13): the original spelled every
+    * pair dot as a per-(pair, dimension) JOIN — Σ_cell C(n,2) · dim
+    * rows, 1.28 BILLION at 20k vectors / 10 cells / dim 64, which ran
+    * >60 min. This version carries each vector as ONE quantized
+    * BIGINT list and computes dots with `list_dot_product` — same
+    * count of arithmetic ops, no join materialization (measured 46 s
+    * at the same shape; identical rows at sf0.01/sf0.1).
+    *
+    * EXACTNESS: `list_dot_product` computes in DOUBLE, but every
+    * intermediate here is an integer — with |e| ≤ 1 the micro-unit
+    * codes are |x| ≤ 10⁶, each product ≤ 10¹², and any partial sum of
+    * 64 terms ≤ 6.4·10¹³ < 2⁵³ — so double arithmetic is EXACT
+    * regardless of summation order, and the CAST back to BIGINT is
+    * value-preserving. The scoring/tie-break SQL is unchanged.
+    */
   def semanticPairsExactOracleSql(limit: Int): String =
-    s"""WITH xs AS (
-           SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
-                  embedding FROM embeddings),
-         qv AS (SELECT vec_id, label, i,
-                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
-                FROM xs),
-         nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
-                 FROM qv GROUP BY vec_id),
+    s"""WITH q AS MATERIALIZED (
+           SELECT vec_id, label,
+                  list_transform(embedding,
+                    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS qa
+           FROM embeddings),
+         nrm AS MATERIALIZED (
+           SELECT vec_id, CAST(list_dot_product(qa, qa) AS BIGINT) AS nn FROM q),
+         xs AS (SELECT vec_id, label, unnest(generate_series(1, len(qa))) AS i, qa FROM q),
+         qv AS (SELECT vec_id, label, i, qa[i] AS x FROM xs),
          cm AS (SELECT label AS cell, i,
                   CAST(FLOOR(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
                 FROM qv GROUP BY label, i),
-         cn AS (SELECT cell, CAST(SUM(m * m) AS BIGINT) AS cn FROM cm GROUP BY cell),
-         vcd AS (SELECT v.vec_id, c.cell, CAST(SUM(v.x * c.m) AS BIGINT) AS cdot
-                 FROM qv v JOIN cm c ON v.i = c.i
-                 GROUP BY v.vec_id, c.cell),
+         cml AS MATERIALIZED (
+           SELECT cell, list(m ORDER BY i) AS cq FROM cm GROUP BY cell),
+         cn AS (SELECT cell, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn FROM cml),
+         vcd AS (SELECT q.vec_id, c.cell,
+                   CAST(list_dot_product(q.qa, c.cq) AS BIGINT) AS cdot
+                 FROM q, cml c),
          asg AS (
            SELECT vec_id, cell FROM (
              SELECT vcd.vec_id, vcd.cell,
@@ -482,11 +500,11 @@ object Similarity {
          prs AS (
            SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
            FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-         dots AS (SELECT p.cell, p.a_id, p.b_id, CAST(SUM(x1.x * x2.x) AS BIGINT) AS dot
+         dots AS (SELECT p.cell, p.a_id, p.b_id,
+                    CAST(list_dot_product(qa.qa, qb.qa) AS BIGINT) AS dot
                   FROM prs p
-                  JOIN qv x1 ON x1.vec_id = p.a_id
-                  JOIN qv x2 ON x2.vec_id = p.b_id AND x2.i = x1.i
-                  GROUP BY p.cell, p.a_id, p.b_id),
+                  JOIN q qa ON qa.vec_id = p.a_id
+                  JOIN q qb ON qb.vec_id = p.b_id),
          scored AS (
            SELECT d.cell, d.a_id, d.b_id,
                   CAST(d.dot AS DOUBLE) /

@@ -811,7 +811,7 @@ object LlmOps {
                  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
                  FROM shp a JOIN shp b ON a.sh = b.sh AND a.doc_id < b.doc_id
                  GROUP BY a.doc_id, b.doc_id),
-               pairs AS (
+               pairs AS MATERIALIZED (
                  SELECT a_id, b_id FROM rawp
                  JOIN sizes ca ON ca.doc_id = a_id
                  JOIN sizes cb ON cb.doc_id = b_id
@@ -821,6 +821,11 @@ object LlmOps {
                JOIN pairs e2 ON e1.b_id = e2.a_id
                JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
                ORDER BY a, b, c""")),
+               // ^ MATERIALIZED is sf1-scale survival, not semantics:
+               // the triangle query references `pairs` THREE times and
+               // DuckDB would otherwise inline (re-run) the whole
+               // shingle/pair prefix per reference — measured 225 s ->
+               // 23 s at 50k docs (round 13), same rows at every SF.
 
     // Deterministic hash-based stratified sampling: row-keyed Lehmer
     // hash, reproducible on any partitioning / cluster / engine (RNG
