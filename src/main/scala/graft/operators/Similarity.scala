@@ -104,10 +104,16 @@ object Similarity {
   /** DuckDB oracle for [[sq8TopK]]: same int8 clamp-floor codes, same
     * shortlist ordering, same micro-unit re-rank IEEE-op sequence.
     */
-  def sq8TopKOracleSql(maxQueryId: Int, k: Int, shortlist: Int): String =
+  /** @param relation the embeddings relation — defaults to the SF-dir
+    *   `embeddings` view; the second-scale judged row passes a direct
+    *   `read_parquet('<fixed sf0.001 path>')` so the driver gate sees
+    *   the tier at a second corpus size in the SAME round.
+    */
+  def sq8TopKOracleSql(maxQueryId: Int, k: Int, shortlist: Int,
+      relation: String = "embeddings"): String =
     s"""WITH xs AS (
            SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
-                  embedding FROM embeddings),
+                  embedding FROM $relation),
          comp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
                   FROM xs),
          q8 AS (SELECT vec_id, i,

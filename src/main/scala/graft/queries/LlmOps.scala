@@ -360,6 +360,26 @@ object LlmOps {
       Some(graft.operators.Similarity.sq8TopKOracleSql(
         maxQueryId = 10, k = 5, shortlist = 20))),
 
+    // The SQ8 tier judged at a SECOND corpus size in the same round:
+    // both sides pin sf0.001 (engine reads the fixed dir, oracle
+    // read_parquet's the same file), so whatever SF the driver/soak
+    // passes, this row exercises the tier at ~1/10 the default gate's
+    // corpus — cheap insurance that the integer contract has no
+    // size-dependent edge (AnnOracleSpec pins the OTHER tiers at two
+    // SFs; this one puts a second scale in the DRIVER's own gate).
+    ("ann_sq8_small",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, "/root/testdata/sf0.001", "embeddings")
+        val qs = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Similarity.sq8TopK(qs, emb, k = 3, shortlist = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some(graft.operators.Similarity.sq8TopKOracleSql(
+        maxQueryId = 8, k = 3, shortlist = 10,
+        relation =
+          "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"))),
+
     // LSH-bucketed ANN: data-independent hyperplane buckets — the
     // index-free scale path (no centroid build; ingest is a pure map).
     // Judged via integer planes + the quantized scoring contract; the

@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "q31_range_join" -> "declared theta-join surface: BNLJ over a broadcast 5-row bound table",
     "ann_brute_topk" -> "declared brute-force baseline: broadcast queries × corpus by design",
     "ann_sq8_topk" -> "SQ8 scan tier: broadcast queries × corpus over 1-byte codes by design; re-rank joins on the shortlist",
+    "ann_sq8_small" -> "the SQ8 tier's second-scale (fixed sf0.001) judged row — same broadcast scan shape",
     "q48_percentiles" -> "4-row literal percentile frame broadcast against ranked groups",
     "ann_ivf_topk" -> "probe scoring: queries × broadcast centroid-mean frame (cells ≪ corpus) by design",
     "ann_pq_topk" -> "ADC scoring: code table × broadcast per-query LUT frame (queries ≪ corpus) by design",
