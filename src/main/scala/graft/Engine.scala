@@ -60,7 +60,23 @@ object Engine {
     requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installStatsRule(spark)
     spark
+  }
+
+  /** V1-bridged catalog scans report exact metadata statistics past
+    * Spark's stats-blind `V1ScanWrapper`
+    * ([[org.apache.spark.sql.graftshim.V1ScanStatsRule]]). The rule
+    * must run AFTER early scan pushdown, and the only post-pushdown
+    * logical hook is `experimental.extraOptimizations` (the "User
+    * Provided Optimizers" batch) — extension injection points all run
+    * earlier. Idempotent: an already-stats-capable wrapper is a no-op.
+    */
+  def installStatsRule(spark: SparkSession): Unit = {
+    val rule = org.apache.spark.sql.graftshim.V1ScanStatsRule()
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 
   /** Apply graft's required runtime confs to an externally-built session
@@ -68,6 +84,7 @@ object Engine {
     */
   def configure(spark: SparkSession): SparkSession = {
     requiredConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    installStatsRule(spark)
     spark
   }
 }

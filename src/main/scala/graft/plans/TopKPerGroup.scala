@@ -122,6 +122,10 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(ApproxDistinctRule(_))
     e.injectResolutionRule(GraftDmlRule(_)) // SQL UPDATE/MERGE/DELETE → GraftTable DML
+    // NOTE: the V1-scan statistics rule (graftshim.V1ScanStatsRule)
+    // is NOT injectable here — every extension hook runs before early
+    // scan pushdown; Engine.installStatsRule registers it in the
+    // post-pushdown "User Provided Optimizers" batch instead.
   }
 }
 

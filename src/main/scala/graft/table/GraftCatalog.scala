@@ -835,14 +835,22 @@ class GraftScan(spark: SparkSession, root: String,
 
   /** Exact-from-metadata statistics AFTER file pruning: live rows =
     * Σ physical − Σ DV-masked of surviving files. Catalyst's join
-    * planning keys broadcast decisions off these sizes.
+    * planning keys broadcast decisions off these sizes; with CBO on,
+    * the zone-map-derived column stats ([[GraftColumnStats]]) feed
+    * filter-selectivity and join-order estimation too.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows =
-      files.map(_.rows).sum - files.flatMap(_.dv.map(_.rows)).sum
+    // pushed ranges are re-applied by the reader and never survive as
+    // a Filter node above this scan, so the row ESTIMATE carries their
+    // zone-map selectivity (exact live counts when nothing is pushed)
+    private val rows = GraftColumnStats.estimateRows(files, ranges)
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(rows * math.max(1, required.defaultSize).toLong)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    override def columnStats(): util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      GraftColumnStats.of(snap, files, required)
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

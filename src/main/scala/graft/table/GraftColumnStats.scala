@@ -1,0 +1,167 @@
+package graft.table
+
+import java.util.{Optional, OptionalLong}
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.types._
+
+/** CBO-grade column statistics derived from the log's per-file zone
+  * maps — no ANALYZE pass, no data read. Both catalog scans
+  * ([[GraftScan]], [[GraftBatchScan]]) report these through DSv2
+  * `Statistics.columnStats`, and Spark's `transformV2Stats` turns them
+  * into catalyst `ColumnStat`s, so with `spark.sql.cbo.enabled` filter
+  * selectivity and join-order estimation see real ranges instead of
+  * defaults — at 100 TB the difference between broadcasting the right
+  * side and shuffling both.
+  *
+  * What the metadata can honestly claim:
+  *  - min/max: the fold of every (pruned) file's zone map, converted
+  *    to the column's CATALYST internal value (days for dates, micros
+  *    for timestamps). Conservative under non-refreshed DV masks —
+  *    bounds may be wide, never wrong. Strings are skipped: parquet
+  *    truncates string bounds and CBO draws no range estimates from
+  *    them anyway.
+  *  - nullCount: the sum over files (capped at live rows — DV'd files
+  *    whose stats predate the mask may overcount).
+  *  - distinctCount: only where the log knows it EXACTLY — a column
+  *    that is the source of an `identity` partition transform has ndv
+  *    = the snapshot's distinct non-null partition values.
+  * A column missing stats in ANY file reports nothing — absent
+  * statistics are conservative everywhere downstream.
+  */
+private[table] object GraftColumnStats {
+  import GraftTable.AddFile
+
+  private final case class Stat(ndv: OptionalLong, mn: Optional[Object],
+      mx: Optional[Object], nulls: OptionalLong) extends ColumnStatistics {
+    override def distinctCount(): OptionalLong = ndv
+    override def min(): Optional[Object] = mn
+    override def max(): Optional[Object] = mx
+    override def nullCount(): OptionalLong = nulls
+  }
+
+  private def toL(a: Any): Long = a match {
+    case n: Number => n.longValue
+    case s => s.toString.toLong
+  }
+  private def toD(a: Any): Double = a match {
+    case n: Number => n.doubleValue
+    case s => s.toString.toDouble
+  }
+
+  /** Stats-primitive → the column's catalyst INTERNAL value. */
+  private def internal(dt: DataType, tpe: String, v: Any): Option[Object] =
+    (tpe, dt) match {
+      case ("i64", LongType | TimestampType | TimestampNTZType) =>
+        Some(java.lang.Long.valueOf(toL(v)))
+      case ("i64", IntegerType | DateType) =>
+        Some(java.lang.Integer.valueOf(toL(v).toInt))
+      case ("i64", ShortType) => Some(java.lang.Short.valueOf(toL(v).toShort))
+      case ("i64", ByteType) => Some(java.lang.Byte.valueOf(toL(v).toByte))
+      case ("f64", DoubleType) => Some(java.lang.Double.valueOf(toD(v)))
+      case ("f64", FloatType) =>
+        Some(java.lang.Float.valueOf(toD(v).toFloat))
+      case _ => None // strings: truncated bounds, no CBO range use
+    }
+
+  /** Estimated OUTPUT rows of a scan whose pushed ranges the reader
+    * re-applies: per file, live rows × the uniform-density overlap of
+    * each range with the file's zone map (independence across
+    * columns, the standard CBO assumption). The pushed predicate
+    * never survives as a Filter node above a V1-bridged scan — the
+    * scan's own estimate is the ONLY place selectivity can live, and
+    * without it a `WHERE id <= 10` over a billion-row table plans as
+    * a billion-row join input. Floors at 1 row per surviving file —
+    * pruning already dropped provably-empty files; never claims zero.
+    */
+  def estimateRows(files: Seq[AddFile],
+      ranges: Seq[GraftTable.Range]): Long =
+    if (ranges.isEmpty)
+      files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
+    else files.map { f =>
+      val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
+      val sel = ranges.map(r => overlapFrac(f, r)).product
+      math.max(1L, math.round(live * sel))
+    }.sum
+
+  private def overlapFrac(f: AddFile, r: GraftTable.Range): Double =
+    f.stats.get(r.col) match {
+      case Some(s) if s.tpe != "str" =>
+        val mn = toD(s.min)
+        val mx = toD(s.max)
+        if (!(mx > mn)) 1.0 // degenerate: pruning already vetted it
+        else {
+          val lo = r.lo.map(v => math.max(toD(v), mn)).getOrElse(mn)
+          val hi = r.hi.map(v => math.min(toD(v), mx)).getOrElse(mx)
+          math.min(1.0, math.max(0.0, (hi - lo) / (mx - mn)))
+        }
+      case _ => 1.0 // no zone map / string bounds: no claim
+    }
+
+  def of(snap: GraftTable.Snapshot, files: Seq[AddFile],
+      required: StructType)
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (files.isEmpty) return out
+    val liveRows =
+      files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
+    // exact ndv for identity-partition source columns: the snapshot's
+    // distinct non-null encoded partition values
+    val identityNdv: Map[String, Long] = snap.spec.collect {
+      case t: Partitioning.PIdentity =>
+        t.srcCol -> files.flatMap(_.part.get(t.fieldName))
+          .filter(_ != Partitioning.NullValue).distinct.size.toLong
+    }.toMap
+    for (f <- required.fields) {
+      val phys = GraftTable.physicalNameOf(snap.schema, f.name)
+      // exact identity-layout ndv wins; else the union of the files'
+      // HLL sketches (declared via setNdvColumns — mergeable, so the
+      // estimate is right on any PRUNED file subset too)
+      val ndv: Option[Long] =
+        identityNdv.get(f.name).orElse(sketchNdv(files, f.name, phys))
+      val per = files.map(af =>
+        af.stats.get(f.name).orElse(af.stats.get(phys)))
+      if (per.forall(_.isDefined)) {
+        val ss = per.map(_.get)
+        val tpe = ss.head.tpe
+        val nulls = math.min(ss.map(_.nulls).sum, liveRows)
+        val mn = ss.map(_.min).reduce((a, b) =>
+          if (GraftTable.cmpPublic(tpe, a, b) <= 0) a else b)
+        val mx = ss.map(_.max).reduce((a, b) =>
+          if (GraftTable.cmpPublic(tpe, a, b) >= 0) a else b)
+        val mnI = internal(f.dataType, tpe, mn)
+        val mxI = internal(f.dataType, tpe, mx)
+        out.put(Expressions.column(f.name), Stat(
+          ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty()),
+          Optional.ofNullable(mnI.orNull),
+          Optional.ofNullable(mxI.orNull),
+          OptionalLong.of(nulls)))
+      } else ndv.foreach { n =>
+        // no zone maps, but the layout/sketches still know ndv
+        out.put(Expressions.column(f.name), Stat(OptionalLong.of(n),
+          Optional.empty(), Optional.empty(), OptionalLong.empty()))
+      }
+    }
+    out
+  }
+
+  /** Union of the files' per-column HLL sketches → NDV estimate; None
+    * unless EVERY file with live rows carries one (a file written
+    * before `setNdvColumns`, or holding only nulls, makes the union a
+    * floor, and a floor presented as an estimate misleads the
+    * optimizer more than no claim).
+    */
+  private def sketchNdv(files: Seq[AddFile], name: String,
+      phys: String): Option[Long] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val per = files.map(af => af.ndv.get(name).orElse(af.ndv.get(phys)))
+    if (files.isEmpty || per.exists(_.isEmpty)) return None
+    val u = new Union(HllSketch.DEFAULT_LG_K)
+    per.flatten.foreach { b64 =>
+      u.update(HllSketch.heapify(
+        java.util.Base64.getDecoder.decode(b64)))
+    }
+    Some(math.max(1L, math.round(u.getResult.getEstimate)))
+  }
+}

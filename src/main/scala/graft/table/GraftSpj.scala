@@ -46,24 +46,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *    filter is returned as residual so Spark re-evaluates it above
   *    the scan (correctness does not depend on the reader).
   *
-  * The per-file reader is parquet-hadoop's `Group` materialization —
-  * row-based, slower per-byte than the vectorized V1 path, which is
-  * exactly the trade the flag prices: at scale the saved exchange of
-  * the whole fact table dwarfs per-row decode; for scan-only work
-  * leave the flag off. (Reference: the thesis query's join,
+  * The per-file read is COLUMNAR by default ([[VectorizedKey]]):
+  * Spark's own vectorized parquet reader decodes each file into
+  * `ColumnarBatch`es at the V1 path's rate, with DV masking applied
+  * as batch compaction — so taking the zero-exchange path no longer
+  * trades away decode speed. The row-based `Group` reader survives
+  * behind the kill switch. (Reference: the thesis query's join,
   * `taxi_pipeline_native.py:102-137`, at warehouse scale.)
   */
 object GraftSpj {
 
   val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
 
-  /** Columnar SPJ reads (default on): DV-free partitions decode
-    * through Spark's own vectorized parquet reader and flow to the
-    * join as [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
-    * the V1 path's decode rate WITHOUT the exchange. `false` pins
-    * every partition to the row-based Group reader (the pre-round-13
-    * behavior; DV-masked partitions always use it — the sorted
-    * skip-list merge is row-positional).
+  /** Columnar SPJ reads (default on): partitions decode through
+    * Spark's own vectorized parquet reader and flow to the join as
+    * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es — the V1
+    * path's decode rate WITHOUT the exchange. A deletion vector no
+    * longer pins the scan to rows: the file's sorted masked positions
+    * compact each batch (pass-through when a batch intersects no
+    * masked position — the common case, since DV debt is bounded by
+    * `maintain`). `false` pins every partition to the row-based Group
+    * reader (the pre-round-13 behavior, kept as the kill switch).
     */
   val VectorizedKey = "spark.graft.spj.vectorized"
 
@@ -465,13 +468,11 @@ class GraftBatchScan(spark: SparkSession, root: String,
       StructField(phys, f.dataType, nullable = true, meta)
     })
     // Spark refuses mixed row/columnar input partitions within one
-    // scan, so the columnar decision is per-SCAN: all (pruned) files
-    // DV-free → columnar; any DV → the whole scan reads row-based
-    // (the skip-list merge is row-positional). DV debt is bounded by
-    // `maintain`, so a compacted table always takes the fast path.
+    // scan, so the columnar decision is per-SCAN — here just the kill
+    // switch: DV-masked files stay columnar, their sorted positions
+    // compact each intersecting batch inside the reader.
     val vectorized =
-      spark.conf.get(GraftSpj.VectorizedKey, "true").toBoolean &&
-        files.forall(_.dv.isEmpty)
+      spark.conf.get(GraftSpj.VectorizedKey, "true").toBoolean
     val hc = spark.sessionState.newHadoopConf()
     // what Spark's own parquet scan sets before handing conf to
     // VectorizedParquetRecordReader (ParquetInputFormat's read-support
@@ -508,12 +509,17 @@ class GraftBatchScan(spark: SparkSession, root: String,
           if (r.isNullAt(0)) null else r.copy().get(0, f.dataType)
         }.orNull
     }
-    GraftSpjReaderFactory(fields,
+    GraftSpjReaderFactory(fields, required.fields.map(_.dataType),
       new SerializableHadoopConf(hc),
       defaults, vectorized)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
+    // exact live rows, NO range selectivity here: unlike the V1 scan
+    // (which fully handles pushed filters), every SPJ filter returns
+    // as residual — the Filter node above estimates its own
+    // selectivity from the reported column stats, and pricing it here
+    // too would double-count
     private val rows =
       files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
     override def sizeInBytes(): java.util.OptionalLong =
@@ -521,6 +527,10 @@ class GraftBatchScan(spark: SparkSession, root: String,
         rows * math.max(1, required.defaultSize).toLong)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      GraftColumnStats.of(snap, files, required)
   }
 }
 
@@ -538,15 +548,15 @@ class GraftBatchScan(spark: SparkSession, root: String,
   */
 final case class GraftSpjReaderFactory(
     fields: Seq[(StructField, String)],
+    types: Array[DataType],
     conf: SerializableHadoopConf,
     defaults: Array[Any],
     vectorized: Boolean = true) extends PartitionReaderFactory {
 
-  /** Per-SCAN columnar decision, computed driver-side (all pruned
-    * files DV-free — Spark refuses mixed row/columnar partitions):
-    * Spark's vectorized parquet reader, see [[GraftSpjColumnarReader]].
-    * A DV's sorted skip-list merge is row-positional, so any masked
-    * file pins the scan to the row reader.
+  /** Per-SCAN columnar decision, computed driver-side (Spark refuses
+    * mixed row/columnar partitions): Spark's vectorized parquet
+    * reader, see [[GraftSpjColumnarReader]]. DV-masked files stay
+    * columnar — the sorted skip list compacts intersecting batches.
     */
   override def supportColumnarReads(p: InputPartition): Boolean = vectorized
 
@@ -556,30 +566,59 @@ final case class GraftSpjReaderFactory(
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftSpjColumnarReader(fields.size, conf.value,
+    new GraftSpjColumnarReader(types, conf.value,
       p.asInstanceOf[GraftSpjPartition].files)
 }
 
-/** COLUMNAR executor-side reader for DV-free SPJ partitions: per
-  * file, Spark's own [[VectorizedParquetRecordReader]] decodes
-  * straight into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
-  * — dictionary-aware, page-at-a-time, no per-row `Group`
+/** Executor-side DV loader both SPJ readers share: one file's deleted
+  * positions out of the DV parquet (filtered to the file's key),
+  * sorted ascending — O(masked) memory, bounded by one file.
+  */
+private[table] object GraftSpjDv {
+  def load(conf: Configuration, dvPath: String, key: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new Path(dvPath)).withConf(new Configuration(conf)).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        if (g.getString("file", 0) == key) out += g.getLong("pos", 0)
+        g = r.read()
+      }
+    } finally r.close()
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
+}
+
+/** COLUMNAR executor-side reader for SPJ partitions: per file,
+  * Spark's own [[VectorizedParquetRecordReader]] decodes straight
+  * into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
+  * dictionary-aware, page-at-a-time, no per-row `Group`
   * materialization. The conf already carries the requested PHYSICAL
   * schema (set driver-side by [[GraftBatchScan.createReaderFactory]]),
   * so schema evolution falls out of the reader's own machinery:
   * absent columns become constant EXISTS_DEFAULT/null vectors,
   * pre-widening INT32/FLOAT files promote to LONG/DOUBLE in the
   * column updaters. The `SELECT count`-shaped EMPTY projection never
-  * opens data pages — each file's exact metadata row count is emitted
-  * as zero-column batches. Rebase modes are CORRECTED/UTC: every
-  * graft table file is written by this engine's own Spark 4 writer.
+  * opens data pages — each file's exact LIVE metadata row count is
+  * emitted as zero-column batches. A DV-masked file's sorted
+  * positions merge as BATCH COMPACTION: a batch intersecting no
+  * masked position passes through untouched (the common case — DV
+  * debt is bounded by `maintain`); an intersecting batch copies its
+  * surviving rows per COLUMN into fresh on-heap vectors (tight typed
+  * loops, never a per-row materialization); a fully-masked batch is
+  * skipped. Rebase modes are CORRECTED/UTC: every graft table file is
+  * written by this engine's own Spark 4 writer.
   */
-final class GraftSpjColumnarReader(nFields: Int,
+final class GraftSpjColumnarReader(types: Array[DataType],
     conf: Configuration, files: Seq[GraftSpjFile])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-  import org.apache.spark.sql.vectorized.ColumnarBatch
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val BatchRows = 4096
   private val fileIter = files.iterator
@@ -587,8 +626,13 @@ final class GraftSpjColumnarReader(nFields: Int,
   private var current: ColumnarBatch = _
   /** countdown of metadata-only rows for the empty projection */
   private var emptyRows = 0L
+  /** sorted masked positions of the OPEN file; empty when no DV */
+  private var dvPos: Array[Long] = Array.emptyLongArray
+  private var dvIdx = 0
+  /** file position of the NEXT row the vectorized reader returns */
+  private var rowPos = 0L
   private lazy val emptyBatch =
-    new ColumnarBatch(Array.empty[org.apache.spark.sql.vectorized.ColumnVector])
+    new ColumnarBatch(Array.empty[ColumnVector])
 
   private def closeVec(): Unit =
     if (vec != null) { vec.close(); vec = null }
@@ -597,7 +641,13 @@ final class GraftSpjColumnarReader(nFields: Int,
     closeVec()
     if (!fileIter.hasNext) return false
     val f = fileIter.next()
-    if (nFields == 0) { emptyRows = f.rows; return true }
+    if (types.length == 0) { emptyRows = f.liveRows; return true }
+    dvPos = f.dv match {
+      case Some((dvPath, key, _)) => GraftSpjDv.load(conf, dvPath, key)
+      case None => Array.emptyLongArray
+    }
+    dvIdx = 0
+    rowPos = 0L
     val p = new Path(f.path)
     val len = p.getFileSystem(conf).getFileStatus(p).getLen
     // the OLD-API split class: Spark's reader base casts to
@@ -629,14 +679,125 @@ final class GraftSpjColumnarReader(nFields: Int,
       }
       if (vec != null) {
         if (vec.nextBatch()) {
-          current = vec.resultBatch()
-          return true
-        }
-        closeVec()
+          val b = vec.resultBatch()
+          val n = b.numRows()
+          val start = rowPos
+          rowPos += n
+          if (dvPos.length == 0) { current = b; return true }
+          // masked positions falling in [start, start+n)
+          while (dvIdx < dvPos.length && dvPos(dvIdx) < start) dvIdx += 1
+          val m0 = dvIdx
+          while (dvIdx < dvPos.length && dvPos(dvIdx) < rowPos) dvIdx += 1
+          if (dvIdx == m0) { current = b; return true }
+          if (dvIdx - m0 < n) {
+            current = compact(b, start, m0, dvIdx)
+            return true
+          }
+          // every row of this batch is masked: read the next one
+        } else closeVec()
       }
       if (vec == null && emptyRows == 0 && !openNext()) return false
     }
     false // unreachable
+  }
+
+  /** Copy the batch's surviving rows (those not at a masked position
+    * in `dvPos(m0 until m1)`) into fresh on-heap vectors, column by
+    * column in tight typed loops.
+    */
+  private def compact(b: ColumnarBatch, start: Long,
+      m0: Int, m1: Int): ColumnarBatch = {
+    val n = b.numRows()
+    val live = n - (m1 - m0)
+    val keep = new Array[Int](live)
+    var k = 0
+    var m = m0
+    var i = 0
+    while (i < n) {
+      if (m < m1 && dvPos(m) == start + i) m += 1
+      else { keep(k) = i; k += 1 }
+      i += 1
+    }
+    val out = new Array[ColumnVector](types.length)
+    var c = 0
+    while (c < types.length) {
+      val dst = new OnHeapColumnVector(live, types(c))
+      copyColumn(b.column(c), dst, keep, types(c))
+      out(c) = dst
+      c += 1
+    }
+    val nb = new ColumnarBatch(out)
+    nb.setNumRows(live)
+    nb
+  }
+
+  private def copyColumn(src: ColumnVector, dst: OnHeapColumnVector,
+      keep: Array[Int], dt: DataType): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putLong(k, src.getLong(i))
+        k += 1
+      }
+    case IntegerType | DateType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putInt(k, src.getInt(i))
+        k += 1
+      }
+    case DoubleType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else dst.putDouble(k, src.getDouble(i))
+        k += 1
+      }
+    case FloatType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else dst.putFloat(k, src.getFloat(i))
+        k += 1
+      }
+    case ShortType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else dst.putShort(k, src.getShort(i))
+        k += 1
+      }
+    case ByteType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putByte(k, src.getByte(i))
+        k += 1
+      }
+    case BooleanType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else dst.putBoolean(k, src.getBoolean(i))
+        k += 1
+      }
+    case StringType =>
+      var k = 0
+      while (k < keep.length) {
+        val i = keep(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else {
+          val bytes = src.getUTF8String(i).getBytes
+          dst.putByteArray(k, bytes, 0, bytes.length)
+        }
+        k += 1
+      }
+    case other => sys.error(s"unsupported columnar SPJ compaction type $other")
   }
 
   override def get(): ColumnarBatch = current
@@ -661,23 +822,6 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
   private var dvIdx = 0
   private var rowPos = -1L
 
-  /** The file's deleted positions, sorted ascending. */
-  private def loadDv(dvPath: String, key: String): Array[Long] = {
-    val out = scala.collection.mutable.ArrayBuilder.make[Long]
-    val r = ParquetReader.builder(new GroupReadSupport(),
-      new Path(dvPath)).withConf(new Configuration(conf)).build()
-    try {
-      var g = r.read()
-      while (g != null) {
-        if (g.getString("file", 0) == key) out += g.getLong("pos", 0)
-        g = r.read()
-      }
-    } finally r.close()
-    val arr = out.result()
-    java.util.Arrays.sort(arr)
-    arr
-  }
-
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (!fileIter.hasNext) return false
@@ -692,7 +836,7 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
     val wanted = present.filter(_ != null).distinct
     if (wanted.isEmpty) { emptyRows = f.liveRows; return true }
     dvPos = f.dv match {
-      case Some((dvPath, key, _)) => loadDv(dvPath, key)
+      case Some((dvPath, key, _)) => GraftSpjDv.load(conf, dvPath, key)
       case None => Array.emptyLongArray
     }
     dvIdx = 0

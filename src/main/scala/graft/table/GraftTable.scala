@@ -98,7 +98,8 @@ object GraftTable {
       dv: Option[DvRef] = None,
       layout: Option[String] = None,
       dvStats: Boolean = false,
-      part: Map[String, String] = Map.empty)
+      part: Map[String, String] = Map.empty,
+      ndv: Map[String, String] = Map.empty)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
@@ -2306,18 +2307,65 @@ object GraftTable {
       }
     val bcols = bloomColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
-    if (bcols.isEmpty) files
+    def physSchemaOf: StructType = StructType(df.schema.fields.map(f =>
+      tableSchema.fields.find(_.name == f.name)
+        .map(tf => f.copy(name = physName(tf))).getOrElse(f)))
+    val withBlooms = if (bcols.isEmpty) files
     else {
-      val physSchema = StructType(df.schema.fields.map(f =>
-        tableSchema.fields.find(_.name == f.name)
-          .map(tf => f.copy(name = physName(tf))).getOrElse(f)))
-      val blooms = fileBlooms(spark, dir.toString, physSchema,
+      val blooms = fileBlooms(spark, dir.toString, physSchemaOf,
         bcols.map(c => physName(tableSchema, c)))
       files.map { f =>
         f.copy(blooms = blooms.getOrElse(f.path, Map.empty)
           .map { case (c, b) => physToLogical.getOrElse(c, c) -> b })
       }
     }
+    val ncols = ndvColumns(spark, root)
+      .filter(df.schema.fieldNames.contains)
+    if (ncols.isEmpty) withBlooms
+    else {
+      val sketches = fileNdvSketches(spark, dir.toString, physSchemaOf,
+        ncols.map(c => physName(tableSchema, c)))
+      withBlooms.map { f =>
+        f.copy(ndv = sketches.getOrElse(f.path, Map.empty)
+          .map { case (c, s) => physToLogical.getOrElse(c, c) -> s })
+      }
+    }
+  }
+
+  /** One column-pruned pass over the just-written files: per (file,
+    * declared column), a DataSketches HLL sketch of the column's
+    * non-null values (`hll_sketch_agg` — commutative/associative, so
+    * partition-order-invariant), base64 in the log. Cost: one extra
+    * scan of only the declared columns of only the new files —
+    * O(commit), never O(table). Sketches from any file subset UNION
+    * into a table/pruned-set NDV ([[GraftColumnStats]]).
+    */
+  private def fileNdvSketches(spark: SparkSession, dir: String,
+      schema: StructType, ncols: Seq[String])
+      : Map[String, Map[String, String]] = {
+    val src = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val aggs = ncols.map { c =>
+      val in = ndvSketchInput(col(c), schema(c).dataType).getOrElse(
+        sys.error(s"ndv column '$c' became unsketchable"))
+      hll_sketch_agg(in).as(s"__n_$c")
+    }
+    // an all-null file must still carry a (empty) sketch, or the
+    // union-side all-files requirement would block the column forever;
+    // encode driver-side with java Base64 (Spark's `base64` SQL
+    // function chunks MIME-style, which the plain decoder refuses)
+    lazy val emptySketch = java.util.Base64.getEncoder.encodeToString(
+      new org.apache.datasketches.hll.HllSketch().toCompactByteArray)
+    src.select(input_file_name().as("__file") +: ncols.map(col): _*)
+      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        fileKey(r.getString(0)) ->
+          ncols.zipWithIndex.map { case (c, i) =>
+            c -> Option(r.getAs[Array[Byte]](i + 1))
+              .map(java.util.Base64.getEncoder.encodeToString)
+              .getOrElse(emptySketch)
+          }.toMap
+      }.toMap
   }
 
   /** One column-pruned pass over the just-written files: per (file,
@@ -2366,6 +2414,55 @@ object GraftTable {
       val arr = node.putArray("bloomCols")
       cols.foreach(arr.add)
     }
+
+  /** Declare the columns that get a per-file MERGEABLE NDV sketch
+    * (DataSketches HLL, the library Spark itself bundles for
+    * `hll_sketch_agg`) on every subsequent data write — distinct
+    * counts for CBO join estimation ([[GraftColumnStats]]) with NO
+    * ANALYZE pass: per-file sketches union across any file subset, so
+    * the estimate stays right after pruning, compaction, or another
+    * append (per-file ndv LONGS would not — summing them overcounts
+    * shared values). ~1.5 KiB of log metadata per (file, column).
+    * Join-key-shaped types only; float/double are refused loudly (an
+    * equi-join on floats is already a modeling bug).
+    */
+  def setNdvColumns(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    val schema = snapshot(spark, root).schema
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"setNdvColumns: no column '$c'"))
+      require(ndvSketchInput(col(c), f.dataType).isDefined,
+        s"setNdvColumns: ${f.dataType.catalogString} column '$c' is not " +
+          "sketchable (int-family, string, binary, boolean, date and " +
+          "timestamp are)")
+    }
+    updateProps(spark, root) { node =>
+      val arr = node.putArray("ndvCols")
+      cols.foreach(arr.add)
+    }
+  }
+
+  /** The sketch-input spelling for one column, or None for types the
+    * HLL agg can't take. Dates/timestamps map to their exact internal
+    * units (no truncation — distinctness preserved); the cast is the
+    * same on every file, so unions stay consistent.
+    */
+  private def ndvSketchInput(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | LongType | StringType | BinaryType => Some(c)
+      case ShortType | ByteType | BooleanType | DateType =>
+        Some(c.cast(IntegerType))
+      case TimestampType => Some(unix_micros(c))
+      // NTZ: string render (micros preserved) — a cast through the
+      // session-zoned timestamp is not injective around DST gaps
+      case TimestampNTZType => Some(c.cast(StringType))
+      case _ => None
+    }
+  }
 
   /** Declare CHECK constraints (name → boolean SQL expression) that
     * every subsequent [[append]] / [[overwrite]] / [[merge]] batch must
@@ -2427,6 +2524,11 @@ object GraftTable {
   private def bloomColumns(spark: SparkSession, root: String): Seq[String] =
     readProps(spark, root).filter(_.hasNonNull("bloomCols"))
       .map(_.get("bloomCols").elements().asScala.map(_.asText).toSeq)
+      .getOrElse(Nil)
+
+  private def ndvColumns(spark: SparkSession, root: String): Seq[String] =
+    readProps(spark, root).filter(_.hasNonNull("ndvCols"))
+      .map(_.get("ndvCols").elements().asScala.map(_.asText).toSeq)
       .getOrElse(Nil)
 
   /** The declared CHECK constraints (name → boolean SQL), as
@@ -2657,6 +2759,10 @@ object GraftTable {
       val pn = node.putObject("part")
       f.part.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
+    if (f.ndv.nonEmpty) {
+      val nn = node.putObject("ndv")
+      f.ndv.toSeq.sortBy(_._1).foreach { case (c, s) => nn.put(c, s) }
+    }
     node
   }
 
@@ -2688,10 +2794,15 @@ object GraftTable {
         n.get("part").properties().asScala
           .map(e => e.getKey -> e.getValue.asText).toMap
       else Map.empty[String, String]
+    val ndv =
+      if (n.hasNonNull("ndv"))
+        n.get("ndv").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap
+      else Map.empty[String, String]
     AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv,
       layout,
       dvStats = n.hasNonNull("dvStats") && n.get("dvStats").asBoolean,
-      part = part)
+      part = part, ndv = ndv)
   }
 
   // ---------- IO helpers ----------

@@ -37,15 +37,24 @@ object SpjAb {
         Seq(graft.table.Partitioning.PBucket("l_orderkey", 16)))
       gt.append(spark, root, li)
     }
+    // DV-masked twin: ~1% scattered masked rows — prices the columnar
+    // batch-compaction premium against the row reader's inline skip
+    val rootDv = s"target/graft_table/spjab_dv_$fp"
+    if (gt.snapshot(spark, rootDv).version < 0L) {
+      gt.createPartitioned(spark, rootDv, li.schema,
+        Seq(graft.table.Partitioning.PBucket("l_orderkey", 16)))
+      gt.append(spark, rootDv, li)
+      gt.deleteWhereDv(spark, rootDv, "l_partkey % 101 = 0", prune = None)
+    }
     spark.conf.set(graft.table.GraftSpj.ConfKey, "true")
 
-    def time(vectorized: Boolean): Double = {
+    def time(tableRoot: String, vectorized: Boolean): Double = {
       spark.conf.set(graft.table.GraftSpj.VectorizedKey, vectorized.toString)
       val reps = Seq.fill(5) {
         val t0 = System.nanoTime()
         // the V2 route (the one GraftSpj serves); EXPRESSION aggs so
         // nothing closed-form pushes down — the scan decodes every row
-        spark.read.format("grafttable").option("path", root).load()
+        spark.read.format("grafttable").option("path", tableRoot).load()
           .agg(expr("sum(l_quantity * l_extendedprice)"),
             expr("sum(l_orderkey % 97)"),
             expr("sum(length(l_returnflag))"),
@@ -61,11 +70,13 @@ object SpjAb {
       .queryExecution.executedPlan.toString
     require(plan.contains("GraftBatchScan"),
       s"A/B is not measuring the SPJ batch scan:\n$plan")
-    time(vectorized = true) // warm file index + codegen both paths
-    time(vectorized = false)
-    val colSec = time(vectorized = true)
-    val rowSec = time(vectorized = false)
-    println(f"""{"spj_scan_columnar_sec": $colSec%.3f, "spj_scan_row_sec": $rowSec%.3f, "speedup": ${rowSec / colSec}%.2f}""")
+    time(root, vectorized = true) // warm file index + codegen both paths
+    time(root, vectorized = false)
+    val colSec = time(root, vectorized = true)
+    val rowSec = time(root, vectorized = false)
+    val colDvSec = time(rootDv, vectorized = true)
+    val rowDvSec = time(rootDv, vectorized = false)
+    println(f"""{"spj_scan_columnar_sec": $colSec%.3f, "spj_scan_row_sec": $rowSec%.3f, "speedup": ${rowSec / colSec}%.2f, "spj_dv_columnar_sec": $colDvSec%.3f, "spj_dv_row_sec": $rowDvSec%.3f, "dv_speedup": ${rowDvSec / colDvSec}%.2f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.table.{GraftSpj, GraftTable, Partitioning}
+
+/** CBO column statistics from zone maps ([[graft.table
+  * .GraftColumnStats]]): both catalog scans report min/max/nullCount
+  * (and exact ndv for identity-partition sources) through DSv2
+  * `columnStats`, Spark's `transformV2Stats` lands them in catalyst
+  * `ColumnStat`s, and with `spark.sql.cbo.enabled` filter estimation
+  * sees real ranges — no ANALYZE pass, no data read.
+  */
+class ColumnStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = "cstatcat"
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_cstat_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.table.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    dir
+  }
+
+  private def withCbo[T](body: => T): T = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try body finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  private def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  private def mk(root: String): Unit = {
+    val df = (1 to 100).map(i => (i.toLong % 5, i.toLong, i * 2.0,
+      if (i % 4 == 0) null else s"s$i",
+      d(f"2024-03-${i % 28 + 1}%02d"))).toDF("k", "id", "amt", "tag", "d")
+    GraftTable.createPartitioned(spark, root, df.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df)
+  }
+
+  private def attrStats(df: org.apache.spark.sql.DataFrame) = {
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r
+    }.getOrElse(fail("no V2 scan relation in the optimized plan"))
+    (rel.stats, rel.stats.attributeStats.map { case (a, s) => a.name -> s })
+  }
+
+  test("zone-map column stats reach catalyst: min/max/nulls/exact ndv") {
+    mk(s"$wh/ns/t1")
+    withCbo {
+      val (stats, byName) =
+        attrStats(spark.sql(s"SELECT k, id, amt, tag, d FROM $cat.ns.t1"))
+      assert(stats.rowCount.contains(BigInt(100)))
+      val idS = byName("id")
+      assert(idS.min.contains(1L) && idS.max.contains(100L), s"id: $idS")
+      assert(idS.nullCount.contains(BigInt(0)))
+      val amtS = byName("amt")
+      assert(amtS.min.contains(2.0) && amtS.max.contains(200.0))
+      // exact ndv: k is the identity partition source with 5 values
+      assert(byName("k").distinctCount.contains(BigInt(5)))
+      // strings: nullCount only (truncated parquet bounds, no ranges)
+      val tagS = byName("tag")
+      assert(tagS.min.isEmpty && tagS.max.isEmpty)
+      assert(tagS.nullCount.contains(BigInt(25)))
+      // dates land as catalyst internal ints (epoch days)
+      val dS = byName("d")
+      assert(dS.min.exists(_.isInstanceOf[Int]), s"d: $dS")
+    }
+  }
+
+  private def withSpj[T](on: Boolean)(body: => T): T = {
+    val prev = spark.conf.getOption(GraftSpj.ConfKey)
+    spark.conf.set(GraftSpj.ConfKey, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(GraftSpj.ConfKey, v)
+      case None => spark.conf.unset(GraftSpj.ConfKey)
+    }
+  }
+
+  test("CBO filter estimation uses the ranges: out-of-range shrinks to ~0") {
+    mk(s"$wh/ns/t2")
+    // V1 path (SPJ off): the scan fully handles the pushed range, so
+    // its OWN estimate prices the zone-map selectivity
+    withCbo(withSpj(on = false) {
+      val full = spark.sql(s"SELECT id FROM $cat.ns.t2")
+        .queryExecution.optimizedPlan.stats.rowCount
+      val plan = spark.sql(s"SELECT id FROM $cat.ns.t2 WHERE id <= 10")
+      val narrow = plan.queryExecution.optimizedPlan.stats.rowCount
+      assert(full.exists(_ == BigInt(100)))
+      assert(narrow.exists(_ <= BigInt(20)),
+        s"range selectivity not applied: full=$full narrow=$narrow\n" +
+          plan.queryExecution.optimizedPlan.treeString)
+    })
+    // SPJ path: the filter survives as a residual above the scan, and
+    // Spark's own FilterEstimation shrinks it from the reported
+    // column stats (the scan itself keeps exact live rows). Catalyst's
+    // FilterEstimation refuses to estimate without a distinctCount, so
+    // the column needs a declared NDV sketch.
+    val root2b = s"$wh/ns/t2b"
+    val df2b = (1 to 100).map(i => (i.toLong % 5, i.toLong))
+      .toDF("k", "id")
+    GraftTable.createPartitioned(spark, root2b, df2b.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.setNdvColumns(spark, root2b, Seq("id"))
+    GraftTable.append(spark, root2b, df2b)
+    withCbo(withSpj(on = true) {
+      val plan = spark.sql(s"SELECT id FROM $cat.ns.t2b WHERE id <= 10")
+      val narrow = plan.queryExecution.optimizedPlan.stats.rowCount
+      assert(narrow.exists(_ <= BigInt(25)),
+        s"SPJ residual-filter selectivity not applied: narrow=$narrow\n" +
+          plan.queryExecution.optimizedPlan.treeString)
+    })
+  }
+
+  test("declared NDV sketches union across appends to a true distinct count") {
+    val root = s"$wh/ns/t4"
+    val df0 = (1 to 60).map(i => (i.toLong % 5, i.toLong, s"u${i % 7}"))
+      .toDF("k", "id", "user")
+    GraftTable.createPartitioned(spark, root, df0.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.setNdvColumns(spark, root, Seq("id", "user"))
+    GraftTable.append(spark, root, df0)
+    // overlapping second append: ids 31..90 (30 new), users unchanged —
+    // a mergeable sketch union must NOT double-count the overlap
+    GraftTable.append(spark, root,
+      (31 to 90).map(i => (i.toLong % 5, i.toLong, s"u${i % 7}"))
+        .toDF("k", "id", "user"))
+    withCbo {
+      val (stats, byName) =
+        attrStats(spark.sql(s"SELECT k, id, user FROM $cat.ns.t4"))
+      assert(stats.rowCount.contains(BigInt(120)))
+      // HLL at n=90/7 is exact to well under 5%
+      assert(byName("id").distinctCount.exists(n =>
+        n >= BigInt(86) && n <= BigInt(94)), s"id: ${byName("id")}")
+      assert(byName("user").distinctCount.contains(BigInt(7)))
+      // identity-partition source stays the EXACT layout count
+      assert(byName("k").distinctCount.contains(BigInt(5)))
+    }
+    // float columns are refused loudly
+    val root5 = s"$wh/ns/t5"
+    val df5 = Seq((1L, 1.5)).toDF("k", "x")
+    GraftTable.createPartitioned(spark, root5, df5.schema,
+      Seq(Partitioning.PIdentity("k")))
+    val e = intercept[IllegalArgumentException](
+      GraftTable.setNdvColumns(spark, root5, Seq("x")))
+    assert(e.getMessage.contains("not sketchable"))
+  }
+
+  test("stats survive a column-mapping rename and stay conservative under DV") {
+    val root = s"$wh/ns/t3"
+    mk(root)
+    GraftTable.renameColumn(spark, root, "amt", "price")
+    GraftTable.deleteWhereDv(spark, root, "id > 90", prune = None)
+    withCbo {
+      val (stats, byName) =
+        attrStats(spark.sql(s"SELECT price, id FROM $cat.ns.t3"))
+      assert(stats.rowCount.contains(BigInt(90)))
+      // renamed column resolves through the physical name; the DV
+      // commit refreshes survivor zone maps, so the bound is either
+      // exact-over-survivors (180.0) or the conservative physical one
+      val pS = byName("price")
+      assert(pS.min.contains(2.0))
+      assert(pS.max.exists(m => m == 180.0 || m == 200.0), s"price: $pS")
+      // nullCount never exceeds live rows
+      assert(byName("id").nullCount.exists(_ <= BigInt(90)))
+    }
+  }
+}

@@ -16,9 +16,10 @@ import graft.table.{GraftSpj, GraftTable, Partitioning}
   * [[org.apache.spark.sql.connector.read.partitioning
   * .KeyGroupedPartitioning]] and join with ZERO shuffle; reads stay
   * value-identical to the V1 bridge path across projections, filters,
-  * schema evolution, NULL partitions, and every supported type; and
-  * ineligible snapshots (DVs, non-identity specs) fall back to the V1
-  * path even with the flag on.
+  * schema evolution, NULL partitions, deletion vectors, and every
+  * supported type; and ineligible snapshots (unsupported transforms,
+  * mixed-spec generations) fall back to the V1 path even with the
+  * flag on.
   */
 class SpjSpec extends SparkSpec {
   import spark.implicits._
@@ -418,7 +419,7 @@ class SpjSpec extends SparkSpec {
     assert(listed.contains("bucket") && listed.contains("days"))
   }
 
-  test("DV-free SPJ scans decode COLUMNAR; flag-off and DV-masked pin rows") {
+  test("SPJ scans decode COLUMNAR — DV-masked included; flag-off pins rows") {
     val root = s"$wh/ns/tcol"
     mkPartitioned(root, sampleRows(80, 11))
     val q = s"SELECT k, amt, tag, d FROM $cat.ns.tcol"
@@ -437,15 +438,64 @@ class SpjSpec extends SparkSpec {
         assert(!scanRow.supportsColumnar)
         assert(sorted(dfRow) == viaColumnar)
       }
-      // one DV-masked file pins the WHOLE scan to rows (Spark refuses
-      // mixed row/columnar partitions) — values still identical
+      // a DV-masked file STAYS columnar: the sorted positions compact
+      // the intersecting batches — values identical to the V1 path
+      // and to the row reader
       GraftTable.deleteWhereDv(spark, root, "id > 85", prune = None)
       val dfDv = spark.sql(q)
       val scanDv =
         executed(dfDv).collectFirst { case b: BatchScanExec => b }.get
-      assert(!scanDv.supportsColumnar,
-        "a DV-masked file must pin the scan to the row reader")
-      assert(sorted(dfDv) == withSpj(on = false)(sorted(spark.sql(q))))
+      assert(scanDv.supportsColumnar,
+        "a DV-masked file must stay on the columnar path")
+      val viaDvColumnar = sorted(dfDv)
+      assert(viaDvColumnar == withSpj(on = false)(sorted(spark.sql(q))))
+      assert(viaDvColumnar ==
+        withVectorized(false)(sorted(spark.sql(q))))
+    }
+  }
+
+  test("columnar DV compaction: scattered, fully-masked and null-heavy files") {
+    val root = s"$wh/ns/tcoldv"
+    // one partition (k constant) → one file per append; three appends:
+    // f0 scattered deletes, f1 fully masked, f2 untouched with nulls
+    val rows0 = (1 to 500).map(i =>
+      (1L, i.toLong, i * 0.5, if (i % 3 == 0) null else s"s$i", d("2024-02-01")))
+    val df0 = rows0.toDF("k", "id", "amt", "tag", "d")
+    GraftTable.createPartitioned(spark, root, df0.schema,
+      Seq(Partitioning.PIdentity("k")))
+    GraftTable.append(spark, root, df0)
+    GraftTable.append(spark, root, (501 to 700).map(i =>
+      (1L, i.toLong, 0.0, if (i == 600) null else "gone", d("2024-02-02")))
+      .toDF("k", "id", "amt", "tag", "d"))
+    GraftTable.append(spark, root, (701 to 800).map(i =>
+      (1L, i.toLong, i * 2.0, if (i % 2 == 0) null else s"z$i",
+        d("2024-02-03")))
+      .toDF("k", "id", "amt", "tag", "d"))
+    // scattered: every 7th id in f0; fully masked: all of f1
+    GraftTable.deleteWhereDv(spark, root,
+      "(id <= 500 AND id % 7 = 0) OR (id BETWEEN 501 AND 700)", prune = None)
+    val q = s"SELECT k, id, amt, tag, d FROM $cat.ns.tcoldv"
+    withSpj(on = true) {
+      val df = spark.sql(q)
+      val scan = executed(df).collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.supportsColumnar)
+      val on = sorted(df)
+      assert(on == withSpj(on = false)(sorted(spark.sql(q))),
+        "DV-compacted columnar read diverged from V1")
+      assert(on == withVectorized(false)(sorted(spark.sql(q))),
+        "DV-compacted columnar read diverged from the row reader")
+      assert(df.count() == 500 - 71 + 100)
+      // absent-column projection on masked files: a column added
+      // after the data landed reads as null vectors (or, when pruned
+      // to zero columns, as metadata-count batches) — either way the
+      // count must be LIVE (physical minus exact masked)
+      GraftTable.addColumn(spark, root, "w",
+        org.apache.spark.sql.types.LongType)
+      val cntQ = s"SELECT w FROM $cat.ns.tcoldv"
+      val cdf = spark.sql(cntQ)
+      assert(executed(cdf).collectFirst { case b: BatchScanExec => b }
+        .get.supportsColumnar)
+      assert(cdf.count() == 500 - 71 + 100)
     }
   }
 
