@@ -237,6 +237,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Option(properties.get("bloom.columns")).foreach(cs =>
       GraftTable.setBloomColumns(spark, p.toString,
         cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    Option(properties.get("ndv.columns")).foreach(cs =>
+      GraftTable.setNdvColumns(spark, p.toString,
+        cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
     new GraftV2Table(p.toString, ident, asOf = None)
   }
 
@@ -280,6 +283,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftTable.dropColumn(spark, root, c.fieldNames.head)
       case c: TableChange.SetProperty if c.property == "bloom.columns" =>
         GraftTable.setBloomColumns(spark, root,
+          c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      // per-file HLL NDV sketches on subsequent writes → CBO
+      // distinctCount ([[GraftColumnStats]]):
+      //   ALTER TABLE t SET TBLPROPERTIES('ndv.columns' = 'id,user')
+      case c: TableChange.SetProperty if c.property == "ndv.columns" =>
+        GraftTable.setNdvColumns(spark, root,
           c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       // CHECK constraints as SQL DDL:
       //   ALTER TABLE t SET   TBLPROPERTIES('constraint.<n>' = '<expr>')

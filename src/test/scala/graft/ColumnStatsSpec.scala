@@ -151,6 +151,48 @@ class ColumnStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("not sketchable"))
   }
 
+  test("exact sizes drive STATIC broadcast: small catalog dim plans BHJ pre-AQE") {
+    // before the stats bridge, every V1-bridged catalog scan estimated
+    // at defaultSizeInBytes (8 EiB) and static planning chose
+    // sort-merge for ANY catalog join, leaving the fix to AQE; with
+    // exact live-row sizes the INITIAL plan already broadcasts
+    val dim = s"$wh/ns/tdim"
+    val fact = s"$wh/ns/tfact"
+    val dimDf = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("k", "nm")
+    val factDf = (1 to 5000).map(i => (i.toLong % 50 + 1, i.toLong))
+      .toDF("k", "v")
+    GraftTable.create(spark, dim, dimDf.schema)
+    GraftTable.append(spark, dim, dimDf)
+    GraftTable.create(spark, fact, factDf.schema)
+    GraftTable.append(spark, fact, factDf)
+    val df = spark.sql(
+      s"SELECT f.k, d.nm, f.v FROM $cat.ns.tfact f JOIN $cat.ns.tdim d ON f.k = d.k")
+    // sparkPlan = the static plan BEFORE adaptive re-optimization
+    val static = df.queryExecution.sparkPlan
+    val bhj = static.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"expected a STATIC broadcast hash join, got:\n$static")
+  }
+
+  test("ndv.columns SQL property declares sketches through the catalog") {
+    spark.sql(s"""CREATE TABLE $cat.ns.t6 (k BIGINT, id BIGINT)
+      TBLPROPERTIES('ndv.columns' = 'id')""")
+    spark.sql(s"INSERT INTO $cat.ns.t6 " +
+      (1 to 40).map(i => s"SELECT ${i % 4}L, ${i}L").mkString(" UNION ALL "))
+    withCbo {
+      val (_, byName) = attrStats(spark.sql(s"SELECT id FROM $cat.ns.t6"))
+      assert(byName("id").distinctCount.contains(BigInt(40)),
+        s"id: ${byName("id")}")
+    }
+    // a float column in the property is refused loudly
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.ns.t7 (k BIGINT, x DOUBLE)
+        TBLPROPERTIES('ndv.columns' = 'x')"""))
+    assert(e.getMessage.contains("not sketchable"))
+  }
+
   test("stats survive a column-mapping rename and stay conservative under DV") {
     val root = s"$wh/ns/t3"
     mk(root)
