@@ -25,6 +25,15 @@ import org.apache.spark.sql.sources.Filter
   * exists yet). Planner pattern-matches on the `V1ScanWrapper`
   * case-class extractor still bind — the subclass carries the same
   * fields.
+  *
+  * Known boundary: the "Join Reorder" batch runs right after pushdown
+  * and BEFORE this rule's slot, so CostBasedJoinReorder sees V1-
+  * bridged scans still stats-blind; it DOES see SPJ scans
+  * (`GraftBatchScan` is a native DSv2 batch, never wrapped) — join
+  * reorder on catalog tables therefore engages under the SPJ flag
+  * (spec-pinned in ColumnStatsSpec). Everything downstream of the
+  * rule — filter estimation, static broadcast selection, AQE's
+  * initial plan — gets the stats on both paths.
   */
 final class StatsV1ScanWrapper(v1: V1Scan, handled: Seq[Filter],
     ops: PushedDownOperators)

@@ -193,6 +193,79 @@ class ColumnStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("not sketchable"))
   }
 
+  test("join estimation consumes sketch ndv: |F join D| from rows·rows/ndv") {
+    // F: 2000 rows over 100 distinct keys; D: 100 unique keys →
+    // catalyst's equi-join estimate is |F|·|D| / max(ndv) = 2000
+    val froot = s"$wh/ns/jf"
+    val droot = s"$wh/ns/jd"
+    val fdf = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("fk", "v")
+    val ddf = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("dk", "nm")
+    GraftTable.create(spark, froot, fdf.schema)
+    GraftTable.setNdvColumns(spark, froot, Seq("fk"))
+    GraftTable.append(spark, froot, fdf)
+    GraftTable.create(spark, droot, ddf.schema)
+    GraftTable.setNdvColumns(spark, droot, Seq("dk"))
+    GraftTable.append(spark, droot, ddf)
+    withCbo {
+      val est = spark.sql(
+        s"SELECT v, nm FROM $cat.ns.jf JOIN $cat.ns.jd ON fk = dk")
+        .queryExecution.optimizedPlan.stats.rowCount
+      // HLL jitter stays well inside ±25%
+      assert(est.exists(n => n >= BigInt(1500) && n <= BigInt(2500)),
+        s"join estimate off: $est (expected ~2000)")
+    }
+  }
+
+  test("CBO join reorder runs on SPJ catalog tables — no ANALYZE pass") {
+    // fact joins two dims; the SELECTIVE dim (covers half the fact's
+    // key domain → halves the fact) is written LAST in the SQL. With
+    // rowCount + ndv from the log, CostBasedJoinReorder moves it
+    // ahead of the non-selective dim. PARTITIONED tables + SPJ flag:
+    // the "Join Reorder" batch runs right after scan pushdown, BEFORE
+    // the post-pushdown V1ScanStatsRule slot — so only scans that are
+    // natively stats-capable there (GraftBatchScan; V1ScanWrapper is
+    // swapped too late) feed the reorderer. V1-path scans still get
+    // stats for everything later in the pipeline (filter estimation,
+    // static broadcast choice).
+    val f = s"$wh/ns/rf"
+    val a = s"$wh/ns/ra"
+    val b = s"$wh/ns/rb"
+    val fdf = (1 to 20000).map(i =>
+      (i.toLong % 100, i.toLong % 400, i.toLong)).toDF("ka", "kb", "v")
+    val adf = (0 until 100).map(i => (i.toLong, s"a$i")).toDF("ida", "na")
+    // b covers only kb < 200 → halves the fact
+    val bdf = (0 until 200).map(i => (i.toLong, s"b$i")).toDF("idb", "nb")
+    for ((root, df, keys) <- Seq((f, fdf, Seq("ka", "kb")),
+        (a, adf, Seq("ida")), (b, bdf, Seq("idb")))) {
+      GraftTable.createPartitioned(spark, root, df.schema,
+        Seq(Partitioning.PBucket(keys.head, 4)))
+      GraftTable.setNdvColumns(spark, root, keys)
+      GraftTable.append(spark, root, df)
+    }
+    val q = s"""SELECT v, na, nb FROM $cat.ns.rf
+      JOIN $cat.ns.ra ON ka = ida
+      JOIN $cat.ns.rb ON kb = idb"""
+    def innerJoinRightLeaf(on: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", on.toString)
+      try {
+        val plan = spark.sql(q).queryExecution.optimizedPlan
+        val joins = plan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        // innermost join's right side names the first-joined dim
+        joins.last.right.collectLeaves().head.toString
+      } finally spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+    withCbo(withSpj(on = true) {
+      val syntactic = innerJoinRightLeaf(on = false)
+      val reordered = innerJoinRightLeaf(on = true)
+      assert(syntactic.contains("ns.ra"),
+        s"premise: syntactic order joins ra first, got $syntactic")
+      assert(reordered.contains("ns.rb"),
+        s"join reorder should pull the selective dim first: $reordered")
+    })
+  }
+
   test("stats survive a column-mapping rename and stay conservative under DV") {
     val root = s"$wh/ns/t3"
     mk(root)
