@@ -19,7 +19,8 @@ object GraftProcedures {
   val names: Array[String] =
     Array("optimize", "vacuum", "history", "expire_versions",
       "describe_detail", "maintain", "verify_table",
-      "evolve_partitioning", "restore", "clone", "deep_clone")
+      "evolve_partitioning", "restore", "clone", "deep_clone",
+      "analyze")
 
   def apply(cat: GraftCatalog, name: String): UnboundProcedure = name match {
     case "optimize" => Optimize(cat)
@@ -33,6 +34,7 @@ object GraftProcedures {
     case "restore" => Restore(cat)
     case "clone" => Clone(cat, deep = false)
     case "deep_clone" => Clone(cat, deep = true)
+    case "analyze" => Analyze(cat)
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure '$other' " +
         s"(have ${names.mkString(", ")})")
@@ -113,6 +115,24 @@ object GraftProcedures {
               GraftTable.compactWhere(spark, root, where, in.getInt(2))
             else GraftTable.compact(spark, root, in.getInt(2))
           Seq(Array[Any](v))
+        }
+      }
+  }
+
+  /** `CALL c.system.analyze(table => 'ns.t')` — backfills NDV
+    * sketches for files that predate the table's `ndv.columns`
+    * declaration ([[GraftTable.analyzeNdv]]): one column-pruned pass
+    * over only the missing files, committed metadata-only. The
+    * ANALYZE-pass analogue, except incremental — already-sketched
+    * files are never re-read. Returns the count of files backfilled.
+    */
+  private case class Analyze(cat: GraftCatalog) extends GraftProc("analyze") {
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound("analyze", Array(tableParam),
+        new StructType().add("files_analyzed", LongType)) {
+        override def run(in: InternalRow): Seq[Array[Any]] = {
+          val root = cat.resolveRoot(in.getUTF8String(0).toString)
+          Seq(Array[Any](GraftTable.analyzeNdv(spark, root)))
         }
       }
   }

@@ -2531,6 +2531,56 @@ object GraftTable {
       .map(_.get("ndvCols").elements().asScala.map(_.asText).toSeq)
       .getOrElse(Nil)
 
+  /** Backfill NDV sketches for files that predate [[setNdvColumns]]:
+    * one column-pruned pass over ONLY the files missing a declared
+    * column's sketch, committed as a METADATA-ONLY replace (same data
+    * paths, ndv maps added — no data movement, the DV stats-refresh
+    * commit shape). Without this, a declaration only covers future
+    * writes and [[GraftColumnStats]]'s all-files union guard keeps the
+    * column silent. Idempotent: a second call finds nothing missing
+    * and commits nothing. Returns the number of files backfilled.
+    */
+  def analyzeNdv(spark: SparkSession, root: String): Long = {
+    val declared = ndvColumns(spark, root)
+    require(declared.nonEmpty,
+      "analyzeNdv: declare columns with setNdvColumns / the " +
+        "ndv.columns property first")
+    var touched = 0L
+    commitRetry(spark, root, op = "analyze") { snap =>
+      val want = declared.filter(snap.schema.fieldNames.contains)
+      val missing = snap.files.filter(f => want.exists(c =>
+        !(f.ndv.contains(c) || f.ndv.contains(physName(snap.schema, c)))))
+      touched = missing.size.toLong
+      if (want.isEmpty || missing.isEmpty) None
+      else {
+        val tagged = taggedRead(spark, root, snap.schema, missing.map(_.path))
+        val aggs = want.map { c =>
+          val in = ndvSketchInput(col(c), snap.schema(c).dataType)
+            .getOrElse(sys.error(s"ndv column '$c' is not sketchable"))
+          hll_sketch_agg(in).as(s"__n_$c")
+        }
+        lazy val emptySketch = java.util.Base64.getEncoder.encodeToString(
+          new org.apache.datasketches.hll.HllSketch().toCompactByteArray)
+        val sk = tagged.groupBy(col("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getString(0) -> want.zipWithIndex.map { case (c, i) =>
+              c -> Option(r.getAs[Array[Byte]](i + 1))
+                .map(java.util.Base64.getEncoder.encodeToString)
+                .getOrElse(emptySketch)
+            }.toMap
+          }.toMap
+        // zero-row files never surface in the groupBy: default every
+        // wanted column to the empty sketch so the pass is idempotent
+        val adds = missing.map(f =>
+          f.copy(ndv = f.ndv ++ want.map(_ -> emptySketch).toMap ++
+            sk.getOrElse(fileKey(f.path), Map.empty)))
+        Some((adds, missing.map(_.path), snap.schema, None))
+      }
+    }
+    touched
+  }
+
   /** The declared CHECK constraints (name → boolean SQL), as
     * [[setConstraints]] recorded them — public so the SQL catalog can
     * merge single-constraint DDL edits and list them as properties.

@@ -266,6 +266,39 @@ class ColumnStatsSpec extends SparkSpec {
     })
   }
 
+  test("CALL analyze backfills sketches for pre-declaration files, metadata-only") {
+    val root = s"$wh/ns/t8"
+    val df0 = (1 to 80).map(i => (i.toLong % 4, i.toLong)).toDF("k", "id")
+    GraftTable.create(spark, root, df0.schema)
+    GraftTable.append(spark, root, df0) // BEFORE the declaration
+    spark.sql(
+      s"ALTER TABLE $cat.ns.t8 SET TBLPROPERTIES('ndv.columns' = 'id')")
+    GraftTable.append(spark, root,
+      (81 to 100).map(i => (i.toLong % 4, i.toLong)).toDF("k", "id"))
+    // mixed coverage → the all-files union guard keeps ndv silent
+    withCbo {
+      val (_, byName) = attrStats(spark.sql(s"SELECT id FROM $cat.ns.t8"))
+      assert(byName("id").distinctCount.isEmpty,
+        "pre-declaration files must silence ndv until analyzed")
+    }
+    val filesBefore = GraftTable.snapshot(spark, root).files
+      .map(_.path).toSet
+    val analyzed = spark.sql(s"CALL $cat.system.analyze(table => 'ns.t8')")
+      .head.getLong(0)
+    assert(analyzed >= 1, s"expected backfilled files, got $analyzed")
+    // metadata-only: the data paths are untouched
+    assert(GraftTable.snapshot(spark, root).files.map(_.path).toSet
+      == filesBefore)
+    withCbo {
+      val (_, byName) = attrStats(spark.sql(s"SELECT id FROM $cat.ns.t8"))
+      assert(byName("id").distinctCount.contains(BigInt(100)),
+        s"id after analyze: ${byName("id")}")
+    }
+    // idempotent: nothing left to backfill
+    assert(spark.sql(s"CALL $cat.system.analyze(table => 'ns.t8')")
+      .head.getLong(0) == 0L)
+  }
+
   test("stats survive a column-mapping rename and stay conservative under DV") {
     val root = s"$wh/ns/t3"
     mk(root)
