@@ -859,7 +859,8 @@ class GraftScan(spark: SparkSession, root: String,
     override def columnStats(): util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      GraftColumnStats.of(snap, files, required)
+      GraftColumnStats.of(snap, files, required,
+        GraftTable.histogramsOf(spark, root))
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -3,7 +3,7 @@ package graft.table
 import java.util.{Optional, OptionalLong}
 
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.connector.read.colstats.{ColumnStatistics, Histogram, HistogramBin}
 import org.apache.spark.sql.types._
 
 /** CBO-grade column statistics derived from the log's per-file zone
@@ -34,11 +34,27 @@ private[table] object GraftColumnStats {
   import GraftTable.AddFile
 
   private final case class Stat(ndv: OptionalLong, mn: Optional[Object],
-      mx: Optional[Object], nulls: OptionalLong) extends ColumnStatistics {
+      mx: Optional[Object], nulls: OptionalLong,
+      hist: Optional[Histogram] = Optional.empty())
+      extends ColumnStatistics {
     override def distinctCount(): OptionalLong = ndv
     override def min(): Optional[Object] = mn
     override def max(): Optional[Object] = mx
     override def nullCount(): OptionalLong = nulls
+    override def histogram(): Optional[Histogram] = hist
+  }
+
+  /** Stored (height, bins) → the V2 histogram shape. */
+  private def toHistogram(h: (Double, Seq[(Double, Double, Long)]))
+      : Histogram = new Histogram {
+    override def height(): Double = h._1
+    override def bins(): Array[HistogramBin] = h._2.map { case (l, u, n) =>
+      new HistogramBin {
+        override def lo(): Double = l
+        override def hi(): Double = u
+        override def ndv(): Long = n
+      }: HistogramBin
+    }.toArray
   }
 
   private def toL(a: Any): Long = a match {
@@ -100,7 +116,8 @@ private[table] object GraftColumnStats {
     }
 
   def of(snap: GraftTable.Snapshot, files: Seq[AddFile],
-      required: StructType)
+      required: StructType,
+      hists: Map[String, (Double, Seq[(Double, Double, Long)])] = Map.empty)
       : java.util.Map[NamedReference, ColumnStatistics] = {
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     if (files.isEmpty) return out
@@ -132,11 +149,13 @@ private[table] object GraftColumnStats {
           if (GraftTable.cmpPublic(tpe, a, b) >= 0) a else b)
         val mnI = internal(f.dataType, tpe, mn)
         val mxI = internal(f.dataType, tpe, mx)
+        val hist = hists.get(f.name).map(toHistogram)
         out.put(Expressions.column(f.name), Stat(
           ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty()),
           Optional.ofNullable(mnI.orNull),
           Optional.ofNullable(mxI.orNull),
-          OptionalLong.of(nulls)))
+          OptionalLong.of(nulls),
+          Optional.ofNullable(hist.orNull)))
       } else ndv.foreach { n =>
         // no zone maps, but the layout/sketches still know ndv
         out.put(Expressions.column(f.name), Stat(OptionalLong.of(n),

@@ -119,20 +119,41 @@ object GraftProcedures {
       }
   }
 
-  /** `CALL c.system.analyze(table => 'ns.t')` — backfills NDV
-    * sketches for files that predate the table's `ndv.columns`
-    * declaration ([[GraftTable.analyzeNdv]]): one column-pruned pass
-    * over only the missing files, committed metadata-only. The
-    * ANALYZE-pass analogue, except incremental — already-sketched
-    * files are never re-read. Returns the count of files backfilled.
+  /** `CALL c.system.analyze(table => 'ns.t' [, histogram_for =>
+    * 'c1,c2'] [, buckets => 64])` — the ANALYZE-pass analogue, in two
+    * independent halves: (1) if the table declares `ndv.columns`,
+    * backfills NDV sketches for files predating the declaration
+    * ([[GraftTable.analyzeNdv]] — one column-pruned pass over ONLY the
+    * missing files, committed metadata-only, idempotent); (2) if
+    * `histogram_for` names columns, computes equi-height histograms
+    * for them ([[GraftTable.analyzeHistogram]] — skew-aware CBO range
+    * estimates). Returns the backfilled-file count and the histogram
+    * columns written.
     */
   private case class Analyze(cat: GraftCatalog) extends GraftProc("analyze") {
     override def bind(inputType: StructType): BoundProcedure =
-      new Bound("analyze", Array(tableParam),
-        new StructType().add("files_analyzed", LongType)) {
+      new Bound("analyze", Array(
+        tableParam,
+        ProcedureParameter.in("histogram_for", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("buckets", IntegerType)
+          .defaultValue("64").build()),
+        new StructType().add("files_analyzed", LongType)
+          .add("histogram_columns", StringType)) {
         override def run(in: InternalRow): Seq[Array[Any]] = {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
-          Seq(Array[Any](GraftTable.analyzeNdv(spark, root)))
+          val hcols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val backfilled =
+            try GraftTable.analyzeNdv(spark, root)
+            catch { // no ndv.columns declared: nothing to backfill
+              case e: IllegalArgumentException
+                  if hcols.nonEmpty &&
+                    e.getMessage.contains("setNdvColumns") => 0L
+            }
+          if (hcols.nonEmpty)
+            GraftTable.analyzeHistogram(spark, root, hcols, in.getInt(2))
+          Seq(Array[Any](backfilled, str(hcols.mkString(","))))
         }
       }
   }

@@ -530,7 +530,8 @@ class GraftBatchScan(spark: SparkSession, root: String,
     override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      GraftColumnStats.of(snap, files, required)
+      GraftColumnStats.of(snap, files, required,
+        GraftTable.histogramsOf(spark, root))
   }
 }
 

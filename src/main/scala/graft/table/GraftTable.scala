@@ -2531,6 +2531,117 @@ object GraftTable {
       .map(_.get("ndvCols").elements().asScala.map(_.asText).toSeq)
       .getOrElse(Nil)
 
+  /** Histogram-input spelling: the column as a DOUBLE in the SAME
+    * units catalyst's estimation compares against (dates as epoch
+    * days, timestamps as epoch micros — `EstimationUtils.toDouble` of
+    * the internal value). None for unsupported types.
+    */
+  private def histInput(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType => Some(c.cast(DoubleType))
+      case DateType => Some(c.cast(IntegerType).cast(DoubleType))
+      case TimestampType => Some(unix_micros(c).cast(DoubleType))
+      case _ => None
+    }
+  }
+
+  /** Equi-height histograms for skew-aware CBO estimates — the
+    * `ANALYZE … FOR COLUMNS` analogue, stored in the table's props
+    * (col → height + [lo, hi, ndv] bins) and surfaced through
+    * [[GraftColumnStats]] so catalyst's `FilterEstimation` prices a
+    * rare range on a skewed column by the bins it actually overlaps
+    * instead of assuming uniform density. Exactly Spark's own two
+    * jobs: percentile edges, then NDV per interval in ONE aggregate
+    * (`ApproxCountDistinctForIntervals`). Reads LIVE rows (DV-masked
+    * excluded). Estimates only — a later write staleness-shifts them
+    * the same way it does for ANALYZE; re-call to refresh.
+    */
+  def analyzeHistogram(spark: SparkSession, root: String,
+      cols: Seq[String], buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    require(cols.nonEmpty, "analyzeHistogram: no columns given")
+    require(buckets >= 2 && buckets <= 1024,
+      s"analyzeHistogram: buckets must be in [2, 1024], got $buckets")
+    val snap = snapshot(spark, root)
+    val ins = cols.map { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"analyzeHistogram: no column '$c'"))
+      c -> histInput(col(c), f.dataType).getOrElse(sys.error(
+        s"analyzeHistogram: ${f.dataType.catalogString} column '$c' " +
+          "has no histogram form (numeric, date and timestamp do)"))
+    }
+    val live = readMasked(spark, root, snap.schema, snap.files)
+    // pass 1: equi-height edges (percentiles 0..1) + non-null counts
+    val pcts = array((0 to buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val aggs1 = ins.flatMap { case (c, in) =>
+      Seq(percentile_approx(in, pcts, lit(10000)).as(s"__e_$c"),
+        count(in).as(s"__c_$c"))
+    }
+    val r1 = live.agg(aggs1.head, aggs1.tail: _*).head
+    val edges = ins.map { case (c, _) =>
+      c -> Option(r1.getAs[scala.collection.Seq[Double]](s"__e_$c"))
+        .map(_.toArray).getOrElse(Array.empty[Double])
+    }.toMap
+    val counts = ins.map { case (c, _) =>
+      c -> r1.getAs[Long](s"__c_$c")
+    }.toMap
+    val todo = ins.filter { case (c, _) =>
+      counts(c) > 0 && edges(c).length == buckets + 1
+    }
+    // pass 2: ndv per interval, one aggregate for all columns
+    val ndvs: Map[String, Array[Long]] =
+      if (todo.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+        val aggs2 = todo.map { case (c, in) =>
+          Bridge.column(new ApproxCountDistinctForIntervals(
+            Bridge.expression(in),
+            CreateArray(edges(c).toIndexedSeq.map(Literal(_))),
+            0.05, 0, 0).toAggregateExpression()).as(s"__n_$c")
+        }
+        val r2 = live.agg(aggs2.head, aggs2.tail: _*).head
+        todo.map { case (c, _) =>
+          c -> r2.getAs[scala.collection.Seq[Long]](s"__n_$c").toArray
+        }.toMap
+      }
+    updateProps(spark, root) { node =>
+      val hn =
+        if (node.hasNonNull("histograms"))
+          node.get("histograms").asInstanceOf[ObjectNode]
+        else node.putObject("histograms")
+      todo.foreach { case (c, _) =>
+        val e = edges(c)
+        val n = ndvs(c)
+        val cn = hn.putObject(c)
+        cn.put("h", counts(c).toDouble / buckets)
+        val bn = cn.putArray("b")
+        (0 until buckets).foreach { i =>
+          val b = bn.addArray()
+          b.add(e(i)); b.add(e(i + 1)); b.add(n(i))
+        }
+      }
+    }
+  }
+
+  /** The stored histograms, col → (height, [(lo, hi, ndv)…]). */
+  def histogramsOf(spark: SparkSession, root: String)
+      : Map[String, (Double, Seq[(Double, Double, Long)])] =
+    readProps(spark, root).filter(_.hasNonNull("histograms"))
+      .map(_.get("histograms").properties().asScala.map { e =>
+        val cn = e.getValue
+        val bins = cn.get("b").elements().asScala.map { b =>
+          (b.get(0).asDouble, b.get(1).asDouble, b.get(2).asLong)
+        }.toSeq
+        e.getKey -> (cn.get("h").asDouble, bins)
+      }.toMap)
+      .getOrElse(Map.empty)
+
   /** Backfill NDV sketches for files that predate [[setNdvColumns]]:
     * one column-pruned pass over ONLY the files missing a declared
     * column's sketch, committed as a METADATA-ONLY replace (same data

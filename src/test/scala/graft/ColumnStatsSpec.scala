@@ -299,6 +299,34 @@ class ColumnStatsSpec extends SparkSpec {
       .head.getLong(0) == 0L)
   }
 
+  test("histograms price skew: the rare range shrinks only with the bins") {
+    // 990 rows of v=0 plus one each of 1..10: uniform density over
+    // [0,10] calls `v >= 1` 90% selective; the equi-height bins know
+    // almost everything sits at 0
+    val root = s"$wh/ns/t9"
+    val df = ((1 to 990).map(i => (i.toLong % 4, 0L)) ++
+      (1 to 10).map(i => (i.toLong % 4, i.toLong))).toDF("k", "v")
+    GraftTable.createPartitioned(spark, root, df.schema,
+      Seq(Partitioning.PBucket("k", 4)))
+    GraftTable.setNdvColumns(spark, root, Seq("v"))
+    GraftTable.append(spark, root, df)
+    val q = s"SELECT v FROM $cat.ns.t9 WHERE v >= 1"
+    def est(): BigInt = withCbo(withSpj(on = true) {
+      spark.sql(q).queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("no rowCount"))
+    })
+    val uniform = est()
+    assert(uniform >= BigInt(400),
+      s"premise: uniform density should overestimate, got $uniform")
+    val r = spark.sql(
+      s"CALL $cat.system.analyze(table => 'ns.t9', histogram_for => 'v')")
+      .head
+    assert(r.getString(1) == "v")
+    val skewAware = est()
+    assert(skewAware <= BigInt(150),
+      s"histogram should price the skew: uniform=$uniform with-bins=$skewAware")
+  }
+
   test("stats survive a column-mapping rename and stay conservative under DV") {
     val root = s"$wh/ns/t3"
     mk(root)
