@@ -224,6 +224,31 @@ private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
         java.util.OptionalLong.of(n * rowBytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(n)
+      // the generator's id column is analytically exact: unique over
+      // the surviving range — CBO join/filter estimation pays nothing
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (n > 0 && aggs.isEmpty &&
+            readSchema().fieldNames.contains("id")) {
+          m.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column("id"),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.of(java.lang.Long.valueOf(lo))
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.of(java.lang.Long.valueOf(hi - 1))
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(0L)
+            })
+        }
+        m
+      }
     }
 
   override def readSchema(): StructType = aggs match {

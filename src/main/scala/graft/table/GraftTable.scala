@@ -2067,6 +2067,10 @@ object GraftTable {
       zorderIncremental(spark, root, clusterBy,
         targetFiles = math.max(1, clusterMaxFiles / 4), bits = clusterBits,
         maxFiles = clusterMaxFiles)
+    // NDV-sketch debt: compaction/clustering rewrites got sketches on
+    // the write path; files that still predate the declaration are
+    // backfilled here — O(missing files), nothing when current
+    if (ndvColumns(spark, root).nonEmpty) analyzeNdv(spark, root)
     val expired = expireVersions(spark, root, keepVersions)
     val vacuumed = vacuum(spark, root, vacuumMinAgeMs)
     (purged, compacted, expired, vacuumed)

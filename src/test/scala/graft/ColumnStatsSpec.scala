@@ -327,6 +327,20 @@ class ColumnStatsSpec extends SparkSpec {
       s"histogram should price the skew: uniform=$uniform with-bins=$skewAware")
   }
 
+  test("maintain drains NDV-sketch debt alongside its other passes") {
+    val root = s"$wh/ns/t10"
+    val df = (1 to 50).map(i => (i.toLong % 4, i.toLong)).toDF("k", "id")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.append(spark, root, df) // pre-declaration
+    GraftTable.setNdvColumns(spark, root, Seq("id"))
+    GraftTable.maintain(spark, root)
+    withCbo {
+      val (_, byName) = attrStats(spark.sql(s"SELECT id FROM $cat.ns.t10"))
+      assert(byName("id").distinctCount.contains(BigInt(50)),
+        s"maintain should backfill sketches: ${byName("id")}")
+    }
+  }
+
   test("stats survive a column-mapping rename and stay conservative under DV") {
     val root = s"$wh/ns/t3"
     mk(root)
