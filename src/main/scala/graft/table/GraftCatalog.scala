@@ -848,20 +848,25 @@ class GraftScan(spark: SparkSession, root: String,
     * the zone-map-derived column stats ([[GraftColumnStats]]) feed
     * filter-selectivity and join-order estimation too.
     */
-  override def estimateStatistics(): Statistics = new Statistics {
+  // ONE stats instance per scan: planning asks repeatedly (relation
+  // stats, the stats-rule rewrite, AQE's initial plan) and the column
+  // fold + histogram props read must not repeat per ask
+  private lazy val v2Statistics: Statistics = new Statistics {
     // pushed ranges are re-applied by the reader and never survive as
     // a Filter node above this scan, so the row ESTIMATE carries their
     // zone-map selectivity (exact live counts when nothing is pushed)
     private val rows = GraftColumnStats.estimateRows(files, ranges)
+    private lazy val cols = GraftColumnStats.of(snap, files, required,
+      GraftTable.histogramsOf(spark, root))
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(rows * math.max(1, required.defaultSize).toLong)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
     override def columnStats(): util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      GraftColumnStats.of(snap, files, required,
-        GraftTable.histogramsOf(spark, root))
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
   }
+
+  override def estimateStatistics(): Statistics = v2Statistics
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

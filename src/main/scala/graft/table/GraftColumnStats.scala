@@ -95,21 +95,28 @@ private[table] object GraftColumnStats {
       ranges: Seq[GraftTable.Range]): Long =
     if (ranges.isEmpty)
       files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
-    else files.map { f =>
-      val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
-      val sel = ranges.map(r => overlapFrac(f, r)).product
-      math.max(1L, math.round(live * sel))
-    }.sum
+    else {
+      // ranges MERGE per column first (a BETWEEN arrives as two Range
+      // objects — intersect their bounds); independence applies only
+      // ACROSS columns
+      val byCol = ranges.groupBy(_.col).toSeq
+      files.map { f =>
+        val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
+        val sel = byCol.map { case (c, rs) => overlapFrac(f, c, rs) }.product
+        math.max(1L, math.round(live * sel))
+      }.sum
+    }
 
-  private def overlapFrac(f: AddFile, r: GraftTable.Range): Double =
-    f.stats.get(r.col) match {
+  private def overlapFrac(f: AddFile, c: String,
+      rs: Seq[GraftTable.Range]): Double =
+    f.stats.get(c) match {
       case Some(s) if s.tpe != "str" =>
         val mn = toD(s.min)
         val mx = toD(s.max)
         if (!(mx > mn)) 1.0 // degenerate: pruning already vetted it
         else {
-          val lo = r.lo.map(v => math.max(toD(v), mn)).getOrElse(mn)
-          val hi = r.hi.map(v => math.min(toD(v), mx)).getOrElse(mx)
+          val lo = (mn +: rs.flatMap(_.lo).map(toD)).max
+          val hi = (mx +: rs.flatMap(_.hi).map(toD)).min
           math.min(1.0, math.max(0.0, (hi - lo) / (mx - mn)))
         }
       case _ => 1.0 // no zone map / string bounds: no claim
@@ -169,13 +176,18 @@ private[table] object GraftColumnStats {
     * unless EVERY file with live rows carries one (a file written
     * before `setNdvColumns`, or holding only nulls, makes the union a
     * floor, and a floor presented as an estimate misleads the
-    * optimizer more than no claim).
+    * optimizer more than no claim). Files with ZERO live rows —
+    * empty part files, fully-DV-masked files — contribute no values
+    * and are exempt, so one empty append can't silence the column.
     */
   private def sketchNdv(files: Seq[AddFile], name: String,
       phys: String): Option[Long] = {
     import org.apache.datasketches.hll.{HllSketch, Union}
-    val per = files.map(af => af.ndv.get(name).orElse(af.ndv.get(phys)))
-    if (files.isEmpty || per.exists(_.isEmpty)) return None
+    val withRows =
+      files.filter(f => f.rows - f.dv.map(_.rows).getOrElse(0L) > 0)
+    val per = withRows.map(af =>
+      af.ndv.get(name).orElse(af.ndv.get(phys)))
+    if (withRows.isEmpty || per.exists(_.isEmpty)) return None
     val u = new Union(HllSketch.DEFAULT_LG_K)
     per.flatten.foreach { b64 =>
       u.update(HllSketch.heapify(

@@ -144,13 +144,12 @@ object GraftProcedures {
           val root = cat.resolveRoot(in.getUTF8String(0).toString)
           val hcols = in.getUTF8String(1).toString.split(',')
             .map(_.trim).filter(_.nonEmpty).toSeq
+          val declared = GraftTable.ndvColumns(spark, root).nonEmpty
+          require(declared || hcols.nonEmpty,
+            "analyze: nothing to do — declare ndv.columns (table " +
+              "property) or pass histogram_for")
           val backfilled =
-            try GraftTable.analyzeNdv(spark, root)
-            catch { // no ndv.columns declared: nothing to backfill
-              case e: IllegalArgumentException
-                  if hcols.nonEmpty &&
-                    e.getMessage.contains("setNdvColumns") => 0L
-            }
+            if (declared) GraftTable.analyzeNdv(spark, root) else 0L
           if (hcols.nonEmpty)
             GraftTable.analyzeHistogram(spark, root, hcols, in.getInt(2))
           Seq(Array[Any](backfilled, str(hcols.mkString(","))))

@@ -514,7 +514,9 @@ class GraftBatchScan(spark: SparkSession, root: String,
       defaults, vectorized)
   }
 
-  override def estimateStatistics(): Statistics = new Statistics {
+  // ONE stats instance per scan (planning asks repeatedly; the column
+  // fold + histogram props read must not repeat per ask)
+  private lazy val v2Statistics: Statistics = new Statistics {
     // exact live rows, NO range selectivity here: unlike the V1 scan
     // (which fully handles pushed filters), every SPJ filter returns
     // as residual — the Filter node above estimates its own
@@ -522,6 +524,8 @@ class GraftBatchScan(spark: SparkSession, root: String,
     // too would double-count
     private val rows =
       files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
+    private lazy val cols = GraftColumnStats.of(snap, files, required,
+      GraftTable.histogramsOf(spark, root))
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(
         rows * math.max(1, required.defaultSize).toLong)
@@ -529,10 +533,10 @@ class GraftBatchScan(spark: SparkSession, root: String,
       java.util.OptionalLong.of(rows)
     override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      GraftColumnStats.of(snap, files, required,
-        GraftTable.histogramsOf(spark, root))
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
   }
+
+  override def estimateStatistics(): Statistics = v2Statistics
 }
 
 /** Executor-side reader: per file, open the footer, project the

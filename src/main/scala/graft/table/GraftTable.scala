@@ -2311,98 +2311,80 @@ object GraftTable {
       }
     val bcols = bloomColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
-    def physSchemaOf: StructType = StructType(df.schema.fields.map(f =>
-      tableSchema.fields.find(_.name == f.name)
-        .map(tf => f.copy(name = physName(tf))).getOrElse(f)))
-    val withBlooms = if (bcols.isEmpty) files
-    else {
-      val blooms = fileBlooms(spark, dir.toString, physSchemaOf,
-        bcols.map(c => physName(tableSchema, c)))
-      files.map { f =>
-        f.copy(blooms = blooms.getOrElse(f.path, Map.empty)
-          .map { case (c, b) => physToLogical.getOrElse(c, c) -> b })
-      }
-    }
     val ncols = ndvColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
-    if (ncols.isEmpty) withBlooms
+    if (bcols.isEmpty && ncols.isEmpty) files
     else {
-      val sketches = fileNdvSketches(spark, dir.toString, physSchemaOf,
+      val physSchema = StructType(df.schema.fields.map(f =>
+        tableSchema.fields.find(_.name == f.name)
+          .map(tf => f.copy(name = physName(tf))).getOrElse(f)))
+      // ONE pass serves both metadata kinds — a table declaring blooms
+      // AND ndv columns must not decode the commit twice
+      val meta = fileWriteStats(spark, dir.toString, physSchema,
+        bcols.map(c => physName(tableSchema, c)),
         ncols.map(c => physName(tableSchema, c)))
-      withBlooms.map { f =>
-        f.copy(ndv = sketches.getOrElse(f.path, Map.empty)
-          .map { case (c, s) => physToLogical.getOrElse(c, c) -> s })
+      files.map { f =>
+        val (bl, nd) = meta.getOrElse(f.path,
+          (Map.empty[String, String], Map.empty[String, String]))
+        f.copy(
+          blooms = bl.map { case (c, b) => physToLogical.getOrElse(c, c) -> b },
+          ndv = nd.map { case (c, s) => physToLogical.getOrElse(c, c) -> s })
       }
     }
   }
 
-  /** One column-pruned pass over the just-written files: per (file,
-    * declared column), a DataSketches HLL sketch of the column's
-    * non-null values (`hll_sketch_agg` — commutative/associative, so
-    * partition-order-invariant), base64 in the log. Cost: one extra
-    * scan of only the declared columns of only the new files —
-    * O(commit), never O(table). Sketches from any file subset UNION
-    * into a table/pruned-set NDV ([[GraftColumnStats]]).
+  
+  /** One column-pruned pass over the just-written files computing ALL
+    * declared per-file write metadata at once — per (file, bloom
+    * column), OR every row's two xxhash64 bits into a fixed 1 KiB
+    * bitset ([[FileBloom.BloomAgg]] — commutative and associative, so
+    * partition-order-invariant); per (file, ndv column), a
+    * DataSketches HLL sketch of the non-null values
+    * (`hll_sketch_agg`, base64 driver-side — Spark's `base64` SQL
+    * function chunks MIME-style, which the plain decoder refuses).
+    * Cost: one extra scan of only the declared columns of only the
+    * new files — O(commit), never O(table), and never twice.
+    * Returns fileKey → (blooms, ndv sketches).
     */
-  private def fileNdvSketches(spark: SparkSession, dir: String,
-      schema: StructType, ncols: Seq[String])
-      : Map[String, Map[String, String]] = {
-    val src = spark.read.schema(schema)
-      .option("recursiveFileLookup", "true").parquet(dir)
-    val aggs = ncols.map { c =>
-      val in = ndvSketchInput(col(c), schema(c).dataType).getOrElse(
-        sys.error(s"ndv column '$c' became unsketchable"))
-      hll_sketch_agg(in).as(s"__n_$c")
-    }
-    // an all-null file must still carry a (empty) sketch, or the
-    // union-side all-files requirement would block the column forever;
-    // encode driver-side with java Base64 (Spark's `base64` SQL
-    // function chunks MIME-style, which the plain decoder refuses)
-    lazy val emptySketch = java.util.Base64.getEncoder.encodeToString(
-      new org.apache.datasketches.hll.HllSketch().toCompactByteArray)
-    src.select(input_file_name().as("__file") +: ncols.map(col): _*)
-      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        fileKey(r.getString(0)) ->
-          ncols.zipWithIndex.map { case (c, i) =>
-            c -> Option(r.getAs[Array[Byte]](i + 1))
-              .map(java.util.Base64.getEncoder.encodeToString)
-              .getOrElse(emptySketch)
-          }.toMap
-      }.toMap
-  }
-
-  /** One column-pruned pass over the just-written files: per (file,
-    * declared column), OR every row's two xxhash64 bits into a fixed
-    * 1 KiB bitset ([[FileBloom.BloomAgg]] — commutative and
-    * associative, so partition-order-invariant). Cost: one extra scan
-    * of only the bloom columns of only the new files — O(commit), not
-    * O(table).
-    */
-  private def fileBlooms(spark: SparkSession, dir: String,
-      schema: StructType, bcols: Seq[String])
-      : Map[String, Map[String, String]] = {
+  private def fileWriteStats(spark: SparkSession, dir: String,
+      schema: StructType, bcols: Seq[String], ncols: Seq[String])
+      : Map[String, (Map[String, String], Map[String, String])] = {
     import org.apache.spark.sql.Encoders
     val bloomU = udaf(new FileBloom.BloomAgg(),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-    val hashed = spark.read.schema(schema)
+    val src = spark.read.schema(schema)
       // recursiveFileLookup: a partitioned commit dir nests
       // `gp_…=v` subdirs — read every leaf, no partition inference
       .option("recursiveFileLookup", "true").parquet(dir)
       .select(input_file_name().as("__file") +:
-        bcols.flatMap { c =>
+        (bcols.flatMap { c =>
           val (h1, h2) = FileBloom.hashCols(col(c))
           Seq(h1.as(s"__h1_$c"), h2.as(s"__h2_$c"))
-        }: _*)
+        } ++ ncols.map(c => col(c))): _*)
     val aggs = bcols.map(c =>
-      bloomU(col(s"__h1_$c"), col(s"__h2_$c")).as(s"__b_$c"))
-    hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      bloomU(col(s"__h1_$c"), col(s"__h2_$c")).as(s"__b_$c")) ++
+      ncols.map { c =>
+        val in = ndvSketchInput(col(c), schema(c).dataType).getOrElse(
+          sys.error(s"ndv column '$c' became unsketchable"))
+        hll_sketch_agg(in).as(s"__n_$c")
+      }
+    // an all-null file must still carry a (empty) sketch, or the
+    // union-side all-files requirement would block the column forever
+    lazy val emptySketch = java.util.Base64.getEncoder.encodeToString(
+      new org.apache.datasketches.hll.HllSketch().toCompactByteArray)
+    src.groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         // key by the file's root-relative identity (`data/…` suffix) —
         // base names COLLIDE across partition subdirs of one commit
-        fileKey(r.getString(0)) ->
-          bcols.zipWithIndex.map { case (c, i) => c -> r.getString(i + 1) }
-            .toMap
+        val blooms = bcols.zipWithIndex.map { case (c, i) =>
+          c -> r.getString(i + 1)
+        }.toMap
+        val ndv = ncols.zipWithIndex.map { case (c, i) =>
+          c -> Option(r.getAs[Array[Byte]](bcols.length + i + 1))
+            .map(java.util.Base64.getEncoder.encodeToString)
+            .getOrElse(emptySketch)
+        }.toMap
+        fileKey(r.getString(0)) -> (blooms, ndv)
       }.toMap
   }
 
@@ -2458,8 +2440,9 @@ object GraftTable {
     import org.apache.spark.sql.types._
     dt match {
       case IntegerType | LongType | StringType | BinaryType => Some(c)
-      case ShortType | ByteType | BooleanType | DateType =>
-        Some(c.cast(IntegerType))
+      case ShortType | ByteType | BooleanType => Some(c.cast(IntegerType))
+      // dates via unix_date: Spark refuses CAST(date AS INT)
+      case DateType => Some(unix_date(c))
       case TimestampType => Some(unix_micros(c))
       // NTZ: string render (micros preserved) — a cast through the
       // session-zoned timestamp is not injective around DST gaps
@@ -2530,7 +2513,7 @@ object GraftTable {
       .map(_.get("bloomCols").elements().asScala.map(_.asText).toSeq)
       .getOrElse(Nil)
 
-  private def ndvColumns(spark: SparkSession, root: String): Seq[String] =
+  private[table] def ndvColumns(spark: SparkSession, root: String): Seq[String] =
     readProps(spark, root).filter(_.hasNonNull("ndvCols"))
       .map(_.get("ndvCols").elements().asScala.map(_.asText).toSeq)
       .getOrElse(Nil)
@@ -2547,7 +2530,8 @@ object GraftTable {
     dt match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
           FloatType => Some(c.cast(DoubleType))
-      case DateType => Some(c.cast(IntegerType).cast(DoubleType))
+      // epoch days via unix_date: Spark refuses CAST(date AS INT)
+      case DateType => Some(unix_date(c).cast(DoubleType))
       case TimestampType => Some(unix_micros(c).cast(DoubleType))
       case _ => None
     }
@@ -2668,7 +2652,10 @@ object GraftTable {
       touched = missing.size.toLong
       if (want.isEmpty || missing.isEmpty) None
       else {
-        val tagged = taggedRead(spark, root, snap.schema, missing.map(_.path))
+        // LIVE rows only (readMasked applies each file's DV): a
+        // backfilled sketch must not count deleted values, or the
+        // join-estimation ndv inflates against the live row count
+        val tagged = readMasked(spark, root, snap.schema, missing)
         val aggs = want.map { c =>
           val in = ndvSketchInput(col(c), snap.schema(c).dataType)
             .getOrElse(sys.error(s"ndv column '$c' is not sketchable"))

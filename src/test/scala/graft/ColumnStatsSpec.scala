@@ -341,6 +341,39 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("date columns sketch and histogram (unix_date, not the refused cast)") {
+    val root = s"$wh/ns/t11"
+    val df = (1 to 60).map(i =>
+      (i.toLong % 4, d(f"2024-0${i % 3 + 1}-${i % 28 + 1}%02d")))
+      .toDF("k", "dt")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.setNdvColumns(spark, root, Seq("dt"))
+    GraftTable.append(spark, root, df)
+    spark.sql(
+      s"CALL $cat.system.analyze(table => 'ns.t11', histogram_for => 'dt')")
+    withCbo {
+      val (_, byName) = attrStats(spark.sql(s"SELECT dt FROM $cat.ns.t11"))
+      val expected = df.select("dt").distinct().count()
+      assert(byName("dt").distinctCount.contains(BigInt(expected)),
+        s"dt: ${byName("dt")}")
+    }
+    assert(GraftTable.histogramsOf(spark, root).contains("dt"))
+  }
+
+  test("an empty append cannot silence a declared ndv column") {
+    val root = s"$wh/ns/t12"
+    val df = (1 to 30).map(i => (i.toLong % 4, i.toLong)).toDF("k", "id")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.setNdvColumns(spark, root, Seq("id"))
+    GraftTable.append(spark, root, df)
+    GraftTable.append(spark, root, df.limit(0)) // zero-row commit
+    withCbo {
+      val (_, byName) = attrStats(spark.sql(s"SELECT id FROM $cat.ns.t12"))
+      assert(byName("id").distinctCount.contains(BigInt(30)),
+        s"zero-live files must be exempt from the union guard: ${byName("id")}")
+    }
+  }
+
   test("stats survive a column-mapping rename and stay conservative under DV") {
     val root = s"$wh/ns/t3"
     mk(root)
