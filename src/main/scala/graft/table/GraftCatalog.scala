@@ -852,12 +852,15 @@ class GraftScan(spark: SparkSession, root: String,
   // stats, the stats-rule rewrite, AQE's initial plan) and the column
   // fold + histogram props read must not repeat per ask
   private lazy val v2Statistics: Statistics = new Statistics {
+    private val hists = GraftTable.histogramsOf(spark, root)
     // pushed ranges are re-applied by the reader and never survive as
     // a Filter node above this scan, so the row ESTIMATE carries their
-    // zone-map selectivity (exact live counts when nothing is pushed)
-    private val rows = GraftColumnStats.estimateRows(files, ranges)
+    // selectivity — histogram bins where analyzed (skew-aware),
+    // zone-map uniformity otherwise (exact live counts when nothing
+    // is pushed)
+    private val rows = GraftColumnStats.estimateRows(files, ranges, hists)
     private lazy val cols = GraftColumnStats.of(snap, files, required,
-      GraftTable.histogramsOf(spark, root))
+      hists)
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(rows * math.max(1, required.defaultSize).toLong)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)

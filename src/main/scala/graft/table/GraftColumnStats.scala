@@ -92,20 +92,55 @@ private[table] object GraftColumnStats {
     * pruning already dropped provably-empty files; never claims zero.
     */
   def estimateRows(files: Seq[AddFile],
-      ranges: Seq[GraftTable.Range]): Long =
+      ranges: Seq[GraftTable.Range],
+      hists: Map[String, (Double, Seq[(Double, Double, Long)])] = Map.empty)
+      : Long =
     if (ranges.isEmpty)
       files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
     else {
       // ranges MERGE per column first (a BETWEEN arrives as two Range
       // objects — intersect their bounds); independence applies only
-      // ACROSS columns
+      // ACROSS columns. A column with a stored equi-height histogram
+      // prices its range by the BINS it overlaps (table-level, skew-
+      // aware); the rest fall back to per-file zone-map uniformity.
       val byCol = ranges.groupBy(_.col).toSeq
-      files.map { f =>
+      val (histCols, zoneCols) =
+        byCol.partition { case (c, _) => hists.contains(c) }
+      val histSel = histCols.map { case (c, rs) =>
+        histFrac(hists(c)._2, rs)
+      }.product
+      val zoneRows = files.map { f =>
         val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
-        val sel = byCol.map { case (c, rs) => overlapFrac(f, c, rs) }.product
+        val sel = zoneCols.map { case (c, rs) => overlapFrac(f, c, rs) }
+          .product
         math.max(1L, math.round(live * sel))
       }.sum
+      math.max(1L, math.round(zoneRows * histSel))
     }
+
+  /** Fraction of rows an intersected range keeps under an equi-height
+    * histogram: every bin holds the same row mass, so the estimate is
+    * the mean per-bin overlap — 1 for contained bins, the width
+    * fraction for partial bins, membership for point bins (lo == hi).
+    */
+  private def histFrac(bins: Seq[(Double, Double, Long)],
+      rs: Seq[GraftTable.Range]): Double = {
+    if (bins.isEmpty) return 1.0
+    val lo = rs.flatMap(_.lo).map(toD)
+      .reduceOption((a: Double, b: Double) => math.max(a, b))
+    val hi = rs.flatMap(_.hi).map(toD)
+      .reduceOption((a: Double, b: Double) => math.min(a, b))
+    val per = bins.map { case (bl, bh, _) =>
+      if (bl == bh) { // point bin: in range or not
+        if (lo.forall(bl >= _) && hi.forall(bl <= _)) 1.0 else 0.0
+      } else {
+        val l = math.max(bl, lo.getOrElse(bl))
+        val h = math.min(bh, hi.getOrElse(bh))
+        math.min(1.0, math.max(0.0, (h - l) / (bh - bl)))
+      }
+    }
+    per.sum / bins.size
+  }
 
   private def overlapFrac(f: AddFile, c: String,
       rs: Seq[GraftTable.Range]): Double =

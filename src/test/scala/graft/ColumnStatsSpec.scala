@@ -325,6 +325,14 @@ class ColumnStatsSpec extends SparkSpec {
     val skewAware = est()
     assert(skewAware <= BigInt(150),
       s"histogram should price the skew: uniform=$uniform with-bins=$skewAware")
+    // V1 path too: the scan's OWN estimate (the filter never survives
+    // above it) prices the range by the bins once they exist
+    val v1Est = withCbo(withSpj(on = false) {
+      spark.sql(q).queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("no rowCount"))
+    })
+    assert(v1Est <= BigInt(150),
+      s"V1 scan estimate should be histogram-aware: $v1Est")
   }
 
   test("maintain drains NDV-sketch debt alongside its other passes") {
