@@ -82,6 +82,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'spark.sql.catalog.$name.warehouse'"))
+    // A session wired only through spark.sql.extensions=GraftExtensions
+    // never runs Engine.buildSession/configure — without this, its
+    // V1-bridged catalog scans estimate at defaultSizeInBytes (the
+    // stats-blind V1ScanWrapper) and CBO broadcasts go blind. Catalog
+    // initialization is the one hook every such session must pass
+    // through, and installStatsRule is idempotent.
+    graft.Engine.installStatsRule(spark)
   }
 
   override def name(): String = catalogName

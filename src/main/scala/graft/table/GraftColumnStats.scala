@@ -102,13 +102,32 @@ private[table] object GraftColumnStats {
       // objects — intersect their bounds); independence applies only
       // ACROSS columns. A column with a stored equi-height histogram
       // prices its range by the BINS it overlaps (table-level, skew-
-      // aware); the rest fall back to per-file zone-map uniformity.
+      // aware) — but clipped and RENORMALIZED to the SURVIVING files'
+      // folded zone-map span: file pruning on the same column already
+      // removed the out-of-span row mass, and pricing the full-table
+      // histogram on top would charge that selectivity twice (on data
+      // clustered by the column the two effects compound into a
+      // quadratic underestimate, and sizeInBytes drives STATIC
+      // broadcast selection — an underestimate broadcasts a relation
+      // that must not be). A span outside every bin (histogram stale
+      // vs the current files) falls back to per-file zone-map
+      // uniformity; no zone maps at all means the unclipped histogram
+      // is the best available claim.
       val byCol = ranges.groupBy(_.col).toSeq
-      val (histCols, zoneCols) =
-        byCol.partition { case (c, _) => hists.contains(c) }
-      val histSel = histCols.map { case (c, rs) =>
-        histFrac(hists(c)._2, rs)
-      }.product
+      val priced = byCol.map { case (c, rs) =>
+        hists.get(c) match {
+          case Some((_, bins)) =>
+            survivorSpan(files, c) match {
+              case Some((slo, shi)) =>
+                clippedHistFrac(bins, rs, slo, shi)
+                  .map(Left(_)).getOrElse(Right((c, rs)))
+              case None => Left(histFrac(bins, rs))
+            }
+          case None => Right((c, rs))
+        }
+      }
+      val histSel = priced.collect { case Left(f) => f }.product
+      val zoneCols = priced.collect { case Right(p) => p }
       val zoneRows = files.map { f =>
         val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
         val sel = zoneCols.map { case (c, rs) => overlapFrac(f, c, rs) }
@@ -117,6 +136,55 @@ private[table] object GraftColumnStats {
       }.sum
       math.max(1L, math.round(zoneRows * histSel))
     }
+
+  /** Folded [min, max] of the surviving files' zone maps for `c`;
+    * None when any file lacks a usable (non-string) zone map — then
+    * the survivors' span is unknown and clipping would be a guess.
+    */
+  private def survivorSpan(files: Seq[AddFile], c: String)
+      : Option[(Double, Double)] = {
+    val per = files.map(_.stats.get(c).filter(_.tpe != "str"))
+    if (files.isEmpty || per.exists(_.isEmpty)) None
+    else Some((per.flatten.map(s => toD(s.min)).min,
+      per.flatten.map(s => toD(s.max)).max))
+  }
+
+  /** Histogram selectivity restricted to the span actually covered by
+    * the surviving files: per-bin mass inside span∩range over per-bin
+    * mass inside span (equi-height ⇒ equal bin masses cancel). None
+    * when no bin mass lies inside the span — the histogram predates
+    * the surviving data and can price nothing.
+    */
+  private def clippedHistFrac(bins: Seq[(Double, Double, Long)],
+      rs: Seq[GraftTable.Range], slo: Double, shi: Double)
+      : Option[Double] = {
+    if (bins.isEmpty) return Some(1.0)
+    val lo = rs.flatMap(_.lo).map(toD)
+      .reduceOption((a: Double, b: Double) => math.max(a, b))
+    val hi = rs.flatMap(_.hi).map(toD)
+      .reduceOption((a: Double, b: Double) => math.min(a, b))
+    var inSpan = 0.0
+    var inBoth = 0.0
+    bins.foreach { case (bl, bh, _) =>
+      if (bl == bh) {
+        if (bl >= slo && bl <= shi) {
+          inSpan += 1.0
+          if (lo.forall(bl >= _) && hi.forall(bl <= _)) inBoth += 1.0
+        }
+      } else {
+        val sl = math.max(bl, slo)
+        val sh = math.min(bh, shi)
+        if (sh > sl) {
+          inSpan += (sh - sl) / (bh - bl)
+          val rl = math.max(sl, lo.getOrElse(sl))
+          val rh = math.min(sh, hi.getOrElse(sh))
+          if (rh > rl) inBoth += (rh - rl) / (bh - bl)
+        }
+      }
+    }
+    if (inSpan <= 0.0) None
+    else Some(math.min(1.0, inBoth / inSpan))
+  }
 
   /** Fraction of rows an intersected range keeps under an equi-height
     * histogram: every bin holds the same row mass, so the estimate is

@@ -638,6 +638,15 @@ final class GraftSpjColumnarReader(types: Array[DataType],
   private var rowPos = 0L
   private lazy val emptyBatch =
     new ColumnarBatch(Array.empty[ColumnVector])
+  /** Reusable compaction target — allocated on the FIRST DV-masked
+    * batch, then reset per batch. Heavily-masked files (pre-maintain
+    * DV debt) compact most batches; a fresh vector set per batch is
+    * allocation churn on the hot decode path. Safe to reuse: the
+    * columnar scan contract already allows a reader to recycle its
+    * batch between next() calls (the vectorized parquet reader does).
+    */
+  private var compactVecs: Array[OnHeapColumnVector] = _
+  private var compactBatch: ColumnarBatch = _
 
   private def closeVec(): Unit =
     if (vec != null) { vec.close(); vec = null }
@@ -723,17 +732,19 @@ final class GraftSpjColumnarReader(types: Array[DataType],
       else { keep(k) = i; k += 1 }
       i += 1
     }
-    val out = new Array[ColumnVector](types.length)
+    if (compactVecs == null) {
+      compactVecs = types.map(t => new OnHeapColumnVector(BatchRows, t))
+      compactBatch = new ColumnarBatch(
+        compactVecs.asInstanceOf[Array[ColumnVector]])
+    }
     var c = 0
     while (c < types.length) {
-      val dst = new OnHeapColumnVector(live, types(c))
-      copyColumn(b.column(c), dst, keep, types(c))
-      out(c) = dst
+      compactVecs(c).reset()
+      copyColumn(b.column(c), compactVecs(c), keep, types(c))
       c += 1
     }
-    val nb = new ColumnarBatch(out)
-    nb.setNumRows(live)
-    nb
+    compactBatch.setNumRows(live)
+    compactBatch
   }
 
   private def copyColumn(src: ColumnVector, dst: OnHeapColumnVector,
@@ -807,7 +818,14 @@ final class GraftSpjColumnarReader(types: Array[DataType],
 
   override def get(): ColumnarBatch = current
 
-  override def close(): Unit = closeVec()
+  override def close(): Unit = {
+    closeVec()
+    if (compactVecs != null) {
+      compactVecs.foreach(_.close())
+      compactVecs = null
+      compactBatch = null
+    }
+  }
 }
 
 final class GraftSpjReader(fields: Seq[(StructField, String)],

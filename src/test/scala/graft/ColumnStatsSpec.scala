@@ -335,6 +335,36 @@ class ColumnStatsSpec extends SparkSpec {
       s"V1 scan estimate should be histogram-aware: $v1Est")
   }
 
+  test("histogram pricing does not compound with file pruning on " +
+      "clustered data") {
+    // v = 1..1000 written CLUSTERED: 10 files, each a tight 100-value
+    // span. `v >= 901` prunes to the one surviving file (~100 live
+    // rows, fully in range). The unclipped table-level histogram says
+    // P(v >= 901) ≈ 0.1 — multiplying that onto the already-pruned
+    // rows is the quadratic underestimate (≈10 rows) that wrongly
+    // qualifies large relations for static broadcast. Clipped to the
+    // survivors' zone-map span the histogram charges ≈1.
+    val root = s"$wh/ns/t13"
+    val schema = Seq((0L, 0L)).toDF("k", "v").schema
+    GraftTable.create(spark, root, schema)
+    for (c <- 0 until 10) {
+      val df = (1 to 100).map(i => (i.toLong % 4, (c * 100 + i).toLong))
+        .toDF("k", "v").coalesce(1)
+      GraftTable.append(spark, root, df)
+    }
+    spark.sql(
+      s"CALL $cat.system.analyze(table => 'ns.t13', histogram_for => 'v')")
+    val q = s"SELECT v FROM $cat.ns.t13 WHERE v >= 901"
+    for (spj <- Seq(true, false)) {
+      val est = withCbo(withSpj(on = spj) {
+        spark.sql(q).queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(fail("no rowCount"))
+      })
+      assert(est >= BigInt(60) && est <= BigInt(150),
+        s"spj=$spj: pruning+histogram must not compound, got $est")
+    }
+  }
+
   test("maintain drains NDV-sketch debt alongside its other passes") {
     val root = s"$wh/ns/t10"
     val df = (1 to 50).map(i => (i.toLong % 4, i.toLong)).toDF("k", "id")
