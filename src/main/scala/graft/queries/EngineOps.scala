@@ -1283,6 +1283,29 @@ object EngineOps {
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment ORDER BY seg""")),
 
+    // CBO-planned 3-table star join judged END-TO-END: lineitem, part
+    // and supplier land in bucketed catalog tables with declared NDV
+    // sketches, and the LOG's statistics — exact live rows, zone-map
+    // ranges, sketch ndv — decide the PLAN with no ANALYZE pass: the
+    // SQL joins supplier FIRST, but CostBasedJoinReorder prices the
+    // filtered part dim (p_size <= 5, ~10% of parts — estimable only
+    // because the scan reports min/max + ndv for p_size) as the
+    // smaller intermediate and pulls it ahead, and both dims broadcast
+    // STATICALLY pre-AQE from exact scan sizes (CboJoinSpec pins both
+    // plan properties; this row pins the CONTENT under the hash gate).
+    ("catalog_cbo_join",
+      (s: SparkSession, dir: String) => {
+        val (cat, _) = cboJoinTables(s, dir)
+        withStatsPlanning(s) { s.sql(cboJoinSql(cat)).localCheckpoint() }
+      },
+      Some(s"""SELECT p_brand AS brand, COUNT(*) AS n,
+                      ${Canonical.moneySumSql("l_extendedprice")} AS rev
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE p_size <= 5
+               GROUP BY p_brand ORDER BY brand""")),
+
     // Partition spec evolution judged end-to-end: events land under
     // days(ts), the spec evolves METADATA-ONLY to (months(ts),
     // event_type), a second batch lands under the new spec, and the
@@ -1628,6 +1651,69 @@ object EngineOps {
     * body's own version-gate re-checks AFTER acquisition are what
     * make the second builder a no-op.
     */
+  /** Builds (idempotently) the three catalog tables of the CBO star
+    * join — bucketed so the SPJ-capable V2 scan feeds the join
+    * reorderer, NDV-sketched on the join keys and the filter column so
+    * filter/join estimation can price — and returns the catalog name.
+    * Shared with CboJoinSpec, which re-plans [[cboJoinSql]] under
+    * [[withStatsPlanning]] to assert the reorder and the static
+    * broadcasts on the same tables the judged row reads.
+    */
+  private[graft] def cboJoinTables(s: SparkSession, dir: String)
+      : (String, String) = {
+    val gt = graft.table.GraftTable
+    val pt = graft.table.Partitioning
+    val li = Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice")
+    val pa = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val su = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+    val (cat, nsDir) = catalogFor(s, dir, "ccbo")
+    buildLocked(s, s"$nsDir/cbol") {
+      for ((root, df, key, ndv) <- Seq(
+        (s"$nsDir/cbol", li, "l_partkey", Seq("l_partkey", "l_suppkey")),
+        (s"$nsDir/cbop", pa, "p_partkey", Seq("p_partkey", "p_size")),
+        (s"$nsDir/cbos", su, "s_suppkey", Seq("s_suppkey")))) {
+        if (gt.snapshot(s, root).version < 0L)
+          gt.createPartitioned(s, root, df.schema, Seq(pt.PBucket(key, 4)))
+        if (gt.snapshot(s, root).version == 0L) {
+          // a props-side write, not a commit: no version bump, and
+          // re-declaring the same columns is idempotent
+          gt.setNdvColumns(s, root, ndv)
+          gt.append(s, root, df, txn = Some((s"cbo_$key", 0L)))
+        }
+      }
+    }
+    (cat, nsDir)
+  }
+
+  private[graft] def cboJoinSql(cat: String): String =
+    s"""SELECT p.p_brand AS brand, COUNT(*) AS n,
+               ${Canonical.moneySumSql("l.l_extendedprice")} AS rev
+        FROM $cat.ops.cbol l
+        JOIN $cat.ops.cbos s ON l.l_suppkey = s.s_suppkey
+        JOIN $cat.ops.cbop p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 5
+        GROUP BY p.p_brand ORDER BY brand"""
+
+  /** Runs `body` with the stats-driven planner on — SPJ-capable V2
+    * scans (they alone are stats-capable at the join-reorder slot),
+    * CBO, and cost-based join reorder — restoring all three confs
+    * after (the shared session must not leak plan-shape confs into
+    * other queries).
+    */
+  private[graft] def withStatsPlanning[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(graft.table.GraftSpj.ConfKey,
+      "spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    keys.foreach(s.conf.set(_, "true"))
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private def buildLocked[T](s: SparkSession, key: String)(body: => T): T =
     EngineOps.synchronized {
       graft.table.BuildLock.withLock(s, key)(body)
