@@ -225,32 +225,80 @@ object Hnsw {
 
   /** Search the sharded index: every query visits every shard graph
     * (beam `efS` at layer 0), candidates merge to the global top-k.
-    * Queries collect to the driver and broadcast — they are the small
-    * side by contract (bounded by the caller, same shape as the PQ
-    * LUT build), so the corpus-sized index never moves.
+    *
+    * Two execution paths, bit-identical results (HnswSpec proves it —
+    * the per-shard beam search is the same pure function either way):
+    *
+    *  - queries ≤ `broadcastQueryLimit`: collect + broadcast once,
+    *    the corpus-sized index never moves (the PQ-LUT shape);
+    *  - past the limit (corpus-scale query sets — e.g. a self-join
+    *    dedup driven through HNSW — would OOM the driver collect):
+    *    queries chunk by `xxhash64(q_id) % C` (C sized so a chunk is
+    *    ~`chunkRows`), the index EXPLODES per chunk and the two sides
+    *    COGROUP on (shard, chunk) — task memory is one shard graph +
+    *    one query chunk, never all queries. Total distance work is
+    *    identical (every query still meets every shard); the price is
+    *    shuffling the index C times, which is what bounds memory —
+    *    the [[VectorIndex]] salted-shuffle discipline applied to the
+    *    graph tier.
     *
     * Output: (q_id, neighbor_id, rank, cos) — the judged ANN shape; a
     * query is not its own neighbor.
     */
   def search(spark: SparkSession, index: DataFrame, queries: DataFrame,
-      shards: Int, k: Int, efS: Int = 64): DataFrame = {
+      shards: Int, k: Int, efS: Int = 64,
+      broadcastQueryLimit: Long = 100000L,
+      chunkRows: Long = 50000L): DataFrame = {
     import spark.implicits._
-    val qs: Array[(Long, Array[Long], Long)] = queries
+    val q = queries
       .select(col("q_id"), Similarity.quant(col("q_emb")).as("qa"))
       .withColumn("qn", Similarity.sumsq(col("qa")))
-      .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
-    val bq = spark.sparkContext.broadcast(qs)
-    val scored = index.as[IndexRow]
-      .repartition(shards, col("shard"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
-          searchShard(rows.toArray, bq.value, efS)
-        }
+    val nq = q.count()
+    val scored =
+      if (nq <= broadcastQueryLimit) {
+        val qs: Array[(Long, Array[Long], Long)] =
+          q.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+        val bq = spark.sparkContext.broadcast(qs)
+        index.as[IndexRow]
+          .repartition(shards, col("shard"))
+          .mapPartitions { it =>
+            it.toSeq.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
+              searchShard(rows.toArray, bq.value, efS)
+            }
+          }
+      } else {
+        val c = math.max(1L, (nq + chunkRows - 1) / chunkRows).toInt
+        // queries fan out across shards, the index fans out across
+        // chunks; cogrouping on (shard, chunk) hands each task one
+        // shard graph and one query chunk
+        val qFan = q
+          .withColumn("chunk",
+            pmod(xxhash64(col("q_id")), lit(c.toLong)).cast("int"))
+          .as[(Long, Array[Long], Long, Int)]
+          .flatMap { case (qid, qa, qn, ch) =>
+            (0 until shards).iterator.map(sh => (sh, ch, qid, qa, qn))
+          }
+        val iFan = index.as[IndexRow]
+          .flatMap(r => (0 until c).iterator.map(ch => (ch, r)))
+        iFan.groupByKey { case (ch, r) => (r.shard, ch) }
+          .cogroup(qFan.groupByKey { case (sh, ch, _, _, _) => (sh, ch) }) {
+            case (_, irows, qrows) =>
+              val rows = irows.map(_._2).toArray
+              if (rows.isEmpty) Iterator.empty
+              else {
+                val qs = qrows
+                  .map { case (_, _, qid, qa, qn) => (qid, qa, qn) }
+                  .toArray.sortBy(_._1)
+                if (qs.isEmpty) Iterator.empty
+                else searchShard(rows, qs, efS)
+              }
+          }
       }
+    val withCos = scored
       .toDF("q_id", "vec_id", "dot", "qn", "cn")
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
-    graft.plans.TopK.rankedPerGroup(scored, "q_id",
+    graft.plans.TopK.rankedPerGroup(withCos, "q_id",
       Seq(("cos", false), ("vec_id", true)), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("cos"))

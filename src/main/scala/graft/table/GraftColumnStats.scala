@@ -128,10 +128,17 @@ private[table] object GraftColumnStats {
       }
       val histSel = priced.collect { case Left(f) => f }.product
       val zoneCols = priced.collect { case Right(p) => p }
+      // string columns price against a declared-NDV floor (see
+      // strOverlapFrac); resolve each such column's sketch union once
+      val strNdv: Map[String, Option[Long]] = zoneCols.collect {
+        case (c, _) if files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
+          c -> sketchNdv(files, c, c)
+      }.toMap
       val zoneRows = files.map { f =>
         val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
-        val sel = zoneCols.map { case (c, rs) => overlapFrac(f, c, rs) }
-          .product
+        val sel = zoneCols.map { case (c, rs) =>
+          overlapFrac(f, c, rs, strNdv.getOrElse(c, None))
+        }.product
         math.max(1L, math.round(live * sel))
       }.sum
       math.max(1L, math.round(zoneRows * histSel))
@@ -211,7 +218,7 @@ private[table] object GraftColumnStats {
   }
 
   private def overlapFrac(f: AddFile, c: String,
-      rs: Seq[GraftTable.Range]): Double =
+      rs: Seq[GraftTable.Range], strNdv: Option[Long] = None): Double =
     f.stats.get(c) match {
       case Some(s) if s.tpe != "str" =>
         val mn = toD(s.min)
@@ -222,8 +229,64 @@ private[table] object GraftColumnStats {
           val hi = (mx +: rs.flatMap(_.hi).map(toD)).min
           math.min(1.0, math.max(0.0, (hi - lo) / (mx - mn)))
         }
-      case _ => 1.0 // no zone map / string bounds: no claim
+      case Some(s) => strOverlapFrac(s, rs, strNdv)
+      case _ => 1.0 // no zone map: no claim
     }
+
+  /** Selectivity of string ranges against a file's (possibly
+    * writer-TRUNCATED) string zone map. Truncation-safety comes from
+    * the 8-byte embedding: parquet truncates bounds at ≥64 bytes, so a
+    * truncated bound's FIRST EIGHT bytes are always intact — the
+    * embedded lower equals the true embedded min, and `+1.0` on the
+    * embedded upper covers every extension of its 8-byte prefix
+    * (Iceberg's truncate-and-increment, expressed in embed space).
+    * Pure-ASCII guard as in pruning: beyond ASCII the byte order and
+    * UTF-16 order can disagree — then no claim.
+    *
+    *  - EQUALITY (merged lo == hi): interval arithmetic in the sparse
+    *    byte space would claim ~0 (a catastrophic underestimate that
+    *    mis-drives broadcasts), so equality prices 1/ndv from the
+    *    column's declared sketch union, or claims nothing.
+    *  - RANGE: embedded-interval fraction, FLOORED at 1/ndv when a
+    *    sketch exists (a file that survived pruning overlaps the
+    *    range — "at least one distinct value matches").
+    */
+  private def strOverlapFrac(s: GraftTable.ColStats,
+      rs: Seq[GraftTable.Range], ndv: Option[Long]): Double = {
+    val los = rs.flatMap(_.lo).map(_.toString)
+    val his = rs.flatMap(_.hi).map(_.toString)
+    val ascii = (Seq(s.min.toString, s.max.toString) ++ los ++ his)
+      .forall(_.forall(_ < 128))
+    if (!ascii || (los.isEmpty && his.isEmpty)) return 1.0
+    val ndvSel = ndv.map(n => 1.0 / math.max(1L, n))
+    val loS = los.sorted.lastOption // tightest lower
+    val hiS = his.sorted.headOption // tightest upper
+    if (loS.isDefined && loS == hiS) ndvSel.getOrElse(1.0)
+    else {
+      val mnE = strEmbed(s.min.toString)
+      val mxE = strEmbed(s.max.toString) + 1.0
+      if (!(mxE > mnE)) return 1.0
+      val lo = math.max(mnE, loS.map(strEmbed).getOrElse(mnE))
+      val hi = math.min(mxE, hiS.map(strEmbed(_) + 1.0).getOrElse(mxE))
+      val frac = math.min(1.0, math.max(0.0, (hi - lo) / (mxE - mnE)))
+      ndvSel.map(n => math.max(frac, n)).getOrElse(frac)
+    }
+  }
+
+  /** Byte-order-preserving embedding of a string's first 8 bytes into
+    * a double — monotone wrt parquet's unsigned-byte comparison for
+    * pure-ASCII strings (the same guard pruning uses).
+    */
+  private def strEmbed(s: String): Double = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0.0
+    var i = 0
+    while (i < 8) {
+      v = v * 256.0 + (if (i < b.length) (b(i) & 0xFF) else 0)
+      i += 1
+    }
+    v
+  }
 
   def of(snap: GraftTable.Snapshot, files: Seq[AddFile],
       required: StructType,

@@ -169,7 +169,7 @@ object GraftProcedures {
       new Bound("vacuum", Array(
         tableParam,
         ProcedureParameter.in("min_age_ms", LongType)
-          .defaultValue("0").build(),
+          .defaultValue(GraftTable.DefaultVacuumGraceMs.toString).build(),
         ProcedureParameter.in("dry_run",
           org.apache.spark.sql.types.BooleanType)
           .defaultValue("false").build()),
@@ -380,7 +380,7 @@ object GraftProcedures {
         ProcedureParameter.in("keep_versions", IntegerType)
           .defaultValue("30").build(),
         ProcedureParameter.in("vacuum_min_age_ms", LongType)
-          .defaultValue("0").build(),
+          .defaultValue(GraftTable.DefaultVacuumGraceMs.toString).build(),
         ProcedureParameter.in("cluster_by", StringType)
           .defaultValue("''").build(),
         ProcedureParameter.in("cluster_bits", IntegerType)

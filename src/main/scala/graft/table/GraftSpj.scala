@@ -580,14 +580,26 @@ final case class GraftSpjReaderFactory(
   * sorted ascending — O(masked) memory, bounded by one file.
   */
 private[table] object GraftSpjDv {
+  /** Sorted masked positions of ONE data file. RLE-generation DV
+    * parquets carry `(file, pos, run)` spans — expanded here to the
+    * skip-list array the readers consume (memory stays bounded by one
+    * file's masks, exactly as before); pre-RLE parquets lack `run`
+    * and read one position per row.
+    */
   def load(conf: Configuration, dvPath: String, key: String): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuilder.make[Long]
     val r = ParquetReader.builder(new GroupReadSupport(),
       new Path(dvPath)).withConf(new Configuration(conf)).build()
     try {
       var g = r.read()
+      val hasRun = g != null && g.getType.containsField("run")
       while (g != null) {
-        if (g.getString("file", 0) == key) out += g.getLong("pos", 0)
+        if (g.getString("file", 0) == key) {
+          val start = g.getLong("pos", 0)
+          val run = if (hasRun) g.getLong("run", 0) else 1L
+          var p = start
+          while (p < start + run) { out += p; p += 1 }
+        }
         g = r.read()
       }
     } finally r.close()

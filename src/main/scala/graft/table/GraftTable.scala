@@ -131,7 +131,7 @@ object GraftTable {
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
       txn: Option[(String, Long)] = None): Long =
-    commitRetry(spark, root, op = "append") { snap =>
+    commitRetry(spark, root, op = "append", read = ReadsNothing) { snap =>
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None // already committed — idempotent replay
       else {
@@ -433,7 +433,9 @@ object GraftTable {
     */
   def deleteWhereRanges(spark: SparkSession, root: String, condSql: String,
       ranges: Seq[Range]): Long =
-    commitRetry(spark, root, op = "delete") { snap =>
+    commitRetry(spark, root, op = "delete",
+      read = if (ranges.isEmpty) ReadsEverything
+             else ReadsRanges(ranges)) { snap =>
       // bloom-aware pruning: a POINT delete (lo == hi) also skips
       // files whose filter proves the key absent — a wrongly-kept
       // file is only an extra rewrite, a wrong skip is impossible
@@ -478,7 +480,9 @@ object GraftTable {
     */
   def updateWhereRanges(spark: SparkSession, root: String, condSql: String,
       sets: Seq[(String, String)], ranges: Seq[Range]): Long =
-    commitRetry(spark, root, op = "update") { snap =>
+    commitRetry(spark, root, op = "update",
+      read = if (ranges.isEmpty) ReadsEverything
+             else ReadsRanges(ranges)) { snap =>
       val unknown = sets.map(_._1).filterNot(snap.schema.fieldNames.contains)
       require(unknown.isEmpty, s"updateWhere: no such column(s) $unknown")
       val touched =
@@ -522,7 +526,8 @@ object GraftTable {
     * every (DV-surviving) row, same as any removed-without-readd file.
     */
   def deleteRange(spark: SparkSession, root: String, range: Range): Long =
-    commitRetry(spark, root, op = "delete_range") { snap =>
+    commitRetry(spark, root, op = "delete_range",
+      read = ReadsRanges(Seq(range))) { snap =>
       val touched = prunedFilesAll(snap, Seq(range))
       if (touched.isEmpty) None
       else {
@@ -579,7 +584,9 @@ object GraftTable {
     */
   def deleteWhereDv(spark: SparkSession, root: String, condSql: String,
       prune: Option[Range]): Long =
-    commitRetry(spark, root, op = "dv_delete") { snap =>
+    commitRetry(spark, root, op = "dv_delete",
+      read = prune.map(r => ReadsRanges(Seq(r)))
+        .getOrElse(ReadsEverything)) { snap =>
       val touched = prune match {
         case Some(r) => prunedFilesAll(snap, Seq(r))
         case None => snap.files
@@ -599,20 +606,22 @@ object GraftTable {
     * contract.
     */
   def deleteKeysDv(spark: SparkSession, root: String, keys: DataFrame,
-      keyCol: String): Long =
-    commitRetry(spark, root, op = "dv_delete") { snap =>
-      val mm = keys.agg(min(col(keyCol)), max(col(keyCol))).head
-      if (mm.isNullAt(0)) None
-      else {
-        val touched = prunedFilesAll(snap,
-          Seq(Range(keyCol, Some(mm.get(0)), Some(mm.get(1)))))
-        if (touched.isEmpty) None
-        else commitDv(spark, root, snap, touched,
-          readMasked(spark, root, snap.schema, touched)
-            .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
-              "left_semi"))
-      }
+      keyCol: String): Long = {
+    // the key frame is commit-invariant: bound it ONCE, outside the
+    // retry loop — the bounds both prune and declare the read scope
+    val mm = keys.agg(min(col(keyCol)), max(col(keyCol))).head
+    if (mm.isNullAt(0)) return snapshot(spark, root).version
+    val range = Range(keyCol, Some(mm.get(0)), Some(mm.get(1)))
+    commitRetry(spark, root, op = "dv_delete",
+      read = ReadsRanges(Seq(range))) { snap =>
+      val touched = prunedFilesAll(snap, Seq(range))
+      if (touched.isEmpty) None
+      else commitDv(spark, root, snap, touched,
+        readMasked(spark, root, snap.schema, touched)
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_semi"))
     }
+  }
 
   /** Shared DV-commit body: `matches` are the LIVE rows to mask (with
     * their `__file`/`__pos` identity); returns the commit triple or
@@ -633,11 +642,26 @@ object GraftTable {
     if (newCounts.isEmpty) None
     else {
       val hit = touched.filter(f => newCounts.contains(fileKey(f.path)))
-      // total mask per hit file = old DV rows ∪ new matches
+      // total mask per hit file = old DV rows ∪ new matches (disjoint
+      // by construction: `matches` carries only LIVE rows)
       val full = dvFrame(spark, root, hit.filter(_.dv.isDefined))
         .map(_.unionByName(newDels)).getOrElse(newDels)
+      // RUN-LENGTH-ENCODE before writing: consecutive positions
+      // collapse to (file, pos, run) spans — a wide retraction (drop a
+      // whole ingest batch, GDPR-erase a contiguous range) costs
+      // O(runs) parquet rows, not one row per masked position; readers
+      // expand through [[expandDv]]. The gaps-and-islands window
+      // shuffles by FILE (parallel across files), and only the
+      // O(runs) span frame funnels into the single output file.
+      val wRuns = org.apache.spark.sql.expressions.Window
+        .partitionBy("file").orderBy("pos")
+      val runs = full
+        .withColumn("grp", col("pos") - row_number().over(wRuns))
+        .groupBy(col("file"), col("grp"))
+        .agg(min("pos").as("pos"), count(lit(1)).as("run"))
+        .select("file", "pos", "run")
       val dir = s"data/dv-${UUID.randomUUID().toString}"
-      full.repartition(1).sortWithinPartitions("file", "pos")
+      runs.repartition(1).sortWithinPartitions("file", "pos")
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(new Path(root, dir).toString)
       val fs = new Path(root, dir).getFileSystem(hadoopConf(spark))
@@ -651,7 +675,7 @@ object GraftTable {
       // (dvStats = true is the trust marker) and sharpen later
       // file pruning — masked extremes no longer hold a file open
       val survStats = survivorStats(spark, root, snap.schema, hit,
-        spark.read.parquet(new Path(root, dir).toString))
+        expandDv(spark.read.parquet(new Path(root, dir).toString)))
       val adds = hit.map { f =>
         val total = f.dv.map(_.rows).getOrElse(0L) + newCounts(fileKey(f.path))
         f.copy(dv = Some(DvRef(dvPath, total)),
@@ -771,17 +795,30 @@ object GraftTable {
     */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
       keys: Seq[String], versionCol: String, opCol: String,
-      deleteOp: String = "D"): Long =
-    commitRetry(spark, root, op = "merge") { snap =>
-      val touched =
-        if (keys.size != 1) snap.files
-        else {
-          val k = keys.head
-          val mm = changes.agg(min(col(k)), max(col(k))).head
-          if (mm.isNullAt(0)) Seq.empty
-          else prunedFilesAll(snap,
-            Seq(Range(k, Some(mm.get(0)), Some(mm.get(1)))))
-        }
+      deleteOp: String = "D"): Long = {
+    // changelog key bounds are commit-invariant: compute ONCE outside
+    // the retry loop; they both prune and declare the read scope for
+    // lost-race admission (a merge losing to a key-disjoint commit
+    // re-publishes instead of re-running its rewrite)
+    val keyRange: Option[Option[Range]] =
+      if (keys.size != 1) None
+      else {
+        val k = keys.head
+        val mm = changes.agg(min(col(k)), max(col(k))).head
+        Some(if (mm.isNullAt(0)) None
+        else Some(Range(k, Some(mm.get(0)), Some(mm.get(1)))))
+      }
+    val read = keyRange match {
+      case None => ReadsEverything // composite keys: full rewrite
+      case Some(None) => ReadsNothing // empty changelog
+      case Some(Some(r)) => ReadsRanges(Seq(r))
+    }
+    commitRetry(spark, root, op = "merge", read = read) { snap =>
+      val touched = keyRange match {
+        case None => snap.files
+        case Some(None) => Seq.empty
+        case Some(Some(r)) => prunedFilesAll(snap, Seq(r))
+      }
       val target = readFiles(spark, root, snap, touched)
       val merged = graft.operators.Merge
         .applyChangelog(target, changes, keys, versionCol, opCol, deleteOp)
@@ -789,6 +826,7 @@ object GraftTable {
       Some((writeData(spark, root, merged, snap.schema), touched.map(_.path),
         snap.schema, None))
     }
+  }
 
   /** Tri-clause MERGE INTO — the general DML verb over the table
     * format (the SQL/Delta `MERGE` shape, of which [[merge]]'s
@@ -852,9 +890,16 @@ object GraftTable {
       notMatchedInsert.nonEmpty || bySourceUpdate.nonEmpty ||
       bySourceDelete.nonEmpty, "mergeInto: no clauses given")
     require(keys.nonEmpty, "mergeInto: keys must be non-empty")
-    // one aggregate pass: row count and exact key-distinct together
+    // one aggregate pass: row count, exact key-distinct, and (single
+    // key) the source key bounds — commit-invariant, so computed ONCE
+    // outside the retry loop; the bounds both prune the rewrite and
+    // declare the read scope for lost-race admission (a merge losing
+    // to a key-disjoint commit re-publishes instead of re-rewriting)
+    val single = keys.size == 1
     val cnts = source.agg(count(lit(1)),
-      count_distinct(struct(keys.map(col): _*))).head
+      (count_distinct(struct(keys.map(col): _*)) +:
+        (if (single) Seq(min(col(keys.head)), max(col(keys.head)))
+         else Nil)): _*).head
     val (srcCount, distinctKeys) = (cnts.getLong(0), cnts.getLong(1))
     require(srcCount == distinctKeys,
       s"mergeInto: source keys must be unique ($srcCount rows, " +
@@ -863,10 +908,20 @@ object GraftTable {
     // them, nothing matches and the by-source verbs apply to EVERY row
     if (srcCount == 0 && bySourceUpdate.isEmpty && bySourceDelete.isEmpty)
       return snapshot(spark, root).version
-    commitRetry(spark, root, op = "merge_into") { snap =>
+    val hasBySource = bySourceUpdate.nonEmpty || bySourceDelete.nonEmpty
+    // by-source clauses quantify over UNmatched target rows, so the
+    // source key range proves nothing about which files they touch
+    val srcRange: Option[Range] =
+      if (!single || hasBySource || cnts.isNullAt(2)) None
+      else Some(Range(keys.head, Some(cnts.get(2)), Some(cnts.get(3))))
+    val read: ReadScope =
+      if (srcRange.isDefined) ReadsRanges(srcRange.toSeq)
+      else if (single && !hasBySource) ReadsNothing // all-NULL keys
+      else ReadsEverything
+    commitRetry(spark, root, op = "merge_into", read = read) { snap =>
       if (txn.exists { case (app, b) => snap.txns.get(app).exists(_ >= b) })
         None // already committed — idempotent replay (commit no-op)
-      else mergeBuild(spark, root, snap, source, keys, matchedUpdate,
+      else mergeBuild(spark, root, snap, source, keys, srcRange, matchedUpdate,
         matchedUpdateCond, matchedDelete, notMatchedInsert,
         notMatchedInsertCond, txn, bySourceUpdate, bySourceUpdateCond,
         bySourceDelete)
@@ -874,7 +929,7 @@ object GraftTable {
   }
 
   private def mergeBuild(spark: SparkSession, root: String, snap: Snapshot,
-      source: DataFrame, keys: Seq[String],
+      source: DataFrame, keys: Seq[String], srcRange: Option[Range],
       matchedUpdate: Seq[(String, String)],
       matchedUpdateCond: Option[String],
       matchedDelete: Option[String],
@@ -890,16 +945,15 @@ object GraftTable {
         .filterNot(snap.schema.fieldNames.contains)
       require(badSet.isEmpty, s"mergeInto: no such column(s) $badSet")
       val hasBySource = bySourceUpdate.nonEmpty || bySourceDelete.nonEmpty
-      // by-source clauses quantify over UNmatched target rows, so the
-      // source key range proves nothing about which files they touch
+      // the caller bounded the source ONCE ([[mergeInto]]): Some =
+      // prune by the key range; None with a single key and no
+      // by-source clause = all-NULL keys (nothing can match — only
+      // unmatched-source inserts apply); None otherwise = full scan
       val touched =
         if (keys.size != 1 || hasBySource) snap.files
-        else {
-          val k = keys.head
-          val mm = source.agg(min(col(k)), max(col(k))).head
-          if (mm.isNullAt(0)) Seq.empty
-          else prunedFilesAll(snap,
-            Seq(Range(k, Some(mm.get(0)), Some(mm.get(1)))))
+        else srcRange match {
+          case Some(r) => prunedFilesAll(snap, Seq(r))
+          case None => Seq.empty
         }
       val src = source.select(keys.map(col) ++ source.columns
         .filterNot(keys.contains).map(c => col(c).as(s"src_$c")): _*)
@@ -1648,6 +1702,35 @@ object GraftTable {
       .select(toLogicalCols(schema): _*)
   }
 
+  /** Per-version append admission stats over `(from, to]`:
+    * (version, added files, added bytes) — the streaming source's
+    * maxFiles/maxBytes micro-batch bounding input. Bytes stat the
+    * filesystem only when asked (`needBytes`; AddFile entries do not
+    * record size) — O(files in the PENDING window) driver-side stat
+    * calls, the admission cadence's natural bound, never O(table). A
+    * non-append commit in the window still reports its adds; the
+    * batch read itself ([[appendsBetween]]) stays the authority that
+    * refuses such ranges.
+    */
+  private[table] def versionAddStats(spark: SparkSession, root: String,
+      from: Long, to: Long, needBytes: Boolean): Seq[(Long, Int, Long)] = {
+    val (fs, logDir) = logFs(spark, root)
+    val conf = hadoopConf(spark)
+    ((from + 1) to to).map { v =>
+      val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
+      val paths =
+        node.get("adds").elements().asScala.map(_.get("path").asText).toSeq
+      val bytes =
+        if (!needBytes) 0L
+        else paths.map { p =>
+          val fp = new Path(root, p)
+          try fp.getFileSystem(conf).getFileStatus(fp).getLen
+          catch { case _: java.io.FileNotFoundException => 0L }
+        }.sum
+      (v, paths.size, bytes)
+    }
+  }
+
   /** Commit metadata, newest first — the DESCRIBE HISTORY analogue. */
   def history(spark: SparkSession, root: String): Seq[(Long, Int, Int)] =
     historyOps(spark, root).map { case (v, _, _, a, r) => (v, a, r) }
@@ -1725,8 +1808,13 @@ object GraftTable {
       summarize("dv_exists", missingDv, dvPaths.size)
       val present = dvPaths.filterNot(missingDv.map(_._1).toSet)
       val byDv: Map[String, Map[String, Long]] = present.map { p =>
-        p -> spark.read.parquet(new Path(root, p).toString)
-          .groupBy("file").count().collect()
+        val df = spark.read.parquet(new Path(root, p).toString)
+        // RLE generation: positions = Σ run, not parquet rows
+        val perFile =
+          if (df.columns.contains("run"))
+            df.groupBy("file").agg(sum("run").as("n"))
+          else df.groupBy("file").count()
+        p -> perFile.collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       }.toMap
       val badCounts = dvFiles
@@ -1819,21 +1907,33 @@ object GraftTable {
   def restoreAsOf(spark: SparkSession, root: String, tsMs: Long): Long =
     restore(spark, root, versionAt(spark, root, tsMs))
 
+  /** Default grace for [[vacuum]]/[[maintain]]: files younger than
+    * this are spared even when unreferenced. The race it closes: a
+    * writer stages its data files under `data/<uuid>/` BEFORE its log
+    * entry publishes, so to a zero-grace concurrent vacuum an
+    * in-flight commit's files are indistinguishable from orphans —
+    * sweeping them loses the commit the moment it publishes. Ten
+    * minutes covers any realistic write-job tail; `minAgeMs = 0`
+    * remains an explicit operator override for single-writer cleanup
+    * (and for tests that assert immediate reclamation).
+    */
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
   /** Delete every data file no log version references (lost-race
     * orphans and half-written staging). Time travel to EVERY retained
     * version stays valid — only truly unreachable files go.
     *
     * `minAgeMs` additionally spares unreferenced files younger than
-    * the threshold (by modification time) — the tombstone-retention
-    * guard for readers that pinned a `Snapshot` OBJECT before a
-    * concurrent expiry dereferenced its files: a pinned scan holds no
-    * lock, so "don't reclaim anything newer than the longest-running
-    * query" is the published Delta VACUUM contract. Default 0 keeps
-    * the existing aggressive behavior for tests and single-writer
-    * maintenance.
+    * the threshold (by modification time). It is both the in-flight-
+    * writer guard ([[DefaultVacuumGraceMs]] — staged files of a
+    * not-yet-published commit must survive) and the tombstone-
+    * retention guard for readers that pinned a `Snapshot` OBJECT
+    * before a concurrent expiry dereferenced its files: a pinned scan
+    * holds no lock, so "don't reclaim anything newer than the
+    * longest-running query" is the published Delta VACUUM contract.
     */
   def vacuum(spark: SparkSession, root: String,
-      minAgeMs: Long = 0L): Seq[String] =
+      minAgeMs: Long = DefaultVacuumGraceMs): Seq[String] =
     vacuumImpl(spark, root, minAgeMs, dryRun = false)
 
   /** What [[vacuum]] WOULD reclaim, deleting nothing — the audit an
@@ -1841,7 +1941,7 @@ object GraftTable {
     * table (the Delta `VACUUM … DRY RUN` shape).
     */
   def vacuumDryRun(spark: SparkSession, root: String,
-      minAgeMs: Long = 0L): Seq[String] =
+      minAgeMs: Long = DefaultVacuumGraceMs): Seq[String] =
     vacuumImpl(spark, root, minAgeMs, dryRun = true)
 
   private def vacuumImpl(spark: SparkSession, root: String,
@@ -1882,9 +1982,15 @@ object GraftTable {
     if (!fs.exists(dataDir)) return Nil
     val removed = mutable.Buffer[String]()
     val cutoffMs = System.currentTimeMillis() - minAgeMs
+    // a concurrent writer renames/removes its `_temporary` task dirs
+    // while we walk — a vanished path is simply no longer sweepable,
+    // never an error for the sweeper
+    def listSafe(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
     // recursive walk: partitioned commits nest `gp_…=v` tuple dirs
     def sweep(p: Path, rel: String): Unit = {
-      fs.listStatus(p).foreach { f =>
+      listSafe(p).foreach { f =>
         val childRel = s"$rel/${f.getPath.getName}"
         if (f.isDirectory) sweep(f.getPath, childRel)
         else if (!referenced.contains(childRel) &&
@@ -1894,13 +2000,21 @@ object GraftTable {
           removed += childRel
         }
       }
-      if (!dryRun && fs.listStatus(p)
-          .forall(st => !st.isDirectory &&
+      // empty-dir cleanup honors the SAME age grace as files: a
+      // freshly-mkdir'd commit dir is a writer about to stage its
+      // parquets — deleting it from under the write loses the commit
+      // (a dir that just became empty from this sweep gets a fresh
+      // mtime from the deletes and is reclaimed by a later vacuum)
+      val oldEnough =
+        try fs.getFileStatus(p).getModificationTime < cutoffMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!dryRun && oldEnough &&
+          listSafe(p).forall(st => !st.isDirectory &&
             st.getPath.getName.startsWith("_"))) {
         fs.delete(p, true)
       }
     }
-    fs.listStatus(dataDir).foreach { d =>
+    listSafe(dataDir).foreach { d =>
       if (d.isDirectory) sweep(d.getPath, s"data/${d.getPath.getName}")
     }
     removed.toSeq
@@ -1968,14 +2082,38 @@ object GraftTable {
 
   // ---------- commit machinery ----------
 
+  /** What a commit's builder READ from the snapshot it built against —
+    * the lost-race admission contract ([[commitRetry]]): a commit whose
+    * reads and removes are provably untouched by the interleaved
+    * commits may RE-PUBLISH its already-built payload against the new
+    * tip without re-running the (possibly huge) CoW rewrite.
+    * `ReadsNothing` = blind append/metadata-only; `ReadsRanges` = the
+    * builder touched only files overlapping the conjunction (the
+    * pruned-DML shape; empty = everything); `ReadsEverything` = the
+    * conservative default — any interleaved commit forces a rebuild,
+    * exactly the pre-admission behavior.
+    */
+  private[table] sealed trait ReadScope
+  private[table] case object ReadsNothing extends ReadScope
+  private[table] case object ReadsEverything extends ReadScope
+  private[table] final case class ReadsRanges(rs: Seq[Range])
+      extends ReadScope
+
   /** One optimistic-concurrency round: build the commit against the
     * freshest snapshot, try to take the next version; on a lost race,
-    * rebuild and retry (bounded). The builder returns None for a
-    * no-op (e.g. an already-committed txn batch).
+    * first try ADMISSION — if every interleaved commit is disjoint
+    * from this commit's reads and removes ([[admitRepublish]]), the
+    * already-built payload re-publishes unchanged against the new tip
+    * (a CoW MERGE losing to a disjoint append must not redo its whole
+    * rewrite — the Delta conflict rule; under contention the wasted
+    * work would otherwise grow quadratically) — else rebuild and
+    * retry (bounded). The builder returns None for a no-op (e.g. an
+    * already-committed txn batch).
     */
   private[table] def commitRetry(spark: SparkSession, root: String,
       newSpec: Option[Seq[Partitioning.PTransform]] = None,
-      op: String = "commit")(
+      op: String = "commit",
+      read: ReadScope = ReadsEverything)(
       build: Snapshot => Option[(Seq[AddFile], Seq[String], StructType,
         Option[(String, Long)])]): Long = {
     val (fs, logDir) = logFs(spark, root)
@@ -1986,22 +2124,72 @@ object GraftTable {
       build(snap) match {
         case None => return snap.version
         case Some((adds, removes, schema, txn)) =>
-          val v = snap.version + 1
+          // DVs of removed files as seen by the builder — admission
+          // re-verifies those files bit-identical at the tip, so the
+          // map stays right across re-publishes
           val removeDvs = snap.files
             .filter(f => removes.contains(f.path) && f.dv.isDefined)
             .map(f => f.path -> f.dv.get).toMap
-          val entry = entryJson(v, adds, removes, removeDvs, schema, txn,
-            newSpec, op)
-          if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v), entry)) {
-            maybeCheckpoint(spark, root, fs, logDir, v)
-            return v
+          var base = snap
+          var admitted = true
+          while (admitted && attempt < 20) {
+            val v = base.version + 1
+            val entry = entryJson(v, adds, removes, removeDvs, schema, txn,
+              newSpec, op)
+            if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v),
+                entry)) {
+              maybeCheckpoint(spark, root, fs, logDir, v)
+              return v
+            }
+            // lost the race: spec-changing commits always rebuild
+            // (evolution must re-validate everything); otherwise admit
+            // a disjoint re-publish. Data files written for a rebuilt
+            // attempt stay as orphans (vacuum reclaims them).
+            attempt += 1
+            val tip = snapshot(spark, root)
+            admitted =
+              newSpec.isEmpty && admitRepublish(snap, tip, removes, txn, read)
+            if (admitted) base = tip
           }
-        // lost the race: data files written for this attempt stay as
-        // orphans (vacuum reclaims them); rebuild against the new tip
       }
       attempt += 1
     }
     sys.error(s"GraftTable: gave up after $attempt commit conflicts at $root")
+  }
+
+  /** May an already-built commit payload re-publish on top of `tip`
+    * unchanged, after losing a race at `built`? Yes iff every
+    * interleaved commit is DISJOINT from it: schema, partition spec
+    * and (for tagged commits) the txn ledger row for our appId are
+    * unchanged; every file this commit removes — and every surviving
+    * file its builder may have read under `read` — is bit-identical at
+    * the tip (not removed, not DV-mutated, not re-stat'ed); and no
+    * interleaved ADD falls inside the read scope (a new file matching
+    * a CoW predicate would have joined the rewrite — admitting it
+    * would silently exempt its rows). Zone-map + partition-tuple
+    * overlap ([[prunedFilesAll]]) is the conservative proxy for "may
+    * have read": a false positive only costs a rebuild, never
+    * correctness.
+    */
+  private def admitRepublish(built: Snapshot, tip: Snapshot,
+      removes: Seq[String], txn: Option[(String, Long)],
+      read: ReadScope): Boolean = {
+    def mayRead(f: AddFile): Boolean = read match {
+      case ReadsNothing => false
+      case ReadsEverything => true
+      case ReadsRanges(rs) =>
+        rs.isEmpty || prunedFilesAll(built.copy(files = Seq(f)), rs).nonEmpty
+    }
+    if (tip.schema != built.schema || tip.spec != built.spec) return false
+    if (txn.exists { case (app, _) =>
+        tip.txns.get(app) != built.txns.get(app) }) return false
+    val tipByPath = tip.files.map(f => f.path -> f).toMap
+    val removeSet = removes.toSet
+    val builtPaths = built.files.map(_.path).toSet
+    built.files.forall(f =>
+      tipByPath.get(f.path).contains(f) ||
+        (!removeSet.contains(f.path) && !mayRead(f))) &&
+      tip.files.forall(f => builtPaths.contains(f.path) || !mayRead(f))
   }
 
   private def maybeCheckpoint(spark: SparkSession, root: String,
@@ -2046,7 +2234,7 @@ object GraftTable {
       smallFileRows: Long = 100000L,
       keepVersions: Int = 30,
       purgeAtMaskRatio: Double = 0.1,
-      vacuumMinAgeMs: Long = 0L,
+      vacuumMinAgeMs: Long = DefaultVacuumGraceMs,
       clusterBy: Seq[String] = Nil,
       clusterBits: Int = 16,
       clusterMaxFiles: Int = 16): (Boolean, Boolean, Seq[Long], Seq[String]) = {
@@ -3067,11 +3255,38 @@ object GraftTable {
     else {
       val paths = withDv.map(f => fileKey(f.path)).toSet
       val dvPaths = withDv.map(_.dv.get.path).distinct
-      Some(spark.read
-        .parquet(dvPaths.map(p => new Path(root, p).toString): _*)
+      // one read per DV parquet: a multi-path read would smear ONE
+      // schema over mixed RLE/pre-RLE generations and silently drop
+      // the `run` column — each parquet expands under its own schema
+      Some(dvPaths
+        .map(p => expandDv(spark.read.parquet(new Path(root, p).toString)))
+        .reduce(_.unionByName(_))
         .filter(col("file").isin(paths.toSeq: _*)))
     }
   }
+
+  /** Expand a (possibly run-length-encoded) DV frame to plain
+    * `(file, pos)` rows. DV parquets written since the RLE change
+    * store `(file, pos, run)` spans — O(runs) on disk for wide
+    * retractions; pre-RLE parquets lack `run` and pass through
+    * unchanged (mixed unions read per-parquet, so both generations
+    * coexist). Long runs expand via bounded sub-spans so no single
+    * row materializes a giant sequence array.
+    */
+  private def expandDv(df: DataFrame): DataFrame =
+    if (!df.columns.contains("run")) df.select(col("file"), col("pos"))
+    else {
+      val maxSpan = 65536L
+      df.select(col("file"), col("pos"), col("run"))
+        .withColumn("c",
+          explode(sequence(lit(0L),
+            floor((col("run") - 1L) / maxSpan).cast("long"))))
+        .select(col("file"),
+          (col("pos") + col("c") * maxSpan).as("s"),
+          least(col("run") - col("c") * maxSpan, lit(maxSpan)).as("n"))
+        .select(col("file"),
+          explode(sequence(col("s"), col("s") + col("n") - 1L)).as("pos"))
+    }
 
   /** A data file's identity key — everything after the LAST `/data/`
     * of its path (`data/<commit>/[gp_…=v/]*<file>` — depth-agnostic,

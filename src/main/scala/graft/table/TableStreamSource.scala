@@ -164,10 +164,16 @@ class GraftTableSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(maxFiles.forall(_ > 0) && maxBytes.forall(_ > 0),
+      "grafttable: maxFilesPerTrigger/maxBytesPerTrigger must be positive")
     new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
-      readChangeFeed = cdf(parameters))
+      readChangeFeed = cdf(parameters),
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+  }
 
   /** `writeStream.format("grafttable")` — exactly-once appends into the
     * table via the txn ledger: the sink tags every commit with
@@ -292,11 +298,13 @@ class GraftChangesTable(root: String, fromInclusive: Long, to: Long)
   * entry metadata), so replay stays exactly-once.
   */
 class GraftTableSource(spark: SparkSession, root: String,
-    startingVersion: Long, readChangeFeed: Boolean = false) extends Source
+    startingVersion: Long, readChangeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   // Trigger.AvailableNow contract (the same shape DeltaSource
   // implements): pin the tip ONCE up front, drain every commit up to
@@ -308,7 +316,24 @@ class GraftTableSource(spark: SparkSession, root: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(GraftTable.snapshot(spark, root).version)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Delta-parity bounded micro-batches: `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` surface as the engine's ReadLimit, and
+    * [[latestOffset]] admits log versions until the NEXT one would
+    * exceed a cap — always at least one (the progress guarantee: a
+    * single oversized commit still drains, exactly as Delta admits
+    * its first file past the byte cap). Offsets stay log versions, so
+    * exactly-once replay is untouched — admission only decides how
+    * far each batch's version range extends.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -316,8 +341,47 @@ class GraftTableSource(spark: SparkSession, root: String,
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val tip = GraftTable.snapshot(spark, root).version
     val capped = availableNowCap.fold(tip)(math.min(tip, _))
-    if (capped < 0 || capped <= startingVersion) null
-    else TableVersionOffset(capped)
+    val from = Option(start).map {
+      case TableVersionOffset(v) => v
+      case other => other.json.trim.toLong
+    }.getOrElse(startingVersion)
+    if (capped < 0 || capped <= from) null
+    else TableVersionOffset(admitUpTo(from, capped, limit))
+  }
+
+  /** Greatest version in `(from, tip]` whose cumulative admitted
+    * files/bytes respect `limit`; the first pending version is always
+    * admitted.
+    */
+  private def admitUpTo(from: Long, tip: Long, limit: ReadLimit): Long = {
+    def boundsOf(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(boundsOf).foldLeft(
+          (Option.empty[Int], Option.empty[Long])) { case ((f0, b0), (f, b)) =>
+          (f.orElse(f0), b.orElse(b0))
+        }
+      case _: ReadAllAvailable => (None, None)
+      case _ => (None, None) // rows/min-rows: no file-based meaning here
+    }
+    val (maxF, maxB) = boundsOf(limit)
+    if (maxF.isEmpty && maxB.isEmpty) return tip
+    val stats = GraftTable.versionAddStats(spark, root, from, tip,
+      needBytes = maxB.isDefined)
+    var admitted = from
+    var files = 0L
+    var bytes = 0L
+    var stop = false
+    for ((v, nf, nb) <- stats if !stop) {
+      files += nf
+      bytes += nb
+      if (admitted == from ||
+          (maxF.forall(files <= _) && maxB.forall(bytes <= _)))
+        admitted = v
+      else stop = true
+    }
+    admitted
   }
 
   override def reportLatestOffset()

@@ -1,0 +1,77 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{Engine, SparkEntry}
+
+/** Timed sf1 record for the SUPERLINEAR-RISK query family (`dedup_*`,
+  * `ann_*`, `graph_triangles`): the sf1 differ proves 1000×-scale
+  * correctness but records no per-query engine wall-times. This main
+  * times each family query once at sf0.1 (driver fixture) and once at
+  * sf1 ([[SoakDataGen]] — core tables 10× sf0.1's rows,
+  * documents/embeddings sublinear per the driver's own curve) and
+  * flags any query whose sf1/sf0.1 ratio exceeds the near-linear
+  * budget: data grows ≤10×, so a documented O(n)–O(n log n) operator
+  * should stay well under 25× wall-clock (shuffle constants and
+  * fixed overheads keep real ratios far below the data ratio; a
+  * breach means super-linear drift against the cost model). Output:
+  * one JSON object, committed per round as `SF1_TIMING_r{N}.json`.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Sf1Timing SF1_TIMING_r14.json"`
+  */
+object Sf1Timing {
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("SF1_TIMING.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config(Engine.extensionsConf._1, Engine.extensionsConf._2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1Dir = new java.io.File("target/soak-sf1").getAbsolutePath
+    if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
+      SoakDataGen.generate(spark, "/root/testdata/sf0.001", sf1Dir, 1000)
+
+    val family = SparkEntry.queries.keys
+      .filter(n => n.startsWith("dedup_") || n.startsWith("ann_") ||
+        n == "graph_triangles")
+      .toSeq.sorted
+
+    def time(name: String, dir: String): Double = {
+      System.setProperty("graft.oracle.sfDir", dir)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").parquet(s"target/sf1timing/$name")
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      s
+    }
+
+    val rows = family.map { n =>
+      val a = time(n, sf01)
+      val b = time(n, sf1Dir)
+      val ratio = b / math.max(0.001, a)
+      System.err.println(f"[sf1timing] $n%-24s sf0.1=$a%7.2fs sf1=$b%8.2fs ratio=$ratio%6.2fx")
+      (n, a, b, ratio)
+    }
+    val flagged = rows.filter(_._4 > 25.0).map(_._1)
+    val json = rows.map { case (n, a, b, r) =>
+      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f}"""
+    }.mkString(
+      s"""{"family":"superlinear-risk","data_ratio":10,"flag_over":25.0,""" +
+        s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+        """"queries":{""",
+      ",", "}}")
+    println(json)
+    Files.writeString(Paths.get(outPath), json + "\n")
+    spark.stop()
+  }
+}

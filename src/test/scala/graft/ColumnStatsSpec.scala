@@ -365,6 +365,30 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("string predicates price from truncation-safe bounds and declared ndv") {
+    val root = s"$wh/ns/t14"
+    // 1000 rows, tag ∈ {s0..s9} → ndv 10; equality must price ~1/ndv
+    // (never the ~0 a sparse byte-interval would claim), a range must
+    // shrink below the full count but stay at or above the ndv floor
+    val df = (1 to 1000).map(i => (i.toLong % 4, s"s${i % 10}", i.toLong))
+      .toDF("k", "tag", "id")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.setNdvColumns(spark, root, Seq("tag"))
+    GraftTable.append(spark, root, df)
+    withCbo(withSpj(on = false) {
+      def est(cond: String): BigInt =
+        spark.sql(s"SELECT id FROM $cat.ns.t14 WHERE $cond")
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(fail("no rowCount"))
+      val eq = est("tag = 's3'")
+      assert(eq >= BigInt(50) && eq <= BigInt(200),
+        s"string equality should price ~rows/ndv (~100), got $eq")
+      val rg = est("tag >= 's8'")
+      assert(rg >= BigInt(90) && rg < BigInt(1000),
+        s"string range should shrink the estimate safely, got $rg")
+    })
+  }
+
   test("maintain drains NDV-sketch debt alongside its other passes") {
     val root = s"$wh/ns/t10"
     val df = (1 to 50).map(i => (i.toLong % 4, i.toLong)).toDF("k", "id")

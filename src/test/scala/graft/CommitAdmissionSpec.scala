@@ -1,0 +1,141 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions.expr
+
+import graft.table.GraftTable
+import graft.table.GraftTable.Range
+
+/** Executor-side probe the racing specs observe through: the rewrite
+  * predicate calls the registered UDF, which counts every evaluated
+  * row and BLOCKS the first build on the gate until the racing commit
+  * has landed — a deterministic lost race in local mode (tasks share
+  * the JVM, so the statics are visible on both sides).
+  */
+object CommitRaceProbe {
+  val rows = new AtomicLong
+  @volatile var gate: CountDownLatch = new CountDownLatch(0)
+}
+
+/** Lost-race commit admission (the Delta conflict rule): a CoW DML
+  * losing its optimistic-concurrency race to a DISJOINT commit must
+  * re-publish its already-built payload — never re-run the rewrite —
+  * while a true overlap still rebuilds against the new tip.
+  */
+class CommitAdmissionSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.udf.register("graft_race_probe", (x: Long) => {
+    CommitRaceProbe.rows.incrementAndGet()
+    // bounded wait: a failed racer unblocks the build instead of
+    // hanging the suite; the assertions then fail with real messages
+    CommitRaceProbe.gate.await(60, TimeUnit.SECONDS)
+    x
+  })
+
+  private def mkTable(tag: String): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_adm_$tag").toString + "/t"
+    val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1)
+    val b = (1001L to 1100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1)
+    GraftTable.create(spark, root, a.schema) // v0
+    GraftTable.append(spark, root, a) // v1: ids 1..100
+    GraftTable.append(spark, root, b) // v2: ids 1001..1100
+    root
+  }
+
+  /** Runs the even-id CoW delete over [1,100] while `mkRacer` commits
+    * between its rewrite and its publish; returns the delete's
+    * committed version.
+    */
+  private def raceDelete(root: String)(racer: => Unit): Long = {
+    CommitRaceProbe.rows.set(0)
+    CommitRaceProbe.gate = new CountDownLatch(1)
+    val r = Future {
+      // wait for the delete's rewrite job to be inside the gate
+      while (CommitRaceProbe.rows.get == 0) Thread.sleep(10)
+      try racer finally CommitRaceProbe.gate.countDown()
+    }
+    val v = GraftTable.deleteWhereRanges(spark, root,
+      "graft_race_probe(id) % 2 = 0", Seq(Range("id", Some(1L), Some(100L))))
+    Await.result(r, 120.seconds)
+    v
+  }
+
+  test("a CoW delete losing to a DISJOINT append re-publishes, no re-rewrite") {
+    val root = mkTable("disjoint")
+    val v = raceDelete(root) {
+      GraftTable.append(spark, root,
+        (2001L to 2100L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1))
+    }
+    assert(v == 4, s"delete should publish AFTER the racing append, got v$v")
+    // the probe counted every evaluated rewrite row: exactly ONE pass
+    // over the one touched file — a rebuild would have doubled it
+    assert(CommitRaceProbe.rows.get == 100,
+      s"expected one 100-row rewrite pass, probe saw ${CommitRaceProbe.rows.get}")
+    val ids = GraftTable.scanAll(spark, root, Nil)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = ((1L to 100L).filter(_ % 2 == 1) ++ (1001L to 1100L) ++
+      (2001L to 2100L)).sorted
+    assert(ids == expect, "serial order delete-then-append must hold")
+  }
+
+  test("a CoW delete losing to an OVERLAPPING append rebuilds against the tip") {
+    val root = mkTable("overlap")
+    val v = raceDelete(root) {
+      // ids 51..60 fall inside the delete's read range [1,100]
+      GraftTable.append(spark, root,
+        (51L to 60L).map(i => (i, -1.0)).toDF("id", "v").coalesce(1))
+    }
+    assert(v == 4, s"delete should publish AFTER the racing append, got v$v")
+    // rebuild: pass 1 = 100 rows (file A), pass 2 = 110 (A + racer)
+    assert(CommitRaceProbe.rows.get == 210,
+      s"expected a full rebuild (210 probe rows), saw ${CommitRaceProbe.rows.get}")
+    val ids = GraftTable.scanAll(spark, root, Nil)
+      .select("id").as[Long].collect().sorted.toSeq
+    // serializable as append-then-delete: the racer's even ids die too
+    val expect = ((1L to 100L).filter(_ % 2 == 1) ++
+      (51L to 60L).filter(_ % 2 == 1) ++ (1001L to 1100L)).sorted
+    assert(ids == expect, "racing even ids must be deleted by the rebuild")
+  }
+
+  test("a merge losing to a key-disjoint DV delete re-publishes its rewrite") {
+    // non-concurrent admission sanity on a second op pair: build a
+    // merge over keys [1,100], interleave a DV delete on [1001,1100]
+    // (disjoint), and verify both effects land — the merge's rewrite
+    // files carry the pre-race data, so content equality proves the
+    // re-published payload was the originally-built one
+    val root = mkTable("mergedv")
+    CommitRaceProbe.rows.set(0)
+    CommitRaceProbe.gate = new CountDownLatch(1)
+    val changes = (1L to 10L)
+      .map(i => (i, 999.0, 1L, "U")).toDF("id", "v", "ver", "op")
+    val r = Future {
+      while (CommitRaceProbe.rows.get == 0) Thread.sleep(10)
+      try GraftTable.deleteWhereDv(spark, root, "id >= 1050",
+        prune = Some(Range("id", Some(1001L), Some(1100L))))
+      finally CommitRaceProbe.gate.countDown()
+    }
+    // the merge target filter runs the probe via a view over the scan:
+    // piggyback on the changelog path by making the version column
+    // computed through the probe (evaluated once per touched row)
+    val v = GraftTable.merge(spark, root,
+      changes.withColumn("ver", expr("graft_race_probe(id)")),
+      Seq("id"), "ver", "op")
+    Await.result(r, 120.seconds)
+    assert(v == 4, s"merge should publish AFTER the DV delete, got v$v")
+    val rows = GraftTable.scanAll(spark, root, Nil)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert((1L to 10L).forall(rows(_) == 999.0), "merge updates must land")
+    assert((1050L to 1100L).forall(!rows.contains(_)),
+      "racing DV delete must land")
+    assert(rows.contains(1049L), "DV delete must stop at its bound")
+  }
+}

@@ -247,7 +247,7 @@ class GraftCatalogSpec extends SparkSpec {
       .count()
     assert(expired > 0)
     val reclaimed = spark.sql(
-      "CALL gcat.system.vacuum(`table` => 'ns.proc')").count()
+      "CALL gcat.system.vacuum(`table` => 'ns.proc', min_age_ms => 0)").count()
     assert(reclaimed > 0, "first-generation files are unreferenced -> reclaimed")
     // the table still reads complete after maintenance
     assert(spark.table("gcat.ns.proc").count() == 300)
@@ -784,11 +784,12 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL gcat.system.expire_versions(`table` => 'ns.pops', " +
       "keep => 1)").collect()
     val dry = spark.sql("CALL gcat.system.vacuum(`table` => 'ns.pops', " +
-      "dry_run => true)").collect().map(_.getString(0)).sorted
+      "min_age_ms => 0, dry_run => true)").collect().map(_.getString(0)).sorted
     assert(dry.nonEmpty, "expired generation must be reclaimable")
     dry.foreach(p => assert(new java.io.File(root, p).exists(),
       s"dry_run must not delete $p"))
-    val real = spark.sql("CALL gcat.system.vacuum(`table` => 'ns.pops')")
+    val real = spark.sql("CALL gcat.system.vacuum(`table` => 'ns.pops', " +
+      "min_age_ms => 0)")
       .collect().map(_.getString(0)).sorted
     assert(real.toSeq == dry.toSeq, "vacuum must reclaim exactly the dry-run list")
     assert(spark.table("gcat.ns.pops").count() == 290)

@@ -297,7 +297,7 @@ class GraftTableDmlSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet == expected,
       "deep clone must read the masked content without the source")
     // nothing in the clone is vacuum-able; re-clone onto it refuses
-    assert(GraftTable.vacuumDryRun(spark, cloneRoot).isEmpty)
+    assert(GraftTable.vacuumDryRun(spark, cloneRoot, minAgeMs = 0L).isEmpty)
     intercept[IllegalArgumentException] {
       GraftTable.deepClone(spark, cloneRoot, cloneRoot)
     }
@@ -311,10 +311,10 @@ class GraftTableDmlSpec extends SparkSpec {
     orphanDir.mkdirs()
     val orphan = new java.io.File(orphanDir, "part-junk.parquet")
     Files.writeString(orphan.toPath, "junk")
-    val dry = GraftTable.vacuumDryRun(spark, root)
+    val dry = GraftTable.vacuumDryRun(spark, root, minAgeMs = 0L)
     assert(dry == Seq("data/orphan-commit/part-junk.parquet"))
     assert(orphan.exists(), "dry run must not delete")
-    val real = GraftTable.vacuum(spark, root)
+    val real = GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(real == dry, "vacuum must reclaim exactly the dry-run list")
     assert(!orphan.exists())
   }

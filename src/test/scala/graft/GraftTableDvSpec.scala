@@ -48,6 +48,49 @@ class GraftTableDvSpec extends SparkSpec {
     assert(snap.files.map(_.rows).sum == 100)
   }
 
+  test("wide retraction writes O(runs) DV spans, reads stay exact, CDC exact") {
+    // one 20k-row file; mask a contiguous 90% band plus a separate
+    // point — the DV parquet must hold a handful of SPANS, not 18k+1
+    // position rows (the 100 TB retraction cost model)
+    val root = freshRoot()
+    val n = 20000L
+    GraftTable.append(spark, root,
+      (0L until n).map(i => (i, s"k$i", i * 10.0)).toDF("id", "key", "v")
+        .coalesce(1))
+    GraftTable.deleteWhereDv(spark, root,
+      s"(id >= 1000 AND id < 19000) OR id = 7", None)
+    val snap = GraftTable.snapshot(spark, root)
+    val dv = snap.files.flatMap(_.dv).head
+    assert(dv.rows == 18001, s"logged positions: ${dv.rows}")
+    // raw span frame: 2 runs ([7,7] and [1000,18999])
+    val raw = spark.read.parquet(s"$root/${dv.path}")
+    assert(raw.columns.contains("run"), "RLE generation must carry runs")
+    assert(raw.count() == 2, s"expected 2 spans, got ${raw.count()}")
+    assert(raw.agg(sum("run")).head.getLong(0) == 18001)
+    // masked read expands spans exactly
+    val got = GraftTable.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    val expect = (0L until n)
+      .filterNot(i => (i >= 1000 && i < 19000) || i == 7)
+    assert(got == expect, "span expansion must mask exactly the band")
+    // CDC: the DV commit's delete image is exactly the masked rows
+    val chg = GraftTable.changes(spark, root, snap.version - 1, snap.version)
+    val dels = chg.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels == ((1000L until 19000L) ++ Seq(7L)).sorted,
+      "CDC must expand spans to exact deleted rows")
+    // a follow-up re-delete UNIONS across the RLE generation: the old
+    // spans expand, union with the new band, recompress
+    GraftTable.deleteWhereDv(spark, root, "id >= 19500", None)
+    val got2 = GraftTable.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got2 == expect.filter(_ < 19500))
+    val dv2 = GraftTable.snapshot(spark, root).files.flatMap(_.dv).head
+    assert(dv2.rows == 18001 + 500)
+    assert(spark.read.parquet(s"$root/${dv2.path}").count() == 3,
+      "union must recompress to 3 spans")
+  }
+
   test("re-delete unions positions; no-match and already-deleted predicates are no-ops") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 40))
@@ -99,7 +142,7 @@ class GraftTableDvSpec extends SparkSpec {
     // double purge is a no-op
     assert(GraftTable.purgeDeletes(spark, root) == v)
     // vacuum now: DV parquet still log-referenced (v1's entry) → kept
-    val keptDv = GraftTable.vacuum(spark, root)
+    val keptDv = GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(!keptDv.exists(_.contains("dv-")),
       s"DV parquet still referenced by retained entries: $keptDv")
     // CDC across the purge window still reads both sides (DV + files)
@@ -109,11 +152,11 @@ class GraftTableDvSpec extends SparkSpec {
     // feed reads the remove side through it) — expiry only reclaims
     // once THAT entry leaves the retention window
     GraftTable.expireVersions(spark, root, keepLast = 1)
-    assert(!GraftTable.vacuum(spark, root).exists(_.contains("dv-")),
+    assert(!GraftTable.vacuum(spark, root, minAgeMs = 0L).exists(_.contains("dv-")),
       "DV must survive while the purge entry is retained")
     GraftTable.append(spark, root, rows(100, 105)) // push the window past it
     GraftTable.expireVersions(spark, root, keepLast = 1)
-    val reclaimed = GraftTable.vacuum(spark, root)
+    val reclaimed = GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(reclaimed.exists(_.contains("dv-")),
       s"unreferenced DV parquet must be reclaimed: $reclaimed")
     assert(GraftTable.read(spark, root).count() == 45)
@@ -222,7 +265,7 @@ class GraftTableDvSpec extends SparkSpec {
     assert(GraftTable.read(spark, cloneRoot).count() == 55)
     assert(GraftTable.read(spark, srcRoot).count() == 60)
     // clone-side vacuum can only scan the clone's own data dir
-    assert(GraftTable.vacuum(spark, cloneRoot).isEmpty)
+    assert(GraftTable.vacuum(spark, cloneRoot, minAgeMs = 0L).isEmpty)
     assert(GraftTable.read(spark, srcRoot).count() == 60)
     // compact localizes the clone: all-relative paths afterwards
     GraftTable.compact(spark, cloneRoot, targetFiles = 2)
@@ -276,7 +319,7 @@ class GraftTableDvSpec extends SparkSpec {
       .map(f => new org.apache.hadoop.fs.Path(root, f.path).toString)
     assert(spark.read.parquet(pinnedPaths: _*).count() == 10)
     // the aggressive default reclaims the stranded files
-    assert(GraftTable.vacuum(spark, root).nonEmpty)
+    assert(GraftTable.vacuum(spark, root, minAgeMs = 0L).nonEmpty)
   }
 
   test("deleteKeysDv: corpus dedup writes its duplicate set as one DV commit") {

@@ -201,6 +201,51 @@ class GraftTableSpec extends SparkSpec {
       "the racer's commit and the retried append must both survive")
   }
 
+  test("vacuum grace spares in-flight commits: racing append/vacuum loses nothing") {
+    // the race: a writer stages data files BEFORE its log entry
+    // publishes, so to a zero-grace vacuum they look like orphans.
+    // The default grace must make the race safe.
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 10))
+    // mechanism: a staged-but-unpublished file is spared by the
+    // default grace, swept only under the explicit 0 override
+    val staged = new java.io.File(s"$root/data/inflight-uuid/part-0.parquet")
+    staged.getParentFile.mkdirs()
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    assert(GraftTable.vacuum(spark, root).isEmpty,
+      "default grace must spare a just-staged file")
+    assert(staged.exists())
+    // stress: appends racing a default-grace sweeper — every commit
+    // and every referenced file must survive
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweeper = Future {
+      val swept = Seq.newBuilder[String]
+      while (!stop.get) {
+        swept ++= GraftTable.vacuum(spark, root)
+        Thread.sleep(2)
+      }
+      swept.result()
+    }
+    for (i <- 1 to 12)
+      GraftTable.append(spark, root, rows(i * 100L, i * 100L + 10))
+    stop.set(true)
+    val swept = Await.result(sweeper, 60.seconds)
+    assert(!swept.exists(_.startsWith("data/data")) && swept.isEmpty,
+      s"racing sweeps must reclaim nothing young: $swept")
+    assert(GraftTable.read(spark, root).count() == 130,
+      "every racing append must survive the sweeper")
+    val snap = GraftTable.snapshot(spark, root)
+    snap.files.foreach(f =>
+      assert(new java.io.File(root, f.path).exists(),
+        s"logged file swept from under a commit: ${f.path}"))
+    // the explicit override still reclaims the true orphan
+    assert(GraftTable.vacuum(spark, root, minAgeMs = 0L)
+      .contains("data/inflight-uuid/part-0.parquet"))
+  }
+
   test("vacuum removes only unreachable files; time travel stays valid") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 10))
@@ -210,7 +255,7 @@ class GraftTableSpec extends SparkSpec {
     orphanDir.mkdirs()
     val orphan = new java.io.File(orphanDir, "part-00000.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
-    val removed = GraftTable.vacuum(spark, root)
+    val removed = GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(removed == Seq("data/orphan-uuid/part-00000.parquet"))
     assert(!orphan.exists())
     // every retained version still reads (removed files were unreferenced)
@@ -362,7 +407,7 @@ class GraftTableSpec extends SparkSpec {
     // restoring to the current content is a no-op commit
     assert(GraftTable.restore(spark, root, 3L) == 3L)
     // vacuum after restore keeps every referenced file readable
-    assert(GraftTable.vacuum(spark, root).isEmpty)
+    assert(GraftTable.vacuum(spark, root, minAgeMs = 0L).isEmpty)
     assert(GraftTable.read(spark, root).count() == 30)
     // restoreAsOf: the clock spelling resolves through versionAt —
     // "now" maps to the tip, so restoring to it is the same no-op
@@ -445,7 +490,7 @@ class GraftTableSpec extends SparkSpec {
     }
     // vacuum reclaims ONLY files exclusive to expired versions: the
     // overwrite's strands (v0/v1 data) go, everything live stays
-    val removed = GraftTable.vacuum(spark, root)
+    val removed = GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(removed.size == 2, s"the two stranded pre-overwrite files, got $removed")
     assert(GraftTable.read(spark, root).count() == 60 + 12 * 5)
     assert(GraftTable.read(spark, root, Some(12L)).count() == 60 + 10 * 5,
@@ -486,7 +531,7 @@ class GraftTableSpec extends SparkSpec {
       "every concurrent append's rows must survive")
     // lost-race data-file orphans (from retried attempts) are the only
     // reclaimable debris, and reads are unaffected afterwards
-    GraftTable.vacuum(spark, root)
+    GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(GraftTable.read(spark, root).count() == 10 + writers * 100)
   }
 
@@ -534,7 +579,7 @@ class GraftTableSpec extends SparkSpec {
     // AFTER v2, so it does NOT list fA — the only remaining reference
     // to fA is v2's retained `removes`
     assert(GraftTable.expireVersions(spark, root, keepLast = 2) == Seq(0L, 1L))
-    GraftTable.vacuum(spark, root)
+    GraftTable.vacuum(spark, root, minAgeMs = 0L)
     // changes over the retained v2 must still read BOTH sides of the
     // CoW (the doc contract: vacuum keeps every log-referenced file
     // alive) — before the fix, fA was reclaimed and this threw a raw
@@ -586,7 +631,7 @@ class GraftTableSpec extends SparkSpec {
     } finally pool.shutdown()
     assert(GraftTable.read(spark, root).count() == 10 + writers * 100,
       "every racing append's rows must survive on the object store")
-    GraftTable.vacuum(spark, root)
+    GraftTable.vacuum(spark, root, minAgeMs = 0L)
     assert(GraftTable.read(spark, root).count() == 10 + writers * 100)
     assert(GraftTable.read(spark, root, Some(0L)).count() == 10,
       "time travel across conditional-put commits")

@@ -54,6 +54,26 @@ class HnswSpec extends SparkSpec {
       "every query returns exactly k ranked neighbors")
   }
 
+  test("distributed query path ≡ broadcast path on both sides of the limit") {
+    // same index, same queries: forcing the cogrouped (shard ×
+    // query-chunk) path (limit 0, tiny chunks so several real chunks
+    // exist) must be BIT-equal to the driver-broadcast path — the
+    // per-shard beam search is one pure function; only the transport
+    // differs. This is the corpus-scale query-set contract: past the
+    // broadcast limit the driver never materializes the query set.
+    val idx = Hnsw.build(spark, emb, shards = Shards)
+    def run(limit: Long, chunk: Long): Seq[(Long, Long, Int, Double)] =
+      Hnsw.search(spark, idx, qs, shards = Shards, k = 5, efS = 64,
+        broadcastQueryLimit = limit, chunkRows = chunk)
+        .select(col("q_id"), col("neighbor_id"), col("rank").cast("int"),
+          col("cos"))
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val viaBroadcast = run(limit = 100000L, chunk = 50000L)
+    val viaCogroup = run(limit = 0L, chunk = 3L) // 10 queries → 4 chunks
+    assert(viaBroadcast == viaCogroup,
+      "shard×chunk cogroup path must be bit-equal to the broadcast path")
+  }
+
   test("incremental add rebuilds only touched shards, result == full rebuild") {
     // split the corpus: base = all but vec_id % 7 == 0, adds = the rest
     val base = emb.filter(col("vec_id") % 7 =!= 0)

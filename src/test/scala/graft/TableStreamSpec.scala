@@ -86,6 +86,70 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger/maxBytesPerTrigger bound each micro-batch; drain is exactly-once") {
+    val root = freshRoot()
+    // four single-file appends → versions 0..3, one file each
+    for (lo <- Seq(0L, 25L, 50L, 75L))
+      GraftTable.append(spark, root, rows(lo, lo + 25).coalesce(1))
+
+    // maxFilesPerTrigger=1: every micro-batch advances by exactly one
+    // version — 4 batches, union exactly-once
+    val q = spark.readStream.format("grafttable").option("path", root)
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("tstream_adm")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("tstream_adm").count() == 100)
+    assert(spark.table("tstream_adm").distinct().count() == 100)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4,
+      s"1 file/trigger over 4 single-file commits must take 4 batches, " +
+        s"took ${batches.length}")
+    assert(batches.forall(_.numInputRows == 25),
+      batches.map(_.numInputRows).mkString(","))
+
+    // byte cap: large enough for one file but not two → still 4
+    // batches (the progress guarantee admits each oversized-or-first
+    // commit alone); tiny cap (1 byte) also drains — one version per
+    // batch, never a stall
+    val oneFileBytes = {
+      val snap = GraftTable.snapshot(spark, root)
+      val p = new org.apache.hadoop.fs.Path(root, snap.files.head.path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+    val q2 = spark.readStream.format("grafttable").option("path", root)
+      .option("maxBytesPerTrigger", (oneFileBytes + 1).toString)
+      .load()
+      .writeStream.format("memory").queryName("tstream_adm2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("tstream_adm2").count() == 100)
+    assert(spark.table("tstream_adm2").distinct().count() == 100)
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 4)
+
+    // unbounded control: one batch drains everything
+    val q3 = spark.readStream.format("grafttable").option("path", root)
+      .load()
+      .writeStream.format("memory").queryName("tstream_adm3")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(spark.table("tstream_adm3").count() == 100)
+    assert(q3.recentProgress.count(_.numInputRows > 0) == 1)
+
+    // invalid caps refused loudly
+    intercept[Exception] {
+      spark.readStream.format("grafttable").option("path", root)
+        .option("maxFilesPerTrigger", "0").load()
+        .writeStream.format("memory").queryName("tstream_adm4")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
   test("restart from checkpoint resumes at the committed version (no replay, no loss)") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("graft_tstream_ckpt").toString
