@@ -447,7 +447,11 @@ object Similarity {
       col("ca").as("aa"), col("vn").as("an"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
       col("ca").as("ba"), col("vn").as("bn"))
-    a.join(b, Seq("cell"))
+    // merge-pinned: corpus-scale self-join whose sides descend from a
+    // window over a broadcast cross join — the default size estimate
+    // is meaningless, and a misestimate here statically broadcasts a
+    // corpus-sized frame (see Dedup.ngramJaccardPairs)
+    a.join(b.hint("merge"), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dot", idot(col("aa"), col("ba")))
       .withColumn("cos", col("dot").cast("double") /

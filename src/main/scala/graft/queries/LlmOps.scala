@@ -816,7 +816,11 @@ object LlmOps {
         val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
         val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
         val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
-        e1.join(e2, "b").join(e3, Seq("a", "c"))
+        // merge-pinned: all three inputs read the same cached pair
+        // frame whose pre-materialization size estimate is garbage
+        // (explode-descended — see Dedup.ngramJaccardPairs); a static
+        // broadcast of a graph-scale side must never be the plan
+        e1.join(e2.hint("merge"), "b").join(e3.hint("merge"), Seq("a", "c"))
           .select("a", "b", "c")
           .orderBy("a", "b", "c")
       },

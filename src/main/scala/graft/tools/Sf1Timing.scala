@@ -31,6 +31,10 @@ object Sf1Timing {
       .config("spark.sql.shuffle.partitions", cpus)
       .config(Engine.extensionsConf._1, Engine.extensionsConf._2)
       .config("spark.ui.enabled", "false")
+      // timing-only harness headroom: at 32 local cores some family
+      // queries' per-task results (e.g. checkpointed component
+      // frontiers) cross the 1g default that 8-core runs stay under
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
@@ -46,6 +50,7 @@ object Sf1Timing {
       .toSeq.sorted
 
     def time(name: String, dir: String): Double = {
+      System.err.println(s"[sf1timing] running $name @ $dir")
       System.setProperty("graft.oracle.sfDir", dir)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
