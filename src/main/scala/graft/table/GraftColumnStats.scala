@@ -128,16 +128,18 @@ private[table] object GraftColumnStats {
       }
       val histSel = priced.collect { case Left(f) => f }.product
       val zoneCols = priced.collect { case Right(p) => p }
-      // string columns price against a declared-NDV floor (see
-      // strOverlapFrac); resolve each such column's sketch union once
-      val strNdv: Map[String, Option[Long]] = zoneCols.collect {
-        case (c, _) if files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
+      // string columns and POINT predicates price against a declared-
+      // NDV sketch (see strOverlapFrac / the numeric-equality branch of
+      // overlapFrac); resolve each such column's sketch union once
+      val ndvFor: Map[String, Option[Long]] = zoneCols.collect {
+        case (c, rs) if rs.exists(r => r.lo.isDefined && r.lo == r.hi) ||
+            files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
           c -> sketchNdv(files, c, c)
       }.toMap
       val zoneRows = files.map { f =>
         val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
         val sel = zoneCols.map { case (c, rs) =>
-          overlapFrac(f, c, rs, strNdv.getOrElse(c, None))
+          overlapFrac(f, c, rs, ndvFor.getOrElse(c, None))
         }.product
         math.max(1L, math.round(live * sel))
       }.sum
@@ -218,18 +220,29 @@ private[table] object GraftColumnStats {
   }
 
   private def overlapFrac(f: AddFile, c: String,
-      rs: Seq[GraftTable.Range], strNdv: Option[Long] = None): Double =
+      rs: Seq[GraftTable.Range], ndv: Option[Long] = None): Double =
     f.stats.get(c) match {
       case Some(s) if s.tpe != "str" =>
         val mn = toD(s.min)
         val mx = toD(s.max)
-        if (!(mx > mn)) 1.0 // degenerate: pruning already vetted it
+        val pLo = rs.flatMap(_.lo).map(toD)
+          .reduceOption((a: Double, b: Double) => math.max(a, b))
+        val pHi = rs.flatMap(_.hi).map(toD)
+          .reduceOption((a: Double, b: Double) => math.min(a, b))
+        // EQUALITY with a known ndv prices 1/ndv — the interval math
+        // below gives a point predicate width 0, flooring at 1 row per
+        // file: a catastrophic underestimate on low-cardinality keys
+        // (`WHERE k = 5` over a million-row file with 10 distinct k
+        // really keeps 100k rows) that feeds static broadcast choices
+        if (pLo.isDefined && pLo == pHi && ndv.isDefined)
+          1.0 / math.max(1L, ndv.get)
+        else if (!(mx > mn)) 1.0 // degenerate: pruning already vetted it
         else {
-          val lo = (mn +: rs.flatMap(_.lo).map(toD)).max
-          val hi = (mx +: rs.flatMap(_.hi).map(toD)).min
+          val lo = (mn +: pLo.toSeq).max
+          val hi = (mx +: pHi.toSeq).min
           math.min(1.0, math.max(0.0, (hi - lo) / (mx - mn)))
         }
-      case Some(s) => strOverlapFrac(s, rs, strNdv)
+      case Some(s) => strOverlapFrac(s, rs, ndv)
       case _ => 1.0 // no zone map: no claim
     }
 

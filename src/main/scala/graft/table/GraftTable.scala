@@ -99,7 +99,8 @@ object GraftTable {
       layout: Option[String] = None,
       dvStats: Boolean = false,
       part: Map[String, String] = Map.empty,
-      ndv: Map[String, String] = Map.empty)
+      ndv: Map[String, String] = Map.empty,
+      bytes: Long = 0L)
 
   /** The state of the table as of `version`. `txns` maps streaming
     * appId → highest batchId committed (the exactly-once ledger).
@@ -1718,16 +1719,20 @@ object GraftTable {
     val conf = hadoopConf(spark)
     ((from + 1) to to).map { v =>
       val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
-      val paths =
-        node.get("adds").elements().asScala.map(_.get("path").asText).toSeq
+      val adds = node.get("adds").elements().asScala.toSeq
       val bytes =
         if (!needBytes) 0L
-        else paths.map { p =>
-          val fp = new Path(root, p)
-          try fp.getFileSystem(conf).getFileStatus(fp).getLen
-          catch { case _: java.io.FileNotFoundException => 0L }
+        else adds.map { f =>
+          // entries since the bytes field record size at commit time;
+          // older entries fall back to one fs stat per file
+          if (f.hasNonNull("bytes")) f.get("bytes").asLong
+          else {
+            val fp = new Path(root, f.get("path").asText)
+            try fp.getFileSystem(conf).getFileStatus(fp).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }
         }.sum
-      (v, paths.size, bytes)
+      (v, adds.size, bytes)
     }
   }
 
@@ -2495,7 +2500,8 @@ object GraftTable {
           stats.map { case (c, s) => physToLogical.getOrElse(c, c) -> s },
           layout = layout,
           part = if (spec.isEmpty) Map.empty
-            else Partitioning.tupleOfPath(spec, rel))
+            else Partitioning.tupleOfPath(spec, rel),
+          bytes = st.getLen)
       }
     val bcols = bloomColumns(spark, root)
       .filter(df.schema.fieldNames.contains)
@@ -3094,6 +3100,7 @@ object GraftTable {
       dn.put("rows", d.rows)
     }
     f.layout.foreach(l => node.put("layout", l))
+    if (f.bytes > 0) node.put("bytes", f.bytes)
     if (f.dvStats) node.put("dvStats", true)
     if (f.part.nonEmpty) {
       val pn = node.putObject("part")
@@ -3142,7 +3149,9 @@ object GraftTable {
     AddFile(n.get("path").asText, n.get("rows").asLong, stats, blooms, dv,
       layout,
       dvStats = n.hasNonNull("dvStats") && n.get("dvStats").asBoolean,
-      part = part, ndv = ndv)
+      part = part, ndv = ndv,
+      // pre-field entries read 0 — consumers fall back to an fs stat
+      bytes = if (n.hasNonNull("bytes")) n.get("bytes").asLong else 0L)
   }
 
   // ---------- IO helpers ----------

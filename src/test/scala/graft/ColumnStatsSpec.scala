@@ -373,7 +373,7 @@ class ColumnStatsSpec extends SparkSpec {
     val df = (1 to 1000).map(i => (i.toLong % 4, s"s${i % 10}", i.toLong))
       .toDF("k", "tag", "id")
     GraftTable.create(spark, root, df.schema)
-    GraftTable.setNdvColumns(spark, root, Seq("tag"))
+    GraftTable.setNdvColumns(spark, root, Seq("tag", "k"))
     GraftTable.append(spark, root, df)
     withCbo(withSpj(on = false) {
       def est(cond: String): BigInt =
@@ -386,6 +386,12 @@ class ColumnStatsSpec extends SparkSpec {
       val rg = est("tag >= 's8'")
       assert(rg >= BigInt(90) && rg < BigInt(1000),
         s"string range should shrink the estimate safely, got $rg")
+      // numeric EQUALITY on a low-cardinality declared column prices
+      // 1/ndv (~250 of 1000), never the 1-row-per-file floor the
+      // zero-width interval would claim
+      val eqN = est("k = 2")
+      assert(eqN >= BigInt(150) && eqN <= BigInt(400),
+        s"numeric equality should price ~rows/ndv (~250), got $eqN")
     })
   }
 
