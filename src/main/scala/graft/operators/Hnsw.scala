@@ -253,11 +253,16 @@ object Hnsw {
     val q = queries
       .select(col("q_id"), Similarity.quant(col("q_emb")).as("qa"))
       .withColumn("qn", Similarity.sumsq(col("qa")))
-    val nq = q.count()
+    // probe with limit+1 instead of a count: the common small-query
+    // path pays ONE evaluation of the query frame (the probe IS the
+    // broadcast payload); only an over-limit set re-evaluates for the
+    // chunked path
+    val limitI = math.min(broadcastQueryLimit, (Int.MaxValue - 2).toLong).toInt
+    val probe: Array[(Long, Array[Long], Long)] =
+      q.as[(Long, Array[Long], Long)].head(limitI + 1)
     val scored =
-      if (nq <= broadcastQueryLimit) {
-        val qs: Array[(Long, Array[Long], Long)] =
-          q.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+      if (probe.length <= limitI) {
+        val qs = probe.sortBy(_._1)
         val bq = spark.sparkContext.broadcast(qs)
         index.as[IndexRow]
           .repartition(shards, col("shard"))
@@ -267,6 +272,7 @@ object Hnsw {
             }
           }
       } else {
+        val nq = q.count()
         val c = math.max(1L, (nq + chunkRows - 1) / chunkRows).toInt
         // queries fan out across shards, the index fans out across
         // chunks; cogrouping on (shard, chunk) hands each task one

@@ -131,8 +131,14 @@ private[table] object GraftColumnStats {
       // string columns and POINT predicates price against a declared-
       // NDV sketch (see strOverlapFrac / the numeric-equality branch of
       // overlapFrac); resolve each such column's sketch union once
+      // gate: any two-sided constraint may MERGE to a point (`k = 5`
+      // arrives as one Range, `k >= 5 AND k <= 5` as two), so resolve
+      // the sketch whenever both bounds exist — overlapFrac decides on
+      // the merged bounds; a spare resolution costs one driver-side
+      // sketch union, never a wrong estimate
       val ndvFor: Map[String, Option[Long]] = zoneCols.collect {
-        case (c, rs) if rs.exists(r => r.lo.isDefined && r.lo == r.hi) ||
+        case (c, rs) if (rs.exists(_.lo.isDefined) &&
+              rs.exists(_.hi.isDefined)) ||
             files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
           c -> sketchNdv(files, c, c)
       }.toMap
@@ -172,9 +178,13 @@ private[table] object GraftColumnStats {
       .reduceOption((a: Double, b: Double) => math.max(a, b))
     val hi = rs.flatMap(_.hi).map(toD)
       .reduceOption((a: Double, b: Double) => math.min(a, b))
+    // a POINT predicate prices by the containing bin's per-value mass
+    // (1/binNdv) — zero-width interval math would price every
+    // analyzed equality at 0 rows, the broadcast-driving underestimate
+    val point = lo.isDefined && lo == hi
     var inSpan = 0.0
     var inBoth = 0.0
-    bins.foreach { case (bl, bh, _) =>
+    bins.foreach { case (bl, bh, nb) =>
       if (bl == bh) {
         if (bl >= slo && bl <= shi) {
           inSpan += 1.0
@@ -184,10 +194,17 @@ private[table] object GraftColumnStats {
         val sl = math.max(bl, slo)
         val sh = math.min(bh, shi)
         if (sh > sl) {
-          inSpan += (sh - sl) / (bh - bl)
-          val rl = math.max(sl, lo.getOrElse(sl))
-          val rh = math.min(sh, hi.getOrElse(sh))
-          if (rh > rl) inBoth += (rh - rl) / (bh - bl)
+          val spanFrac = (sh - sl) / (bh - bl)
+          inSpan += spanFrac
+          if (point) {
+            val v = lo.get
+            if (v >= sl && v <= sh)
+              inBoth += math.min(spanFrac, 1.0 / math.max(1L, nb))
+          } else {
+            val rl = math.max(sl, lo.getOrElse(sl))
+            val rh = math.min(sh, hi.getOrElse(sh))
+            if (rh > rl) inBoth += (rh - rl) / (bh - bl)
+          }
         }
       }
     }
@@ -207,9 +224,16 @@ private[table] object GraftColumnStats {
       .reduceOption((a: Double, b: Double) => math.max(a, b))
     val hi = rs.flatMap(_.hi).map(toD)
       .reduceOption((a: Double, b: Double) => math.min(a, b))
-    val per = bins.map { case (bl, bh, _) =>
+    val point = lo.isDefined && lo == hi
+    val per = bins.map { case (bl, bh, nb) =>
       if (bl == bh) { // point bin: in range or not
         if (lo.forall(bl >= _) && hi.forall(bl <= _)) 1.0 else 0.0
+      } else if (point) {
+        // equality in a regular bin: the value's share of the bin's
+        // mass (uniform over its ndv distinct values) — see
+        // clippedHistFrac on why width-0 interval math is wrong here
+        val v = lo.get
+        if (v >= bl && v <= bh) 1.0 / math.max(1L, nb) else 0.0
       } else {
         val l = math.max(bl, lo.getOrElse(bl))
         val h = math.min(bh, hi.getOrElse(bh))

@@ -1705,19 +1705,22 @@ object GraftTable {
 
   /** Per-version append admission stats over `(from, to]`:
     * (version, added files, added bytes) — the streaming source's
-    * maxFiles/maxBytes micro-batch bounding input. Bytes stat the
-    * filesystem only when asked (`needBytes`; AddFile entries do not
-    * record size) — O(files in the PENDING window) driver-side stat
-    * calls, the admission cadence's natural bound, never O(table). A
+    * maxFiles/maxBytes micro-batch bounding input. LAZY by contract:
+    * the admission loop stops consuming at its cap, so a capped drain
+    * of a 10k-commit backlog reads O(admitted) log entries per
+    * trigger, not the whole pending window every time. Bytes come
+    * from the entry's own recorded size where present; pre-field
+    * entries fall back to one fs stat per file (only when asked). A
     * non-append commit in the window still reports its adds; the
     * batch read itself ([[appendsBetween]]) stays the authority that
     * refuses such ranges.
     */
   private[table] def versionAddStats(spark: SparkSession, root: String,
-      from: Long, to: Long, needBytes: Boolean): Seq[(Long, Int, Long)] = {
+      from: Long, to: Long, needBytes: Boolean)
+      : Iterator[(Long, Int, Long)] = {
     val (fs, logDir) = logFs(spark, root)
     val conf = hadoopConf(spark)
-    ((from + 1) to to).map { v =>
+    ((from + 1) to to).iterator.map { v =>
       val node = mapper.readTree(readString(fs, entryOrExpired(fs, logDir, v)))
       val adds = node.get("adds").elements().asScala.toSeq
       val bytes =
@@ -2157,7 +2160,9 @@ object GraftTable {
             if (admitted) base = tip
           }
       }
-      attempt += 1
+      // attempt already advanced once per FAILED PUBLISH inside the
+      // inner loop — the budget counts publish attempts, and a second
+      // bump here would silently halve it under contention
     }
     sys.error(s"GraftTable: gave up after $attempt commit conflicts at $root")
   }
@@ -3264,12 +3269,14 @@ object GraftTable {
     else {
       val paths = withDv.map(f => fileKey(f.path)).toSet
       val dvPaths = withDv.map(_.dv.get.path).distinct
-      // one read per DV parquet: a multi-path read would smear ONE
-      // schema over mixed RLE/pre-RLE generations and silently drop
-      // the `run` column — each parquet expands under its own schema
-      Some(dvPaths
-        .map(p => expandDv(spark.read.parquet(new Path(root, p).toString)))
-        .reduce(_.unionByName(_))
+      // ONE scan over every DV parquet: mergeSchema reconciles mixed
+      // RLE/pre-RLE generations (pre-RLE rows read `run` as null —
+      // expandDv treats null as a length-1 span), where a per-path
+      // read-and-union would build an O(#parquets)-deep plan and a
+      // plain multi-path read would smear one schema over both
+      // generations and silently drop the run column
+      Some(expandDv(spark.read.option("mergeSchema", "true")
+        .parquet(dvPaths.map(p => new Path(root, p).toString): _*))
         .filter(col("file").isin(paths.toSeq: _*)))
     }
   }
@@ -3286,7 +3293,10 @@ object GraftTable {
     if (!df.columns.contains("run")) df.select(col("file"), col("pos"))
     else {
       val maxSpan = 65536L
-      df.select(col("file"), col("pos"), col("run"))
+      // null run = a pre-RLE row surfaced through a merged-schema
+      // read = one position
+      df.select(col("file"), col("pos"),
+        coalesce(col("run"), lit(1L)).as("run"))
         .withColumn("c",
           explode(sequence(lit(0L),
             floor((col("run") - 1L) / maxSpan).cast("long"))))

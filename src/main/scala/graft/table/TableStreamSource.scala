@@ -341,10 +341,7 @@ class GraftTableSource(spark: SparkSession, root: String,
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val tip = GraftTable.snapshot(spark, root).version
     val capped = availableNowCap.fold(tip)(math.min(tip, _))
-    val from = Option(start).map {
-      case TableVersionOffset(v) => v
-      case other => other.json.trim.toLong
-    }.getOrElse(startingVersion)
+    val from = Option(start).map(versionOf).getOrElse(startingVersion)
     if (capped < 0 || capped <= from) null
     else TableVersionOffset(admitUpTo(from, capped, limit))
   }
@@ -367,19 +364,23 @@ class GraftTableSource(spark: SparkSession, root: String,
     }
     val (maxF, maxB) = boundsOf(limit)
     if (maxF.isEmpty && maxB.isEmpty) return tip
+    // the stats iterator is LAZY — stop consuming at the cap, so a
+    // capped drain of a deep backlog reads O(admitted) entries per
+    // trigger, never the whole pending window
     val stats = GraftTable.versionAddStats(spark, root, from, tip,
       needBytes = maxB.isDefined)
     var admitted = from
     var files = 0L
     var bytes = 0L
-    var stop = false
-    for ((v, nf, nb) <- stats if !stop) {
+    var continue = true
+    while (continue && stats.hasNext) {
+      val (v, nf, nb) = stats.next()
       files += nf
       bytes += nb
       if (admitted == from ||
           (maxF.forall(files <= _) && maxB.forall(bytes <= _)))
         admitted = v
-      else stop = true
+      else continue = false
     }
     admitted
   }
@@ -396,10 +397,15 @@ class GraftTableSource(spark: SparkSession, root: String,
     if (readChangeFeed) GraftTableSource.cdcSchema(tableSchema)
     else tableSchema
 
-  private def versionOf(o: Offset): Long = o match {
-    case TableVersionOffset(v) => v
-    case other => other.json.trim.toLong // SerializedOffset from checkpoint
-  }
+  /** Widened to the V2 offset type so [[latestOffset]] (V2 surface)
+    * and [[getBatch]] (V1 surface, a subtype) share one decoder.
+    */
+  private def versionOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case TableVersionOffset(v) => v
+      case other => other.json.trim.toLong // SerializedOffset from checkpoint
+    }
 
   override def getOffset: Option[Offset] = {
     val tip = GraftTable.snapshot(spark, root).version

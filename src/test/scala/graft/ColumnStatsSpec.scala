@@ -365,6 +365,33 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram equality prices the point's bin mass, never zero-width") {
+    // 900 rows of v=0 plus one each of 1..100: after analyze, the
+    // hot value's equality must price its (point-)bin mass — the old
+    // zero-width interval math estimated EVERY analyzed equality at
+    // ~1 row, the broadcast-driving underestimate — while a rare
+    // value prices a sliver
+    val root = s"$wh/ns/t15"
+    val df = ((1 to 900).map(i => (i.toLong % 4, 0L)) ++
+      (1 to 100).map(i => (i.toLong % 4, i.toLong))).toDF("k", "v")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.setNdvColumns(spark, root, Seq("v"))
+    GraftTable.append(spark, root, df)
+    spark.sql(
+      s"CALL $cat.system.analyze(table => 'ns.t15', histogram_for => 'v')")
+    def est(cond: String): BigInt = withCbo(withSpj(on = false) {
+      spark.sql(s"SELECT v FROM $cat.ns.t15 WHERE $cond")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("no rowCount"))
+    })
+    val hot = est("v = 0")
+    assert(hot >= BigInt(300),
+      s"equality on the dominant value must price its bin mass, got $hot")
+    val rare = est("v = 77")
+    assert(rare >= BigInt(1) && rare <= BigInt(60),
+      s"equality on a rare value prices a bin sliver, got $rare")
+  }
+
   test("string predicates price from truncation-safe bounds and declared ndv") {
     val root = s"$wh/ns/t14"
     // 1000 rows, tag ∈ {s0..s9} → ndv 10; equality must price ~1/ndv
