@@ -247,6 +247,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Option(properties.get("ndv.columns")).foreach(cs =>
       GraftTable.setNdvColumns(spark, p.toString,
         cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    Option(properties.get("delete.mode")).foreach(m =>
+      GraftTable.setDeleteMode(spark, p.toString, m.trim))
     new GraftV2Table(p.toString, ident, asOf = None)
   }
 
@@ -297,6 +299,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.SetProperty if c.property == "ndv.columns" =>
         GraftTable.setNdvColumns(spark, root,
           c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      // DELETE execution mode: cow (default) | dv | auto (cost-based
+      // DV-vs-CoW from the stats layer's match estimate):
+      //   ALTER TABLE t SET TBLPROPERTIES('delete.mode' = 'auto')
+      case c: TableChange.SetProperty if c.property == "delete.mode" =>
+        GraftTable.setDeleteMode(spark, root, c.value.trim)
       // CHECK constraints as SQL DDL:
       //   ALTER TABLE t SET   TBLPROPERTIES('constraint.<n>' = '<expr>')
       //   ALTER TABLE t UNSET TBLPROPERTIES('constraint.<n>')

@@ -419,15 +419,64 @@ object GraftTable {
       prune: Option[Range]): Long =
     deleteWhereRanges(spark, root, condSql, prune.toSeq)
 
+  /** When `delete.mode = auto`, a DELETE whose estimated match
+    * fraction (over the touched files' live rows) is at most this
+    * takes the merge-on-read DV path; anything wider rewrites CoW.
+    * The crossover is a cost model: a DV commit is O(matches) now
+    * plus a masked-read tax until `maintain` purges, CoW is O(touched
+    * files) now and clean forever — at ~20% masked the rewrite
+    * already pays for itself.
+    */
+  val DvDeleteMaxFraction: Double = 0.2
+
+  /** Declare the table's DELETE execution mode (`delete.mode`):
+    * `cow` (default — always rewrite), `dv` (always merge-on-read
+    * position deletes), or `auto` (cost-based: the stats layer's
+    * match estimate picks DV under [[DvDeleteMaxFraction]], CoW
+    * otherwise — the Delta deletion-vectors table-feature shape with
+    * the decision automated).
+    */
+  def setDeleteMode(spark: SparkSession, root: String, mode: String): Unit = {
+    require(Set("cow", "dv", "auto")(mode),
+      s"delete.mode must be cow | dv | auto, got '$mode'")
+    updateProps(spark, root)(_.put("deleteMode", mode))
+  }
+
+  private[table] def deleteModeOf(spark: SparkSession, root: String): String =
+    readProps(spark, root).filter(_.hasNonNull("deleteMode"))
+      .map(_.get("deleteMode").asText).getOrElse("cow")
+
   /** [[deleteWhere]] with the pruning ranges EXTRACTED from the
     * predicate itself ([[rangesOf]] — the `scanWhere` discipline):
     * conjunctive column-vs-literal bounds skip non-overlapping files,
     * everything else just limits pruning. The SQL-surface DML path
-    * ([[GraftCatalog]]'s `DELETE FROM`).
+    * ([[GraftCatalog]]'s `DELETE FROM`), so the table's `delete.mode`
+    * applies here: `auto` prices the predicate against the stats
+    * layer ([[GraftColumnStats.estimateRows]] — zone maps, declared
+    * ndv, histograms) and takes the DV path for selective deletes.
     */
   def deleteWhereAuto(spark: SparkSession, root: String,
-      condSql: String): Long =
-    deleteWhereRanges(spark, root, condSql, rangesOf(spark, condSql))
+      condSql: String): Long = {
+    val ranges = rangesOf(spark, condSql)
+    deleteModeOf(spark, root) match {
+      case "dv" => deleteWhereDvRanges(spark, root, condSql, ranges)
+      case "auto" =>
+        val snap = snapshot(spark, root)
+        val touched =
+          if (ranges.isEmpty) snap.files else prunedFilesAll(snap, ranges)
+        val live =
+          touched.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
+        val est = GraftColumnStats.estimateRows(touched, ranges,
+          histogramsOf(spark, root))
+        // an unprunable predicate estimates at full live rows → CoW
+        // (conservative: no claim means no DV bet)
+        if (live > 0 && ranges.nonEmpty &&
+            est.toDouble / live <= DvDeleteMaxFraction)
+          deleteWhereDvRanges(spark, root, condSql, ranges)
+        else deleteWhereRanges(spark, root, condSql, ranges)
+      case _ => deleteWhereRanges(spark, root, condSql, ranges)
+    }
+  }
 
   /** [[deleteWhere]] under a CONJUNCTION of pruning ranges (empty =
     * no pruning, every file is a rewrite candidate).
@@ -585,13 +634,19 @@ object GraftTable {
     */
   def deleteWhereDv(spark: SparkSession, root: String, condSql: String,
       prune: Option[Range]): Long =
+    deleteWhereDvRanges(spark, root, condSql, prune.toSeq)
+
+  /** [[deleteWhereDv]] under a CONJUNCTION of pruning ranges (empty =
+    * every file is a mask candidate) — the `delete.mode = dv/auto`
+    * route, which feeds [[rangesOf]]-extracted predicate bounds.
+    */
+  def deleteWhereDvRanges(spark: SparkSession, root: String,
+      condSql: String, ranges: Seq[Range]): Long =
     commitRetry(spark, root, op = "dv_delete",
-      read = prune.map(r => ReadsRanges(Seq(r)))
-        .getOrElse(ReadsEverything)) { snap =>
-      val touched = prune match {
-        case Some(r) => prunedFilesAll(snap, Seq(r))
-        case None => snap.files
-      }
+      read = if (ranges.isEmpty) ReadsEverything
+             else ReadsRanges(ranges)) { snap =>
+      val touched =
+        if (ranges.isEmpty) snap.files else prunedFilesAll(snap, ranges)
       if (touched.isEmpty) None
       else commitDv(spark, root, snap, touched,
         readMasked(spark, root, snap.schema, touched).filter(condSql))
@@ -773,7 +828,8 @@ object GraftTable {
     * maintenance pass that bounds read-side mask cost.
     */
   def purgeDeletes(spark: SparkSession, root: String): Long =
-    commitRetry(spark, root, op = "purge_deletes") { snap =>
+    commitRetry(spark, root, op = "purge_deletes",
+      read = ReadsOnlyRemoved) { snap =>
       val masked = snap.files.filter(_.dv.isDefined)
       if (masked.isEmpty) None
       else {
@@ -1025,7 +1081,8 @@ object GraftTable {
     */
   def zorderByCols(spark: SparkSession, root: String, cols: Seq[String],
       targetFiles: Int, bits: Int = 16): Long =
-    commitRetry(spark, root, op = "zorder") { snap =>
+    commitRetry(spark, root, op = "zorder",
+      read = ReadsOnlyRemoved) { snap =>
       val keyed = readFiles(spark, root, snap, snap.files)
         .withColumn("__zkey",
           graft.operators.Layout.zorderKeyN(cols.map(col), bits))
@@ -1073,7 +1130,8 @@ object GraftTable {
   def zorderIncremental(spark: SparkSession, root: String,
       cols: Seq[String], targetFiles: Int, bits: Int = 16,
       maxFiles: Int = 0): Long =
-    commitRetry(spark, root, op = "zorder") { snap =>
+    commitRetry(spark, root, op = "zorder",
+      read = ReadsOnlyRemoved) { snap =>
       val spec = layoutSpec(cols, bits)
       val debtAll = snap.files.filterNot(_.layout.contains(spec))
       val debt =
@@ -1096,7 +1154,8 @@ object GraftTable {
     * compaction); content-identical, one atomic swap.
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int): Long =
-    commitRetry(spark, root, op = "compact") { snap =>
+    commitRetry(spark, root, op = "compact",
+      read = ReadsOnlyRemoved) { snap =>
       val all = readFiles(spark, root, snap, snap.files)
         .repartition(targetFiles)
       Some((writeData(spark, root, all, snap.schema,
@@ -1115,7 +1174,8 @@ object GraftTable {
     */
   def compactWhere(spark: SparkSession, root: String, condSql: String,
       targetFiles: Int = 1): Long =
-    commitRetry(spark, root, op = "compact") { snap =>
+    commitRetry(spark, root, op = "compact",
+      read = ReadsOnlyRemoved) { snap =>
       val ranges = rangesOf(spark, condSql)
       require(ranges.nonEmpty,
         s"compactWhere: no prunable range in '$condSql' — a predicate " +
@@ -1141,7 +1201,8 @@ object GraftTable {
     */
   def compactSmall(spark: SparkSession, root: String, minRows: Long,
       targetFiles: Int = 1): Long =
-    commitRetry(spark, root, op = "compact") { snap =>
+    commitRetry(spark, root, op = "compact",
+      read = ReadsOnlyRemoved) { snap =>
       val small = snap.files.filter(_.rows < minRows)
       if (small.size < 2) None
       else {
@@ -2107,6 +2168,24 @@ object GraftTable {
   private[table] final case class ReadsRanges(rs: Seq[Range])
       extends ReadScope
 
+  /** The maintenance-op read scope: compaction/z-order/purge/analyze
+    * read EXACTLY the files they remove — which [[admitRepublish]]
+    * already verifies bit-identical at the tip — and nothing else, so
+    * beyond the removes they behave like `ReadsNothing`: a lost race
+    * against a disjoint append (the steady-state contention shape —
+    * nightly maintenance vs live ingest) re-publishes the finished
+    * rewrite instead of redoing it; the appended file simply stays
+    * outside this pass (serializable as maintain-then-append) and the
+    * next tick picks it up.
+    */
+  private[table] val ReadsOnlyRemoved: ReadScope = ReadsNothing
+
+  /** TEST SEAM: invoked with (root, op) immediately before every
+    * publish attempt — the admission specs interleave a racing commit
+    * at exactly the lost-race window. A no-op in production.
+    */
+  private[graft] var prePublishProbe: (String, String) => Unit = (_, _) => ()
+
   /** One optimistic-concurrency round: build the commit against the
     * freshest snapshot, try to take the next version; on a lost race,
     * first try ADMISSION — if every interleaved commit is disjoint
@@ -2144,6 +2223,7 @@ object GraftTable {
             val v = base.version + 1
             val entry = entryJson(v, adds, removes, removeDvs, schema, txn,
               newSpec, op)
+            prePublishProbe(root, op)
             if (LogStore.forFs(fs).writeIfAbsent(fs, logDir, entryName(v),
                 entry)) {
               maybeCheckpoint(spark, root, fs, logDir, v)
@@ -2844,7 +2924,8 @@ object GraftTable {
       "analyzeNdv: declare columns with setNdvColumns / the " +
         "ndv.columns property first")
     var touched = 0L
-    commitRetry(spark, root, op = "analyze") { snap =>
+    commitRetry(spark, root, op = "analyze",
+      read = ReadsOnlyRemoved) { snap =>
       val want = declared.filter(snap.schema.fieldNames.contains)
       val missing = snap.files.filter(f => want.exists(c =>
         !(f.ndv.contains(c) || f.ndv.contains(physName(snap.schema, c)))))

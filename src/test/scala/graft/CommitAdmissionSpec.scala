@@ -106,6 +106,43 @@ class CommitAdmissionSpec extends SparkSpec {
     assert(ids == expect, "racing even ids must be deleted by the rebuild")
   }
 
+  test("maintenance losing to a disjoint append re-publishes, next tick catches up") {
+    // the steady-state contention shape: nightly compaction vs live
+    // ingest. The pre-publish seam lands an append exactly in
+    // compaction's lost-race window; ReadsOnlyRemoved admission must
+    // RE-PUBLISH the finished rewrite — the racer's file stays
+    // OUTSIDE this pass (a rebuild would have swallowed it into the
+    // compacted output), and the next tick compacts it.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_adm_maint").toString + "/t"
+    val mk = (lo: Long) =>
+      (lo until lo + 10).map(i => (i, s"k$i", i * 1.0)).toDF("id", "key", "v")
+        .coalesce(1)
+    GraftTable.create(spark, root, mk(0).schema) // v0
+    for (lo <- Seq(0L, 100L, 200L)) GraftTable.append(spark, root, mk(lo))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    GraftTable.prePublishProbe = (r, op) =>
+      if (r == root && op == "compact" && fired.compareAndSet(false, true))
+        GraftTable.append(spark, root, mk(300L)) // takes compaction's version
+    try {
+      val v = GraftTable.compactSmall(spark, root, minRows = 1000000L)
+      assert(fired.get, "the racing append must have fired")
+      assert(v == 5, s"compaction must re-publish AFTER the append, got v$v")
+    } finally GraftTable.prePublishProbe = (_, _) => ()
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.size == 2,
+      s"re-published pass keeps the racer's file separate: " +
+        snap.files.map(_.path))
+    val ids = GraftTable.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == (Seq(0L, 100L, 200L, 300L).flatMap(lo => lo until lo + 10)),
+      "no rows lost or duplicated across the race")
+    // the next maintenance tick drains the racer's small-file debt
+    GraftTable.compactSmall(spark, root, minRows = 1000000L)
+    assert(GraftTable.snapshot(spark, root).files.size == 1)
+    assert(GraftTable.read(spark, root).count() == 40)
+  }
+
   test("a merge losing to a key-disjoint DV delete re-publishes its rewrite") {
     // non-concurrent admission sanity on a second op pair: build a
     // merge over keys [1,100], interleave a DV delete on [1001,1100]

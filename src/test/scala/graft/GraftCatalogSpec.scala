@@ -137,6 +137,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err != null) // the parser/analyzer refuses writes to a pin
   }
 
+  test("delete.mode=auto: selective DELETE goes merge-on-read, wide DELETE CoW") {
+    wh
+    spark.sql("""CREATE TABLE gcat.ns.dmode (id BIGINT, key STRING, v DOUBLE)
+      TBLPROPERTIES('ndv.columns' = 'id', 'delete.mode' = 'auto')""")
+    val root = s"$wh/ns/dmode"
+    GraftTable.append(spark, root, rows(0, 10000).coalesce(1))
+    val before = GraftTable.snapshot(spark, root).files.map(_.path).toSet
+    // selective: the stats layer prices `id = 7` at 1/ndv ≈ 1e-4 →
+    // the DV path masks one position, data files untouched
+    spark.sql("DELETE FROM gcat.ns.dmode WHERE id = 7")
+    val s1 = GraftTable.snapshot(spark, root)
+    assert(s1.files.map(_.path).toSet == before,
+      "selective auto-delete must be merge-on-read (no rewrite)")
+    assert(s1.files.flatMap(_.dv.map(_.rows)).sum == 1)
+    assert(spark.table("gcat.ns.dmode").count() == 9999)
+    // wide: `id >= 1000` prices ~90% → copy-on-write rewrite, the
+    // masked file folds away with it (CoW reads live rows)
+    spark.sql("DELETE FROM gcat.ns.dmode WHERE id >= 1000")
+    val s2 = GraftTable.snapshot(spark, root)
+    assert(s2.files.map(_.path).toSet.intersect(before).isEmpty,
+      "wide auto-delete must rewrite (CoW)")
+    assert(s2.files.forall(_.dv.isEmpty))
+    assert(spark.table("gcat.ns.dmode").count() == 999)
+    // mode=dv pins merge-on-read even for a wide predicate
+    spark.sql(
+      "ALTER TABLE gcat.ns.dmode SET TBLPROPERTIES('delete.mode' = 'dv')")
+    val filesBeforeDv = GraftTable.snapshot(spark, root).files.map(_.path)
+    spark.sql("DELETE FROM gcat.ns.dmode WHERE id >= 500")
+    val s3 = GraftTable.snapshot(spark, root)
+    assert(s3.files.map(_.path) == filesBeforeDv)
+    // ids 0..499 minus the id=7 masked earlier
+    assert(spark.table("gcat.ns.dmode").count() == 499)
+    // an invalid mode is refused loudly
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gcat.ns.dmode SET TBLPROPERTIES('delete.mode' = 'x')")
+    }
+  }
+
   test("DELETE FROM is a pruned copy-on-write commit; TRUNCATE empties") {
     wh
     spark.sql("CREATE TABLE gcat.ns.del (id BIGINT, key STRING, v DOUBLE)")
