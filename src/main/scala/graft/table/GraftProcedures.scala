@@ -386,7 +386,11 @@ object GraftProcedures {
         ProcedureParameter.in("cluster_bits", IntegerType)
           .defaultValue("16").build(),
         ProcedureParameter.in("cluster_max_files", IntegerType)
-          .defaultValue("16").build()),
+          .defaultValue("16").build(),
+        // byte-gated small-file debt (0 = rows only): row counts are a
+        // poor smallness proxy on wide schemas
+        ProcedureParameter.in("small_file_bytes", LongType)
+          .defaultValue("0").build()),
         new StructType()
           .add("purged", org.apache.spark.sql.types.BooleanType)
           .add("compacted", org.apache.spark.sql.types.BooleanType)
@@ -403,7 +407,8 @@ object GraftProcedures {
               vacuumMinAgeMs = in.getLong(3),
               clusterBy = clusterBy,
               clusterBits = in.getInt(5),
-              clusterMaxFiles = in.getInt(6))
+              clusterMaxFiles = in.getInt(6),
+              smallFileBytes = in.getLong(7))
           Seq(Array[Any](purged, compacted, expired.size, vacuumed.size))
         }
       }

@@ -1199,11 +1199,21 @@ object GraftTable {
     * time but the small-file debt is O(recent commits). No-op (no new
     * commit) when fewer than two files qualify.
     */
+  /** Small-file compaction. A file qualifies by ROW count
+    * (`minRows`) or — when the log recorded its size — by BYTES
+    * (`minBytes`, 0 disables): row counts are a poor smallness proxy
+    * on wide schemas (a 50k-row file of document text is not small),
+    * and the byte gate is what object-store read amplification
+    * actually cares about. Entries predating the bytes field (read
+    * back as 0) only qualify via rows — conservative, drained as
+    * rewrites stamp sizes.
+    */
   def compactSmall(spark: SparkSession, root: String, minRows: Long,
-      targetFiles: Int = 1): Long =
+      targetFiles: Int = 1, minBytes: Long = 0L): Long =
     commitRetry(spark, root, op = "compact",
       read = ReadsOnlyRemoved) { snap =>
-      val small = snap.files.filter(_.rows < minRows)
+      val small = snap.files.filter(f =>
+        f.rows < minRows || (f.bytes > 0 && f.bytes < minBytes))
       if (small.size < 2) None
       else {
         val merged = readFiles(spark, root, snap, small)
@@ -2327,7 +2337,9 @@ object GraftTable {
       vacuumMinAgeMs: Long = DefaultVacuumGraceMs,
       clusterBy: Seq[String] = Nil,
       clusterBits: Int = 16,
-      clusterMaxFiles: Int = 16): (Boolean, Boolean, Seq[Long], Seq[String]) = {
+      clusterMaxFiles: Int = 16,
+      smallFileBytes: Long = 0L)
+      : (Boolean, Boolean, Seq[Long], Seq[String]) = {
     val snap = snapshot(spark, root)
     val physical = math.max(1L, snap.files.map(_.rows).sum)
     val masked = snap.files.flatMap(_.dv.map(_.rows)).sum
@@ -2337,7 +2349,8 @@ object GraftTable {
         purgeDeletes(spark, root) > vBefore
       else false
     val vMid = snapshot(spark, root).version
-    val compacted = compactSmall(spark, root, smallFileRows) > vMid
+    val compacted =
+      compactSmall(spark, root, smallFileRows, minBytes = smallFileBytes) > vMid
     // clustering AFTER compaction (compaction output is debt) and as a
     // bounded O(clusterMaxFiles) tick — each maintenance call drains a
     // fixed slice of layout debt and the table converges across calls

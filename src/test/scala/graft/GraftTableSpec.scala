@@ -450,6 +450,24 @@ class GraftTableSpec extends SparkSpec {
     assert(d4.count() == 5 && v4 == 4)
   }
 
+  test("compactSmall by BYTES: the logged size gates what rows can't see") {
+    val root = freshRoot()
+    for (lo <- Seq(0L, 100L, 200L))
+      GraftTable.append(spark, root, rows(lo, lo + 10).coalesce(1))
+    val snap = GraftTable.snapshot(spark, root)
+    assert(snap.files.forall(_.bytes > 0), "writes must record file sizes")
+    // rows threshold 1 qualifies nothing; bytes disabled → no-op
+    val v0 = snap.version
+    assert(GraftTable.compactSmall(spark, root, minRows = 1L) == v0)
+    // byte gate alone compacts all three tiny files
+    val v1 = GraftTable.compactSmall(spark, root, minRows = 1L,
+      minBytes = 10L << 20)
+    assert(v1 > v0)
+    val after = GraftTable.snapshot(spark, root)
+    assert(after.files.size == 1 && after.files.head.bytes > 0)
+    assert(GraftTable.read(spark, root).count() == 30)
+  }
+
   test("compactSmall: only under-sized files rewrite; big files survive; CDC silent") {
     val root = freshRoot()
     GraftTable.append(spark, root, rows(0, 5000).coalesce(1)) // one big file
