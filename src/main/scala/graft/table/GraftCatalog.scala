@@ -231,6 +231,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // validate properties BEFORE the table exists: a bad value must
+    // not leave a half-created zombie the corrected re-run trips over
+    Option(properties.get("delete.mode")).foreach(m =>
+      require(GraftTable.DeleteModes(m.trim),
+        s"delete.mode must be cow | dv | auto, got '$m'"))
     val p = tablePath(ident)
     if (partitions.isEmpty) GraftTable.create(spark, p.toString, schema)
     else

@@ -128,17 +128,14 @@ private[table] object GraftColumnStats {
       }
       val histSel = priced.collect { case Left(f) => f }.product
       val zoneCols = priced.collect { case Right(p) => p }
-      // string columns and POINT predicates price against a declared-
-      // NDV sketch (see strOverlapFrac / the numeric-equality branch of
-      // overlapFrac); resolve each such column's sketch union once
-      // gate: any two-sided constraint may MERGE to a point (`k = 5`
-      // arrives as one Range, `k >= 5 AND k <= 5` as two), so resolve
-      // the sketch whenever both bounds exist — overlapFrac decides on
-      // the merged bounds; a spare resolution costs one driver-side
-      // sketch union, never a wrong estimate
+      // string columns and merged-POINT predicates price against a
+      // declared-NDV sketch (see strOverlapFrac / the equality branch
+      // of overlapFrac); resolve each such column's sketch union once.
+      // The point test runs on MERGED bounds (`k = 5` is one Range,
+      // `k >= 5 AND k <= 5` two) and only true points resolve — a
+      // plain BETWEEN must not pay O(files) sketch decodes per plan.
       val ndvFor: Map[String, Option[Long]] = zoneCols.collect {
-        case (c, rs) if (rs.exists(_.lo.isDefined) &&
-              rs.exists(_.hi.isDefined)) ||
+        case (c, rs) if isMergedPoint(files, c, rs) ||
             files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
           c -> sketchNdv(files, c, c)
       }.toMap
@@ -151,6 +148,22 @@ private[table] object GraftColumnStats {
       }.sum
       math.max(1L, math.round(zoneRows * histSel))
     }
+
+  /** Do the column's ranges MERGE to a single point? Type-aware via
+    * the files' stats primitive: numeric columns compare embedded
+    * doubles, string columns compare the literals themselves.
+    */
+  private def isMergedPoint(files: Seq[AddFile], c: String,
+      rs: Seq[GraftTable.Range]): Boolean = {
+    val los = rs.flatMap(_.lo)
+    val his = rs.flatMap(_.hi)
+    if (los.isEmpty || his.isEmpty) return false
+    if (files.exists(_.stats.get(c).exists(_.tpe == "str")))
+      los.map(_.toString).max == his.map(_.toString).min
+    else
+      try los.map(toD).max == his.map(toD).min
+      catch { case _: NumberFormatException => false }
+  }
 
   /** Folded [min, max] of the surviving files' zone maps for `c`;
     * None when any file lacks a usable (non-string) zone map — then
@@ -182,6 +195,16 @@ private[table] object GraftColumnStats {
     // (1/binNdv) — zero-width interval math would price every
     // analyzed equality at 0 rows, the broadcast-driving underestimate
     val point = lo.isDefined && lo == hi
+    // POINT pricing: a heavy hitter spans MULTIPLE point bins by
+    // equi-height construction — every one of them IS the value's
+    // mass and all count. A regular bin counts only when NO point bin
+    // carries the value (else its mass was isolated into them), and
+    // only ONE regular bin counts — a value on a shared boundary of
+    // two regular bins must not be double-priced.
+    val pointInPointBin = point && bins.exists { case (bl, bh, _) =>
+      bl == bh && bl == lo.get && bl >= slo && bl <= shi
+    }
+    var regularCounted = false
     var inSpan = 0.0
     var inBoth = 0.0
     bins.foreach { case (bl, bh, nb) =>
@@ -198,8 +221,10 @@ private[table] object GraftColumnStats {
           inSpan += spanFrac
           if (point) {
             val v = lo.get
-            if (v >= sl && v <= sh)
+            if (!pointInPointBin && !regularCounted && v >= sl && v <= sh) {
               inBoth += math.min(spanFrac, 1.0 / math.max(1L, nb))
+              regularCounted = true
+            }
           } else {
             val rl = math.max(sl, lo.getOrElse(sl))
             val rh = math.min(sh, hi.getOrElse(sh))
@@ -225,15 +250,21 @@ private[table] object GraftColumnStats {
     val hi = rs.flatMap(_.hi).map(toD)
       .reduceOption((a: Double, b: Double) => math.min(a, b))
     val point = lo.isDefined && lo == hi
-    val per = bins.map { case (bl, bh, nb) =>
+    if (point) {
+      // equality: EVERY point bin equal to v counts (a heavy hitter
+      // spans several by equi-height construction); else the first
+      // containing regular bin's per-value mass — see clippedHistFrac
+      // on both rules
+      val v = lo.get
+      val pbins = bins.count { case (bl, bh, _) => bl == bh && bl == v }
+      if (pbins > 0) return pbins.toDouble / bins.size
+      return bins.find { case (bl, bh, _) => bl != bh && v >= bl && v <= bh }
+        .map { case (_, _, nb) => (1.0 / math.max(1L, nb)) / bins.size }
+        .getOrElse(0.0)
+    }
+    val per = bins.map { case (bl, bh, _) =>
       if (bl == bh) { // point bin: in range or not
         if (lo.forall(bl >= _) && hi.forall(bl <= _)) 1.0 else 0.0
-      } else if (point) {
-        // equality in a regular bin: the value's share of the bin's
-        // mass (uniform over its ndv distinct values) — see
-        // clippedHistFrac on why width-0 interval math is wrong here
-        val v = lo.get
-        if (v >= bl && v <= bh) 1.0 / math.max(1L, nb) else 0.0
       } else {
         val l = math.max(bl, lo.getOrElse(bl))
         val h = math.min(bh, hi.getOrElse(bh))
@@ -253,14 +284,21 @@ private[table] object GraftColumnStats {
           .reduceOption((a: Double, b: Double) => math.max(a, b))
         val pHi = rs.flatMap(_.hi).map(toD)
           .reduceOption((a: Double, b: Double) => math.min(a, b))
-        // EQUALITY with a known ndv prices 1/ndv — the interval math
-        // below gives a point predicate width 0, flooring at 1 row per
-        // file: a catastrophic underestimate on low-cardinality keys
+        // degenerate zone FIRST: a single-valued file that survived
+        // pruning IS the predicate's value — selectivity 1, even for
+        // a point predicate (1/ndv would underestimate it ndv-fold)
+        if (!(mx > mn)) 1.0
+        // EQUALITY prices 1/ndv — the interval math below gives a
+        // point predicate width 0, flooring at 1 row per file: a
+        // catastrophic underestimate on low-cardinality keys
         // (`WHERE k = 5` over a million-row file with 10 distinct k
-        // really keeps 100k rows) that feeds static broadcast choices
-        if (pLo.isDefined && pLo == pHi && ndv.isDefined)
-          1.0 / math.max(1L, ndv.get)
-        else if (!(mx > mn)) 1.0 // degenerate: pruning already vetted it
+        // really keeps 100k rows) that feeds static broadcast
+        // choices. WITHOUT a declared ndv an equality claims NOTHING
+        // (1.0): the floor-to-one-row behavior was itself that
+        // underestimate, and `delete.mode = auto` bets on this
+        // estimate — no claim means no DV bet.
+        else if (pLo.isDefined && pLo == pHi)
+          ndv.map(n => 1.0 / math.max(1L, n)).getOrElse(1.0)
         else {
           val lo = (mn +: pLo.toSeq).max
           val hi = (mx +: pHi.toSeq).min

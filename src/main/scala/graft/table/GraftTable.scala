@@ -436,8 +436,14 @@ object GraftTable {
     * otherwise — the Delta deletion-vectors table-feature shape with
     * the decision automated).
     */
+  /** The legal `delete.mode` values — shared with the catalog's
+    * pre-create validation (an invalid mode must refuse BEFORE the
+    * table directory exists, not leave a half-created zombie).
+    */
+  val DeleteModes: Set[String] = Set("cow", "dv", "auto")
+
   def setDeleteMode(spark: SparkSession, root: String, mode: String): Unit = {
-    require(Set("cow", "dv", "auto")(mode),
+    require(DeleteModes(mode),
       s"delete.mode must be cow | dv | auto, got '$mode'")
     updateProps(spark, root)(_.put("deleteMode", mode))
   }
@@ -1192,21 +1198,19 @@ object GraftTable {
       }
     }
 
-  /** PARTIAL compaction: rewrite only the files under `minRows` rows
-    * into `targetFiles`, leaving every adequately-sized file untouched
-    * — the steady-state maintenance move on a table fed by streaming
-    * appends, where [[compact]]'s full rewrite would be O(table) every
-    * time but the small-file debt is O(recent commits). No-op (no new
-    * commit) when fewer than two files qualify.
-    */
-  /** Small-file compaction. A file qualifies by ROW count
-    * (`minRows`) or — when the log recorded its size — by BYTES
-    * (`minBytes`, 0 disables): row counts are a poor smallness proxy
-    * on wide schemas (a 50k-row file of document text is not small),
-    * and the byte gate is what object-store read amplification
-    * actually cares about. Entries predating the bytes field (read
-    * back as 0) only qualify via rows — conservative, drained as
-    * rewrites stamp sizes.
+  /** PARTIAL compaction: rewrite only the SMALL files into
+    * `targetFiles`, leaving every adequately-sized file untouched —
+    * the steady-state maintenance move on a table fed by streaming
+    * appends, where [[compact]]'s full rewrite would be O(table)
+    * every time but the small-file debt is O(recent commits). A file
+    * qualifies by ROW count (`minRows`) or — when the log recorded
+    * its size — by BYTES (`minBytes`, 0 disables): row counts are a
+    * poor smallness proxy on wide schemas (a 50k-row file of document
+    * text is not small), and the byte gate is what object-store read
+    * amplification actually cares about. Entries predating the bytes
+    * field (read back as 0) only qualify via rows — conservative,
+    * drained as rewrites stamp sizes. No-op (no new commit) when
+    * fewer than two files qualify.
     */
   def compactSmall(spark: SparkSession, root: String, minRows: Long,
       targetFiles: Int = 1, minBytes: Long = 0L): Long =

@@ -174,6 +174,15 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(
         "ALTER TABLE gcat.ns.dmode SET TBLPROPERTIES('delete.mode' = 'x')")
     }
+    // ... and refused at CREATE without leaving a half-created zombie:
+    // the corrected re-run must succeed
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE gcat.ns.dzomb (id BIGINT)
+        TBLPROPERTIES('delete.mode' = 'cowboy')""")
+    }
+    spark.sql("""CREATE TABLE gcat.ns.dzomb (id BIGINT)
+      TBLPROPERTIES('delete.mode' = 'cow')""")
+    assert(spark.table("gcat.ns.dzomb").count() == 0)
   }
 
   test("DELETE FROM is a pruned copy-on-write commit; TRUNCATE empties") {
