@@ -253,15 +253,19 @@ object Hnsw {
     val q = queries
       .select(col("q_id"), Similarity.quant(col("q_emb")).as("qa"))
       .withColumn("qn", Similarity.sumsq(col("qa")))
-    // probe with limit+1 instead of a count: the common small-query
-    // path pays ONE evaluation of the query frame (the probe IS the
-    // broadcast payload); only an over-limit set re-evaluates for the
-    // chunked path
+    // probe with limit+1 instead of a count, CACHING as we go: the
+    // common small-query path pays ONE evaluation of the query frame
+    // (the probe IS the broadcast payload, and its partial cache is
+    // dropped); an over-limit set keeps the cache so the count and the
+    // chunked fan-out finish + reuse the SAME evaluation — an
+    // expensive upstream query plan runs exactly once either way
+    q.persist()
     val limitI = math.min(broadcastQueryLimit, (Int.MaxValue - 2).toLong).toInt
     val probe: Array[(Long, Array[Long], Long)] =
       q.as[(Long, Array[Long], Long)].head(limitI + 1)
     val scored =
       if (probe.length <= limitI) {
+        q.unpersist(blocking = false)
         val qs = probe.sortBy(_._1)
         val bq = spark.sparkContext.broadcast(qs)
         index.as[IndexRow]

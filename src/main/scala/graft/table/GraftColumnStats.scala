@@ -130,19 +130,26 @@ private[table] object GraftColumnStats {
       val zoneCols = priced.collect { case Right(p) => p }
       // string columns and merged-POINT predicates price against a
       // declared-NDV sketch (see strOverlapFrac / the equality branch
-      // of overlapFrac); resolve each such column's sketch union once.
+      // of overlapFrac); resolve each such column's sketches once.
       // The point test runs on MERGED bounds (`k = 5` is one Range,
       // `k >= 5 AND k <= 5` two) and only true points resolve — a
       // plain BETWEEN must not pay O(files) sketch decodes per plan.
-      val ndvFor: Map[String, Option[Long]] = zoneCols.collect {
+      // Equality prices with each file's OWN sketch NDV: the union
+      // NDV spans the whole table, so on data CLUSTERED by the key
+      // (each file holding few of the table's values) dividing a
+      // file's live rows by the union under-prices its match by up to
+      // #files× — and this estimate drives static broadcast sizing
+      // and the delete.mode=auto DV-vs-CoW crossover. The union is
+      // only the fallback for files that lack a sketch.
+      val ndvFor: Map[String, NdvSource] = zoneCols.collect {
         case (c, rs) if isMergedPoint(files, c, rs) ||
             files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
-          c -> sketchNdv(files, c, c)
+          c -> NdvSource(fileNdvs(files, c), sketchNdv(files, c, c))
       }.toMap
       val zoneRows = files.map { f =>
         val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
         val sel = zoneCols.map { case (c, rs) =>
-          overlapFrac(f, c, rs, ndvFor.getOrElse(c, None))
+          overlapFrac(f, c, rs, ndvFor.get(c).flatMap(_.forFile(f)))
         }.product
         math.max(1L, math.round(live * sel))
       }.sum
@@ -411,6 +418,32 @@ private[table] object GraftColumnStats {
       }
     }
     out
+  }
+
+  /** NDV claims for one column: each file's own decoded sketch (keyed
+    * by file path) with the table-level union as the fallback for
+    * files carrying none.
+    */
+  private final case class NdvSource(perFile: Map[String, Long],
+      union: Option[Long]) {
+    def forFile(f: AddFile): Option[Long] =
+      perFile.get(f.path).orElse(union)
+  }
+
+  /** Each file's OWN per-column HLL estimate — the right denominator
+    * for pricing an equality against THAT file's rows. Files without
+    * a sketch (or without live rows) are absent.
+    */
+  private def fileNdvs(files: Seq[AddFile], name: String)
+      : Map[String, Long] = {
+    import org.apache.datasketches.hll.HllSketch
+    files.iterator
+      .filter(f => f.rows - f.dv.map(_.rows).getOrElse(0L) > 0)
+      .flatMap(f => f.ndv.get(name).map { b64 =>
+        f.path -> math.max(1L, math.round(HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(b64)).getEstimate))
+      })
+      .toMap
   }
 
   /** Union of the files' per-column HLL sketches → NDV estimate; None

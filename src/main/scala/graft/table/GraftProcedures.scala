@@ -163,6 +163,11 @@ object GraftProcedures {
     * vacuum would delete without touching anything
     * ([[GraftTable.vacuumDryRun]]). Returns the (would-be) reclaimed
     * paths.
+    *
+    * `min_age_ms` DEFAULTS to [[GraftTable.DefaultVacuumGraceMs]]
+    * (10 min — previously 0): young orphans survive the sweep unless
+    * the operator passes `min_age_ms => 0` explicitly. See the
+    * behavior-change note on the constant.
     */
   private case class Vacuum(cat: GraftCatalog) extends GraftProc("vacuum") {
     override def bind(inputType: StructType): BoundProcedure =

@@ -545,11 +545,11 @@ class GraftBatchScan(spark: SparkSession, root: String,
   * `InternalRow`. Files whose footer lacks every requested column —
   * and the `SELECT count`-shaped empty projection — emit their exact
   * LIVE metadata row count without opening data pages (physical rows
-  * minus the DV's exact masked count). A DV-masked file's positions
+  * minus the DV's exact masked count). A DV-masked file's spans
   * load executor-side from the DV parquet (filtered to this file's
-  * key) into a SORTED long array; the row stream advances a single
-  * pointer through it — O(masked) memory, O(1) per row, bounded by
-  * one file's rows, never a join.
+  * key) as sorted disjoint [start, end) RUNS; the row stream advances
+  * a single pointer through them — O(runs) memory, O(1) per row,
+  * never a join and never a per-position expansion.
   */
 final case class GraftSpjReaderFactory(
     fields: Seq[(StructField, String)],
@@ -580,14 +580,42 @@ final case class GraftSpjReaderFactory(
   * sorted ascending — O(masked) memory, bounded by one file.
   */
 private[table] object GraftSpjDv {
-  /** Sorted masked positions of ONE data file. RLE-generation DV
-    * parquets carry `(file, pos, run)` spans — expanded here to the
-    * skip-list array the readers consume (memory stays bounded by one
-    * file's masks, exactly as before); pre-RLE parquets lack `run`
-    * and read one position per row.
+
+  /** One file's mask as SORTED, NON-OVERLAPPING half-open spans
+    * `[starts(i), ends(i))`. RLE keeps a ~90%-masked billion-row file
+    * (the GDPR-retraction case RLE exists for) at O(runs) reader
+    * memory — expanding each span into per-position longs would cost
+    * gigabytes per task exactly when the mask is widest. Both readers
+    * walk the spans with a single monotone cursor (rows stream in
+    * position order), so lookup stays O(1) amortized per row.
     */
-  def load(conf: Configuration, dvPath: String, key: String): Array[Long] = {
-    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+  final class DvSpans(val starts: Array[Long], val ends: Array[Long]) {
+    def isEmpty: Boolean = starts.length == 0
+    def length: Int = starts.length
+    /** masked positions inside [lo, hi), scanning from span `from`
+      * (the caller's monotone cursor — spans before it end ≤ lo)
+      */
+    def maskedIn(from: Int, lo: Long, hi: Long): Long = {
+      var j = from
+      var m = 0L
+      while (j < starts.length && starts(j) < hi) {
+        m += math.min(ends(j), hi) - math.max(starts(j), lo)
+        j += 1
+      }
+      m
+    }
+  }
+
+  val EmptySpans = new DvSpans(Array.emptyLongArray, Array.emptyLongArray)
+
+  /** Masked spans of ONE data file out of the DV parquet (filtered to
+    * the file's key). RLE-generation parquets carry `(file, pos, run)`
+    * rows; pre-RLE parquets lack `run` and contribute width-1 spans.
+    * Adjacent/overlapping rows (mixed-generation DVs) merge here so
+    * the readers may assume disjoint ascending spans.
+    */
+  def load(conf: Configuration, dvPath: String, key: String): DvSpans = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val r = ParquetReader.builder(new GroupReadSupport(),
       new Path(dvPath)).withConf(new Configuration(conf)).build()
     try {
@@ -597,15 +625,22 @@ private[table] object GraftSpjDv {
         if (g.getString("file", 0) == key) {
           val start = g.getLong("pos", 0)
           val run = if (hasRun) g.getLong("run", 0) else 1L
-          var p = start
-          while (p < start + run) { out += p; p += 1 }
+          if (run > 0) spans += ((start, start + run))
         }
         g = r.read()
       }
     } finally r.close()
-    val arr = out.result()
-    java.util.Arrays.sort(arr)
-    arr
+    if (spans.isEmpty) return EmptySpans
+    val sorted = spans.sortInPlace()(Ordering.Tuple2[Long, Long])
+    val ss = scala.collection.mutable.ArrayBuilder.make[Long]
+    val es = scala.collection.mutable.ArrayBuilder.make[Long]
+    var (cs, ce) = sorted.head
+    sorted.iterator.drop(1).foreach { case (s, e) =>
+      if (s <= ce) ce = math.max(ce, e)
+      else { ss += cs; es += ce; cs = s; ce = e }
+    }
+    ss += cs; es += ce
+    new DvSpans(ss.result(), es.result())
   }
 }
 
@@ -620,9 +655,9 @@ private[table] object GraftSpjDv {
   * pre-widening INT32/FLOAT files promote to LONG/DOUBLE in the
   * column updaters. The `SELECT count`-shaped EMPTY projection never
   * opens data pages — each file's exact LIVE metadata row count is
-  * emitted as zero-column batches. A DV-masked file's sorted
-  * positions merge as BATCH COMPACTION: a batch intersecting no
-  * masked position passes through untouched (the common case — DV
+  * emitted as zero-column batches. A DV-masked file's sorted spans
+  * merge as BATCH COMPACTION: a batch intersecting no
+  * masked span passes through untouched (the common case — DV
   * debt is bounded by `maintain`); an intersecting batch copies its
   * surviving rows per COLUMN into fresh on-heap vectors (tight typed
   * loops, never a per-row materialization); a fully-masked batch is
@@ -643,8 +678,8 @@ final class GraftSpjColumnarReader(types: Array[DataType],
   private var current: ColumnarBatch = _
   /** countdown of metadata-only rows for the empty projection */
   private var emptyRows = 0L
-  /** sorted masked positions of the OPEN file; empty when no DV */
-  private var dvPos: Array[Long] = Array.emptyLongArray
+  /** sorted disjoint masked spans of the OPEN file; empty when no DV */
+  private var dvSpans: GraftSpjDv.DvSpans = GraftSpjDv.EmptySpans
   private var dvIdx = 0
   /** file position of the NEXT row the vectorized reader returns */
   private var rowPos = 0L
@@ -668,9 +703,9 @@ final class GraftSpjColumnarReader(types: Array[DataType],
     if (!fileIter.hasNext) return false
     val f = fileIter.next()
     if (types.length == 0) { emptyRows = f.liveRows; return true }
-    dvPos = f.dv match {
+    dvSpans = f.dv match {
       case Some((dvPath, key, _)) => GraftSpjDv.load(conf, dvPath, key)
-      case None => Array.emptyLongArray
+      case None => GraftSpjDv.EmptySpans
     }
     dvIdx = 0
     rowPos = 0L
@@ -709,14 +744,15 @@ final class GraftSpjColumnarReader(types: Array[DataType],
           val n = b.numRows()
           val start = rowPos
           rowPos += n
-          if (dvPos.length == 0) { current = b; return true }
-          // masked positions falling in [start, start+n)
-          while (dvIdx < dvPos.length && dvPos(dvIdx) < start) dvIdx += 1
-          val m0 = dvIdx
-          while (dvIdx < dvPos.length && dvPos(dvIdx) < rowPos) dvIdx += 1
-          if (dvIdx == m0) { current = b; return true }
-          if (dvIdx - m0 < n) {
-            current = compact(b, start, m0, dvIdx)
+          if (dvSpans.isEmpty) { current = b; return true }
+          // advance the cursor past spans ending before this batch;
+          // a span straddling the boundary stays current
+          while (dvIdx < dvSpans.length && dvSpans.ends(dvIdx) <= start)
+            dvIdx += 1
+          val masked = dvSpans.maskedIn(dvIdx, start, rowPos)
+          if (masked == 0L) { current = b; return true }
+          if (masked < n) {
+            current = compact(b, start, dvIdx, masked.toInt)
             return true
           }
           // every row of this batch is masked: read the next one
@@ -727,21 +763,25 @@ final class GraftSpjColumnarReader(types: Array[DataType],
     false // unreachable
   }
 
-  /** Copy the batch's surviving rows (those not at a masked position
-    * in `dvPos(m0 until m1)`) into fresh on-heap vectors, column by
-    * column in tight typed loops.
+  /** Copy the batch's surviving rows (those outside every masked span
+    * from `spanFrom` on) into reusable on-heap vectors, column by
+    * column in tight typed loops. `nMasked` is the batch's exact
+    * masked count, pre-computed from the spans.
     */
   private def compact(b: ColumnarBatch, start: Long,
-      m0: Int, m1: Int): ColumnarBatch = {
+      spanFrom: Int, nMasked: Int): ColumnarBatch = {
     val n = b.numRows()
-    val live = n - (m1 - m0)
+    val live = n - nMasked
     val keep = new Array[Int](live)
     var k = 0
-    var m = m0
+    var m = spanFrom
     var i = 0
     while (i < n) {
-      if (m < m1 && dvPos(m) == start + i) m += 1
-      else { keep(k) = i; k += 1 }
+      val p = start + i
+      while (m < dvSpans.length && dvSpans.ends(m) <= p) m += 1
+      if (!(m < dvSpans.length && dvSpans.starts(m) <= p)) {
+        keep(k) = i; k += 1
+      }
       i += 1
     }
     if (compactVecs == null) {
@@ -852,8 +892,8 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
   private var current: InternalRow = _
   /** countdown of metadata-only rows for footer-skipped files */
   private var emptyRows = 0L
-  /** sorted masked positions of the OPEN file; empty when no DV */
-  private var dvPos: Array[Long] = Array.emptyLongArray
+  /** sorted disjoint masked spans of the OPEN file; empty when no DV */
+  private var dvSpans: GraftSpjDv.DvSpans = GraftSpjDv.EmptySpans
   private var dvIdx = 0
   private var rowPos = -1L
 
@@ -870,9 +910,9 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
     }
     val wanted = present.filter(_ != null).distinct
     if (wanted.isEmpty) { emptyRows = f.liveRows; return true }
-    dvPos = f.dv match {
+    dvSpans = f.dv match {
       case Some((dvPath, key, _)) => GraftSpjDv.load(conf, dvPath, key)
-      case None => Array.emptyLongArray
+      case None => GraftSpjDv.EmptySpans
     }
     dvIdx = 0
     rowPos = -1L
@@ -892,8 +932,8 @@ final class GraftSpjReader(fields: Seq[(StructField, String)],
 
   /** Is the just-read row (at `rowPos`) masked by the open file's DV? */
   private def masked(): Boolean = {
-    while (dvIdx < dvPos.length && dvPos(dvIdx) < rowPos) dvIdx += 1
-    dvIdx < dvPos.length && dvPos(dvIdx) == rowPos
+    while (dvIdx < dvSpans.length && dvSpans.ends(dvIdx) <= rowPos) dvIdx += 1
+    dvIdx < dvSpans.length && dvSpans.starts(dvIdx) <= rowPos
   }
 
   override def next(): Boolean = {

@@ -1999,6 +1999,17 @@ object GraftTable {
     * minutes covers any realistic write-job tail; `minAgeMs = 0`
     * remains an explicit operator override for single-writer cleanup
     * (and for tests that assert immediate reclamation).
+    *
+    * ==BEHAVIOR CHANGE (round 14)==
+    * This default was previously 0 across [[vacuum]],
+    * [[vacuumDryRun]], [[maintain]], and `CALL system.vacuum` /
+    * `system.maintain`. Callers relying on IMMEDIATE orphan
+    * reclamation (single-writer cleanup jobs, space-pressure sweeps)
+    * now see young orphans linger for up to ten minutes unless they
+    * pass `minAgeMs = 0` / `min_age_ms => 0` explicitly. The change
+    * is safety-positive — the old default silently raced in-flight
+    * writers — but it IS a public default-behavior change, hence this
+    * prominent record.
     */
   val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
 
