@@ -420,9 +420,29 @@ object Similarity {
     * pairing — never O(n²) across the corpus; cluster count k is the
     * scale lever. Returns (cell, a_id, b_id, cos) with a_id < b_id —
     * downstream dedup keeps a_id (min-id canonical).
+    *
+    * `subCells` MOVES the lever: a fixed-cardinality seed column means
+    * cells densify as the corpus grows and the Σ|cell|² term turns
+    * quadratic. With `subCells = S > 1` each seed label splits into S
+    * sub-seeds by `vec_id mod S` (cell id = label·S + vec_id mod S, a
+    * BIGINT), so k follows whatever growth the caller derives — the
+    * judged query uses k ≈ √n (S ≈ ⌈√n⌉/#labels), balancing the O(n·k)
+    * assignment and the O(n²/k) pairing at O(n^1.5). Sub-seed
+    * centroids of one label differ only by sampling noise, so the
+    * Lloyd reassignment spreads the label's vectors near-uniformly
+    * across its sub-cells (each vector's preferred noise direction is
+    * its own); exact copies still land together — reassignment is a
+    * pure function of the embedding. `subCells = 1` (default) is the
+    * original fixed-seed behavior, cell keeping the seed column's
+    * type.
     */
-  def semanticPairsExact(corpus: DataFrame, seedCol: String): DataFrame = {
-    val c = corpus.select(col("vec_id"), col(seedCol).as("cell"),
+  def semanticPairsExact(corpus: DataFrame, seedCol: String,
+      subCells: Int = 1): DataFrame = {
+    val seed =
+      if (subCells <= 1) col(seedCol).as("cell")
+      else (col(seedCol).cast("long") * subCells +
+        pmod(col("vec_id"), lit(subCells.toLong))).as("cell")
+    val c = corpus.select(col("vec_id"), seed,
       quant(col("embedding")).as("ca"))
       .withColumn("vn", sumsq(col("ca")))
     val cm = c.select(col("cell"), posexplode(col("ca")))
@@ -461,7 +481,12 @@ object Similarity {
 
   /** DuckDB oracle for [[semanticPairsExact]] over `embeddings` with
     * seed column `label`, top-`limit` pairs by cosine: same centroid,
-    * assignment, and scoring contract re-derived in SQL.
+    * assignment, and scoring contract re-derived in SQL — including
+    * the SCALE-FOLLOWING sub-cell derivation (round 15): both sides
+    * independently compute S = max(1, ⌈⌈√n⌉ / #labels⌉) from the same
+    * table (integer ceil-div; √ is one IEEE double sqrt on both
+    * engines, so ⌈√n⌉ is bit-identical) and seed with
+    * cell = label·S + vec_id mod S.
     */
   /** sf1-scale formulation (round 13): the original spelled every
     * pair dot as a per-(pair, dimension) JOIN — Σ_cell C(n,2) · dim
@@ -479,18 +504,25 @@ object Similarity {
     * value-preserving. The scoring/tie-break SQL is unchanged.
     */
   def semanticPairsExactOracleSql(limit: Int): String =
-    s"""WITH q AS MATERIALIZED (
-           SELECT vec_id, label,
+    s"""WITH params AS MATERIALIZED (
+           SELECT GREATEST(1, (CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+                               + COUNT(DISTINCT label) - 1)
+                              // COUNT(DISTINCT label)) AS s
+           FROM embeddings),
+         q AS MATERIALIZED (
+           SELECT vec_id,
+                  CAST(label AS BIGINT) * (SELECT s FROM params)
+                    + (vec_id % (SELECT s FROM params)) AS cell,
                   list_transform(embedding,
                     e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS qa
            FROM embeddings),
          nrm AS MATERIALIZED (
            SELECT vec_id, CAST(list_dot_product(qa, qa) AS BIGINT) AS nn FROM q),
-         xs AS (SELECT vec_id, label, unnest(generate_series(1, len(qa))) AS i, qa FROM q),
-         qv AS (SELECT vec_id, label, i, qa[i] AS x FROM xs),
-         cm AS (SELECT label AS cell, i,
+         xs AS (SELECT vec_id, cell, unnest(generate_series(1, len(qa))) AS i, qa FROM q),
+         qv AS (SELECT vec_id, cell, i, qa[i] AS x FROM xs),
+         cm AS (SELECT cell, i,
                   CAST(FLOOR(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-                FROM qv GROUP BY label, i),
+                FROM qv GROUP BY cell, i),
          cml AS MATERIALIZED (
            SELECT cell, list(m ORDER BY i) AS cq FROM cm GROUP BY cell),
          cn AS (SELECT cell, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn FROM cml),

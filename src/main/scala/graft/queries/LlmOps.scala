@@ -524,15 +524,27 @@ object LlmOps {
     // one Lloyd reassignment against exact-integer seed centroids, then
     // near-dup pairs scored only WITHIN each assigned cluster — the
     // published cost model (O(n·k) assignment + intra-cluster pairing,
-    // never corpus-wide O(n²); k is the scale lever). Top-20 pairs by
-    // quantized cosine; min-id keeps. The assignment's corpus ×
-    // broadcast-centroid scoring is the whitelisted ann_ivf BNLJ shape.
+    // never corpus-wide O(n²); k is the scale lever). The lever MOVES
+    // with the corpus (round 15): k ≈ ⌈√n⌉ via subCells =
+    // ⌈⌈√n⌉/#labels⌉ — assignment O(n·√n) and pairing O(n·√n) balance,
+    // vs the fixed-seed quadratic Σ|cell|² the sf1 timing record
+    // flagged at 17×. The pre-count is one model-sized agg (two
+    // scalars); the oracle re-derives the same S from the same table.
+    // Top-20 pairs by quantized cosine; min-id keeps. The assignment's
+    // corpus × broadcast-centroid scoring is the whitelisted ann_ivf
+    // BNLJ shape.
     ("dedup_semantic",
-      (s: SparkSession, dir: String) =>
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val hd = emb.agg(count(lit(1)), count_distinct(col("label"))).head
+        val (n, nl) = (hd.getLong(0), math.max(1L, hd.getLong(1)))
+        val kd = math.ceil(math.sqrt(n.toDouble)).toLong
+        val sub = math.max(1L, (kd + nl - 1) / nl).toInt
         graft.operators.Similarity
-          .semanticPairsExact(Tables(s, dir, "embeddings"), "label")
+          .semanticPairsExact(emb, "label", sub)
           .orderBy(col("cos").desc, col("a_id"), col("b_id"))
-          .limit(20),
+          .limit(20)
+      },
       Some(graft.operators.Similarity.semanticPairsExactOracleSql(limit = 20))),
 
     // Multimodal: binary media column + metadata via built-in

@@ -90,6 +90,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(base.forall { case (c, _, _, _) => labels.contains(c) })
   }
 
+  test("dedup_semantic scale-following sub-cells: invariant, in-domain, and k really grows") {
+    val emb = Tables(spark, sf, "embeddings")
+    val sub = 3
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.Similarity.semanticPairsExact(df, "label", sub)
+        .orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(20).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val base = run(emb)
+    assert(base.sameElements(run(emb.repartition(7))),
+      "sub-celled SemDeDup must not depend on input partitioning")
+    assert(base.nonEmpty)
+    assert(base.forall { case (_, a, b, _) => a < b })
+    // cell ids live in the label×sub product domain
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    assert(base.forall { case (c, _, _, _) =>
+      labels.contains(c / sub) && c % sub >= 0 && c % sub < sub })
+    // the lever moves: the reassigned clustering uses MORE distinct
+    // cells than the fixed-seed run (the whole point — Σ|cell|² must
+    // shrink as k grows) and its densest cell generates FEWER pairs
+    // (the Lloyd step spreads a label across its sub-seeds instead of
+    // one sub-centroid capturing everything)
+    val fixed = operators.Similarity.semanticPairsExact(emb, "label")
+    val scaled = operators.Similarity.semanticPairsExact(emb, "label", sub)
+    def cellStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val per = df.groupBy("cell").count()
+      (per.count(),
+        per.agg(org.apache.spark.sql.functions.max("count")).head.getLong(0))
+    }
+    val (fixedCells, fixedMaxPairs) = cellStats(fixed)
+    val (scaledCells, scaledMaxPairs) = cellStats(scaled)
+    assert(scaledCells > fixedCells,
+      s"sub-celling must raise the active cell count ($scaledCells vs $fixedCells)")
+    assert(scaledMaxPairs < fixedMaxPairs,
+      s"sub-celling must thin the densest cell ($scaledMaxPairs vs $fixedMaxPairs pairs)")
+  }
+
   // --- round-6 additions: quota cap, shard manifest, NB classifier ---
 
   private val P = 2147483647L
