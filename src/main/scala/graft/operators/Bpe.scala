@@ -11,14 +11,25 @@ import org.apache.spark.sql.functions._
   * WORD-FREQUENCY table, not the corpus. The only corpus-scale pass is
   * the initial word count (one explode + one map-side-combinable
   * aggregation); every merge iteration then runs on the vocab-sized
-  * `(word, freq, syms)` frame — pair counting is an explode of
-  * adjacent symbol pairs weighted by `freq`, the argmax is a 1-row
-  * collect (count-desc, then lexicographic (a, b) — fully
-  * deterministic), and the merge itself is a per-row left-to-right
-  * fold (`aggregate` HOF, codegen-friendly, no UDF). At 100 TB the
-  * vocab table is ~10⁶ rows; 50k merge rounds of two vocab-sized jobs
-  * are scheduler-bound, not data-bound — the same cost shape as the
-  * reference BPE trainers, with the corpus pass distributed.
+  * `(word, freq, syms)` frame. Both merge loops are INCREMENTAL
+  * (round 15): pair counts are maintained, not recounted — after a
+  * merge only the words that actually contained the pair contribute
+  * count deltas, the standard maintenance trick of the public
+  * single-node BPE trainers, here in both the driver fold (inverted
+  * index + lazily-validated max-heap) and the distributed loop (a
+  * delta frame unioned into the running pair-count frame).
+  *
+  * The distributed loop is additionally BATCHED: `batchRounds` merge
+  * rounds compose into ONE lazily-checkpointed plan and materialize
+  * with a single collect — the per-round argmax is a 1-row global
+  * aggregate `min(struct(-n, a, b))` that rides into the fold as a
+  * replicated 1-row cartesian side (no broadcast job, no driver
+  * round-trip), so a 50k-merge production run costs ~50k/batchRounds
+  * scheduler actions instead of 50k (BpeSpec pins jobs ≪ rounds).
+  * Each round's frame is `localCheckpoint(eager = false)`: Catalyst
+  * sees a leaf (no k-deep nested HOF analysis blowup — the round-1
+  * Components lesson), the blocks cache on first compute inside the
+  * batch action, and lineage truncates when the action completes.
   *
   * ENCODING never re-runs merges on the corpus: training's by-product
   * is the finished word → pieces map, so encode is a split + one
@@ -52,13 +63,40 @@ object Bpe {
     * merged symbol. (After a merge the tail is `a+b`, which no longer
     * matches `a` unless the text genuinely restarts the pair, so
     * overlapping occurrences merge exactly like the reference BPE.)
+    * Column-valued `a`/`b` let the pair arrive from a 1-row argmax
+    * frame instead of a driver literal; a NULL pair (exhausted vocab)
+    * makes every `when` condition null, so the fold is the identity.
     */
-  private def mergePair(syms: Column, a: String, b: String): Column =
+  private def mergePair(syms: Column, a: Column, b: Column): Column =
     aggregate(syms, expr("cast(array() as array<string>)"),
       (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+        when(size(acc) > 0 && element_at(acc, lit(-1)) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(concat(a, b))))
           .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of `c` tagged with `sign`, as an array of
+    * (a, b, s) structs — the delta-frame substrate. Single-symbol
+    * arrays yield one out-of-range probe pair whose `b` is NULL (a
+    * symbol is never null), filtered out — `get()` rather than `[]`
+    * because ANSI mode turns an out-of-bounds `[]` into an error;
+    * `greatest` keeps `sequence`'s bounds ascending there.
+    */
+  private def signedPairs(c: String, sign: Int): Column = expr(
+    s"filter(transform(sequence(0, greatest(size($c) - 2, 0)), " +
+      s"i -> struct($c[i] as a, get($c, i + 1) as b, $sign as s)), " +
+      "p -> p.b is not null)")
+
+  /** Weighted adjacent-pair counts of a symbol frame — the ONE full
+    * count the distributed loop pays; every later round maintains it
+    * with deltas.
+    */
+  private def pairCounts(wf: DataFrame): DataFrame =
+    wf.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as a, syms[i + 1] as b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
 
   /** Learned tokenizer: the ranked merge list and the finished
     * word → pieces map (`word`, `freq`, `syms`).
@@ -75,11 +113,11 @@ object Bpe {
     * the resulting word-frequency table fits the driver
     * (≤ `driverFoldMaxWords` distinct words — at the default 4M, a
     * few hundred MB), the merge loop folds DRIVER-side: a production
-    * 32k-merge vocabulary is then a tight in-memory loop, not 32k
-    * Spark jobs of scheduler overhead on a vocab-sized frame. Past
-    * the threshold the loop runs distributed (two vocab-sized jobs
-    * per round). Both paths produce byte-identical merge lists and
-    * pieces (spec-enforced).
+    * 32k-merge vocabulary is then a tight in-memory loop over only
+    * the words each merge touches, not 32k Spark jobs. Past the
+    * threshold the loop runs distributed, `batchRounds` rounds per
+    * scheduler action (see the object doc). Both paths produce
+    * byte-identical merge lists and pieces (spec-enforced).
     *
     * `minWordFreq` is the 100 TB vocab-frame lever: a web-scale corpus
     * has a long singleton tail (typos, hashes, URLs) that inflates the
@@ -92,46 +130,99 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
       driverFoldMaxWords: Long = 4L * 1024 * 1024,
-      minWordFreq: Long = 1L): Tokenizer = {
+      minWordFreq: Long = 1L,
+      batchRounds: Int = 16): Tokenizer = {
+    require(batchRounds >= 1, s"batchRounds must be >= 1, got $batchRounds")
     val wf0 = wordFreqs(docs, textCol).filter(col("freq") >= minWordFreq)
-    if (wf0.count() <= driverFoldMaxWords)
-      return trainDriver(docs.sparkSession, wf0, nMerges)
-    // localCheckpoint per round: truncates both lineage and the ANALYZED
-    // plan — without it ProjectCollapse folds every round's fold-merge
-    // into one k-deep nested HOF expression and analysis/codegen cost
-    // explodes with the merge count (the Components-loop lesson at the
-    // DataFrame layer). The checkpointed frame is vocab-sized.
-    var wf = wf0
-      .withColumn("syms", initSyms(col("word")))
-      .localCheckpoint(true)
+    wf0.persist()
+    try {
+      if (wf0.count() <= driverFoldMaxWords)
+        trainDriver(docs.sparkSession, wf0, nMerges)
+      else trainDistributed(wf0, nMerges, batchRounds)
+    } finally wf0.unpersist(blocking = false)
+  }
+
+  /** The distributed merge loop: incremental pair counts, batched
+    * rounds, one collect per batch (object doc). Frames in flight per
+    * round — `best` (1 row), `staged` (vocab-sized, old + new syms),
+    * `counts` (pair-vocab-sized) — are all lazy local checkpoints;
+    * intermediate blocks release via the context cleaner once the
+    * batch drops its references.
+    */
+  private def trainDistributed(wf0: DataFrame, nMerges: Int,
+      batchRounds: Int): Tokenizer = {
+    var wf = wf0.withColumn("syms", initSyms(col("word")))
+      .select("word", "freq", "syms")
+      .localCheckpoint(false)
+    var counts = pairCounts(wf).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val best = wf
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          // 0-based element access: adjacent pairs (syms[i], syms[i+1])
-          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as a, syms[i + 1] as b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
-        val prev = wf
-        wf = wf.withColumn("syms", mergePair(col("syms"), a, b))
-          .localCheckpoint(true)
-        prev.unpersist(blocking = false)
+      val k = math.min(batchRounds, nMerges - merges.size)
+      val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var round = 0
+      while (round < k) {
+        // deterministic argmax as ONE global aggregate: min over
+        // struct(-n, a, b) = (count desc, UTF-8 (a, b)); null row on
+        // an exhausted (empty) count frame
+        val best = counts
+          .agg(min(struct((-col("n")).as("nn"), col("a"), col("b"))).as("s"))
+          .select(col("s.a").as("ma"), col("s.b").as("mb"))
+          .localCheckpoint(false)
+        // the 1-row argmax rides into the fold as a REPLICATED
+        // cartesian side — unlike broadcast(), no per-round collect
+        // job; the right side is one cached row
+        val staged = wf.crossJoin(best.hint("shuffle_replicate_nl"))
+          .withColumn("nsyms",
+            when(col("ma").isNull, col("syms"))
+              .otherwise(mergePair(col("syms"), col("ma"), col("mb"))))
+          .select("word", "freq", "syms", "nsyms")
+          .localCheckpoint(false)
+        // incremental maintenance: ONLY words the merge touched
+        // (their syms shrank) contribute deltas — new pairs +freq,
+        // destroyed pairs −freq
+        val delta = staged
+          .filter(size(col("nsyms")) < size(col("syms")))
+          .select(col("freq"),
+            explode(concat(signedPairs("nsyms", 1), signedPairs("syms", -1)))
+              .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq") * col("p.s")).as("n"))
+        counts = counts.unionByName(delta)
+          .groupBy("a", "b").agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint(false)
+        wf = staged.select(col("word"), col("freq"), col("nsyms").as("syms"))
+        bests += best
+        round += 1
+      }
+      // ONE action materializes the whole batch: the k argmax rows
+      // ride with two aggregate probes that force (and truncate) the
+      // batch-final word and count frames
+      val batchFrame = bests.zipWithIndex.map { case (b, i) =>
+          b.select(lit(i).as("r"), col("ma"), col("mb"))
+        }.reduce(_ unionByName _)
+        .unionByName(wf.agg(count(lit(1)).as("c"))
+          .select(lit(-1).as("r"), col("c").cast("string").as("ma"),
+            lit(null).cast("string").as("mb")))
+        .unionByName(counts.agg(count(lit(1)).as("c"))
+          .select(lit(-2).as("r"), col("c").cast("string").as("ma"),
+            lit(null).cast("string").as("mb")))
+      val rows = batchFrame.collect()
+      val byRound = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+      var stop = false
+      byRound.foreach { r =>
+        if (!stop) {
+          if (r.isNullAt(1)) { exhausted = true; stop = true }
+          else merges += ((r.getString(1), r.getString(2)))
+        }
       }
     }
     Tokenizer(merges.toSeq, wf)
   }
 
   /** Unsigned UTF-8 byte comparison — Spark's `UTF8String` sort order,
-    * which the distributed path's `orderBy` uses. Java's
+    * which the distributed path's argmax uses. Java's
     * `String.compareTo` (UTF-16 code units) disagrees beyond the BMP,
     * so the driver fold must compare bytes to stay byte-identical.
     */
@@ -147,11 +238,36 @@ object Bpe {
     a.length - b.length
   }
 
-  /** The merge loop as a driver-local fold over the collected
-    * word-frequency table — semantics identical to the distributed
-    * loop (same weighted pair counts, same (count desc, UTF-8 (a, b))
-    * argmax, same left-to-right non-overlapping fold-merge), minus
-    * the per-round scheduler round-trips.
+  /** One non-overlapping left-to-right merge of (a, b) in a word;
+    * returns the SAME reference when nothing merged (the incremental
+    * loop's touched test).
+    */
+  private def mergeWord(s: Vector[String], a: String,
+      b: String): Vector[String] = {
+    var touched = false
+    val out = Vector.newBuilder[String]
+    var last: String = null
+    s.foreach { x =>
+      if (last == a && x == b) { last = a + b; touched = true }
+      else { if (last != null) out += last; last = x }
+    }
+    if (last != null) out += last
+    if (touched) out.result() else s
+  }
+
+  /** The merge loop as a driver-local INCREMENTAL fold over the
+    * collected word-frequency table — semantics identical to the
+    * distributed loop (same weighted pair counts, same (count desc,
+    * UTF-8 (a, b)) argmax, same left-to-right non-overlapping
+    * fold-merge), with the cost of the public single-node trainers:
+    * a pair → containing-words inverted index so each merge touches
+    * only the words that held the pair, and a lazily-validated
+    * max-heap so the argmax is O(log) amortized instead of a full
+    * count-map scan per round. Exactness: every count CHANGE pushes
+    * the new (count, pair) entry, a popped entry is valid only while
+    * it equals the pair's CURRENT count, and a merged pair's
+    * adjacency can never reappear (merges only grow symbols), so the
+    * heap's first valid entry is the true total-order argmax.
     */
   private def trainDriver(spark: org.apache.spark.sql.SparkSession,
       wf: DataFrame, nMerges: Int): Tokenizer = {
@@ -159,46 +275,74 @@ object Bpe {
     val syms: Array[Vector[String]] = words.map { case (w, _) =>
       w.map(_.toString).toVector :+ EndOfWord
     }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c
+        else {
+          val ca = utf8Cmp(x._2, y._2)
+          if (ca != 0) ca else utf8Cmp(x._3, y._3)
+        }
+      })
+    def bump(p: (String, String), d: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + d
+      if (n <= 0L) counts.remove(p)
+      else { counts(p) = n; heap.add((n, p._1, p._2)) }
+    }
+    def register(p: (String, String), wi: Int): Unit =
+      index.getOrElseUpdate(p,
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi); val f = words(wi)._2
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, f); register(p, wi)
+        i += 1
+      }
+      wi += 1
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      var wi = 0
-      while (wi < syms.length) {
-        val s = syms(wi); val f = words(wi)._2
-        var i = 0
-        while (i < s.length - 1) {
-          val p = (s(i), s(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + f)
-          i += 1
-        }
-        wi += 1
+      // lazily-validated argmax: discard entries whose count moved on
+      var best: (Long, String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val t = heap.peek()
+        if (counts.get((t._2, t._3)).contains(t._1)) best = t
+        else heap.poll()
       }
-      if (counts.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        var best: ((String, String), Long) = null
-        counts.foreach { e =>
-          if (best == null || e._2 > best._2 ||
-            (e._2 == best._2 && {
-              val ca = utf8Cmp(e._1._1, best._1._1)
-              ca < 0 || (ca == 0 && utf8Cmp(e._1._2, best._1._2) < 0)
-            })) best = e
-        }
-        val (a, b) = best._1
+        val (a, b) = (best._2, best._3)
         merges += ((a, b))
-        wi = 0
-        while (wi < syms.length) {
-          val s = syms(wi)
-          var touched = false
-          val out = Vector.newBuilder[String]
-          var last: String = null
-          s.foreach { x =>
-            if (last == a && x == b) { last = a + b; touched = true }
-            else { if (last != null) out += last; last = x }
+        // only words that ever held the pair can change; the index may
+        // carry stale or duplicate ids — mergeWord's identity return
+        // and the seen-set make both harmless
+        val touched = index.remove((a, b))
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        touched.foreach { ti =>
+          if (seen.add(ti)) {
+            val s = syms(ti)
+            val s2 = mergeWord(s, a, b)
+            if (s2 ne s) {
+              val f = words(ti)._2
+              var i = 0
+              while (i < s.length - 1) { bump((s(i), s(i + 1)), -f); i += 1 }
+              syms(ti) = s2
+              i = 0
+              while (i < s2.length - 1) {
+                val p = (s2(i), s2(i + 1))
+                bump(p, f); register(p, ti)
+                i += 1
+              }
+            }
           }
-          if (last != null) out += last
-          if (touched) syms(wi) = out.result()
-          wi += 1
         }
       }
     }

@@ -301,6 +301,68 @@ object AnnOracle {
     }.toSeq
   }
 
+  // ---------- persistent IVF index (VectorIndex tier) ----------
+
+  /** `ann_ivf_index`'s exact expected rows: the
+    * [[graft.operators.VectorIndex]] program re-derived sequentially —
+    * k-means seeded by the `nCells` lowest-xxhash64 vectors (cell =
+    * 1-based rank in that order), `iters` Lloyd rounds of cosine
+    * assignment (ties → lowest cell) and floored exact-integer means
+    * (empty cells drop), one final assignment into state, then an
+    * `nprobe`-cell search with SELF-MATCHES KEPT (the index contract:
+    * an indexed vector queried by itself is rank 1, cos 1).
+    */
+  def ivfIndexRows(dir: String, nCells: Int = 16, iters: Int = 5,
+      k: Int = 5, nprobe: Int = 3,
+      maxQueryId: Long = 10L): Seq[(Long, Long, Long, Double)] = {
+    val corpus = load(dir)
+    def cnOf(cm: Array[Long]): Long = cm.map(x => x * x).sum
+    def assignOf(v: Vec, cs: mutable.SortedMap[Int, Array[Long]]): Int = {
+      // ascending cells + strict improvement = (ccos desc, cell asc)
+      var bestCell = -1
+      var bestCos = Double.NegativeInfinity
+      cs.foreach { case (cell, cm) =>
+        val c = cosOf(idot(v.qa, cm), v.qn, cnOf(cm))
+        if (c > bestCos) { bestCos = c; bestCell = cell }
+      }
+      bestCell
+    }
+    val byId = corpus.map(v => v.id -> v).toMap
+    var cents = mutable.SortedMap.empty[Int, Array[Long]]
+    corpus.map(_.id).sortBy(id => (xxh64(id), id)).take(nCells)
+      .zipWithIndex.foreach { case (id, i) => cents(i + 1) = byId(id).qa }
+    var it = 0
+    while (it < iters) {
+      val next = mutable.SortedMap.empty[Int, Array[Long]]
+      corpus.groupBy(v => assignOf(v, cents)).foreach { case (cell, vs) =>
+        val dim = vs.head.qa.length
+        val n = BigInt(vs.length)
+        next(cell) = Array.tabulate(dim) { d =>
+          var sx = BigInt(0)
+          vs.foreach(v => sx += v.qa(d))
+          ((sx - sx.mod(n)) / n).toLong
+        }
+      }
+      cents = next
+      it += 1
+    }
+    val assigned: Map[Long, Int] =
+      corpus.map(v => v.id -> assignOf(v, cents)).toMap
+    corpus.filter(_.id < maxQueryId).sortBy(_.id).flatMap { q =>
+      val probed = cents.toSeq.map { case (cell, cm) =>
+        (cosOf(idot(q.qa, cm), q.qn, cnOf(cm)), cell.toLong, ())
+      }
+      val probes = topBy(probed, nprobe).map(_._2.toInt).toSet
+      val cand = corpus.collect {
+        case v if probes.contains(assigned(v.id)) =>
+          (cosOf(idot(q.qa, v.qa), q.qn, v.qn), v.id, ())
+      }
+      topBy(cand.toSeq, k).zipWithIndex.map { case ((cos, id, _), i) =>
+        (q.id, id, (i + 1).toLong, cos)
+      }
+    }.toSeq
+  }
+
   // ---------- sharded HNSW ----------
 
   /** One shard's graph: `links(ordinal)(layer)` over the shard's
@@ -521,4 +583,5 @@ object AnnOracle {
   def pqTopKSql(dir: String): String = valuesSql(pqRows(dir))
   def ivfPqTopKSql(dir: String): String = valuesSql(ivfPqRows(dir))
   def hnswTopKSql(dir: String): String = valuesSql(hnswRows(dir))
+  def ivfIndexTopKSql(dir: String): String = valuesSql(ivfIndexRows(dir))
 }

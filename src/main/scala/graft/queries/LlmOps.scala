@@ -520,6 +520,32 @@ object LlmOps {
       },
       None),
 
+    // Persistent IVF index tier (round 15 — [[operators.VectorIndex]]
+    // judged end-to-end): build-once into fingerprinted state (k-means
+    // from lowest-xxhash64 seeds, exact floored-integer Lloyd rounds),
+    // then the nprobe-cell search — self-matches KEPT, the index
+    // contract. Oracle: AnnOracle.ivfIndexTopKSql's sequential
+    // re-derivation (see annOracles).
+    ("ann_ivf_index",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        val fp = java.lang.Long.toHexString(
+          src.length ^ (src.lastModified * 31) ^ "ivfidx_v1".hashCode.toLong)
+        val root = s"target/graft_ivfidx/$fp"
+        val idx = new graft.operators.VectorIndex(root)
+        LlmOps.synchronized {
+          if (!new java.io.File(s"$root/_DONE").exists()) {
+            idx.build(s, emb)
+            new java.io.File(s"$root/_DONE").createNewFile()
+          }
+        }
+        idx.search(s, qs, k = 5).orderBy("q_id", "rank")
+      },
+      None),
+
     // SemDeDup semantic dedup (cluster-then-prune, Abbas et al. 2023):
     // one Lloyd reassignment against exact-integer seed centroids, then
     // near-dup pairs scored only WITHIN each assigned cluster — the
@@ -1113,6 +1139,29 @@ object LlmOps {
                       off % 2048 AS pos_in_pack
                FROM o ORDER BY source, doc_id""")),
 
+    // Greedy first-fit packing manifest (round 15 — the NON-splitting
+    // alternative text_pack's concat-and-split leaves out, now
+    // hash-judged via the AnnOracle discipline): the engine side is
+    // [[graft.operators.Packing.greedyFirstFit]]'s one-exchange
+    // mapPartitions fold, the oracle is [[PackOracle]]'s transparent
+    // driver loop embedded as VALUES (see annOracles). The doc_id
+    // bound is prefix-closed — greedy placement depends only on
+    // smaller ids in the shard — so the slice IS the full run's
+    // manifest restricted to it, at every judged scale.
+    ("text_pack_greedy",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Packing.greedyFirstFit(
+          docs(s, dir)
+            .filter(col("doc_id") < graft.queries.PackOracle.JudgedMaxDocId)
+            .withColumn("nt", size(expr(
+              "filter(split(text, ' '), w -> w <> '')")).cast("bigint")),
+          "source", "doc_id", "nt", cap = graft.queries.PackOracle.JudgedCap)
+          .toDF()
+          .select(col("shard"), col("docId").as("doc_id"), col("nt"),
+            col("packId").as("pack_id"), col("posInPack").as("pos_in_pack"))
+          .orderBy("shard", "doc_id"),
+      None),
+
     // Corpus-mixing manifest (Pile/LLaMA-style source weighting): each
     // source gets an epoch multiplier m (percent — 210 = 2.1 epochs,
     // here derived from the source index: 40+17·(idx mod 11), spanning
@@ -1268,6 +1317,26 @@ object LlmOps {
                       CAST(SUM(freq) AS BIGINT) AS n
                FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
 
+    // The FULL ranked BPE merge list (round 15 — the AnnOracle
+    // discipline applied to the trainer): the engine side FORCES the
+    // batched incremental DISTRIBUTED loop (driverFoldMaxWords = 0),
+    // the oracle is [[BpeOracle]]'s transparent textbook full-recount
+    // fold embedded as a VALUES relation (see annOracles). The merge
+    // list is model-sized by construction (48 rows); only its
+    // transport to the judged frame is driver-side — training is the
+    // distributed program under test.
+    ("text_bpe_merges",
+      (s: SparkSession, dir: String) => {
+        val tok = graft.operators.Bpe.train(docs(s, dir), "text",
+          nMerges = 48, driverFoldMaxWords = 0)
+        import s.implicits._
+        tok.merges.zipWithIndex
+          .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+          .toDF("rank", "a", "b")
+          .orderBy("rank")
+      },
+      None),
+
     // Multinomial Naive Bayes language classifier, trained and applied
     // in-engine (the fastText-shaped curation move: cheap supervised
     // scoring at corpus scale) — [[graft.operators.NaiveBayes]] over
@@ -1353,7 +1422,11 @@ object LlmOps {
       case Some(dir) => Map(
         "ann_pq_topk" -> AnnOracle.pqTopKSql(dir),
         "ann_ivfpq_topk" -> AnnOracle.ivfPqTopKSql(dir),
-        "ann_hnsw_topk" -> AnnOracle.hnswTopKSql(dir))
+        "ann_hnsw_topk" -> AnnOracle.hnswTopKSql(dir),
+        "text_bpe_merges" -> BpeOracle.mergesSql(dir, nMerges = 48),
+        "text_pack_greedy" -> PackOracle.manifestSql(dir,
+          cap = PackOracle.JudgedCap, maxDocId = PackOracle.JudgedMaxDocId),
+        "ann_ivf_index" -> AnnOracle.ivfIndexTopKSql(dir))
       case None => Map.empty
     }
 }

@@ -19,6 +19,10 @@ object VerifyOne {
     require(names.nonEmpty, "usage: VerifyOne <sfDir> <outDir> <name>...")
     val spark = Engine.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // the driver-exact VALUES oracles (AnnOracle/BpeOracle/PackOracle)
+    // derive from the scale-factor dir, announced the same way
+    // graft.Verify.dump does
+    System.setProperty("graft.oracle.sfDir", sfDir)
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).coalesce(1)

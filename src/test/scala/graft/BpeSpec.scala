@@ -109,6 +109,39 @@ class BpeSpec extends SparkSpec {
     assert(secs < 120.0, f"driver-fold training took $secs%.1f s")
   }
 
+  test("distributed loop: scheduler actions ≪ merge rounds (batched incremental rounds)") {
+    // batching contract: 24 merge rounds cost ~1 action per batch of 8
+    // (plus the one threshold count), NOT one action (or more) per
+    // round. Counted without AQE in a session clone — AQE submits one
+    // job per materialized shuffle stage, which measures stage count,
+    // not scheduler round-trips; the clone keeps the shared-JVM conf
+    // clean.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val group = "bpe-job-count"
+    s2.sparkContext.setJobGroup(group, "bpe batching contract", false)
+    val tok =
+      try Bpe.train(Tables(s2, sf, "documents"), "text", nMerges = 24,
+        driverFoldMaxWords = 0, batchRounds = 8)
+      finally s2.sparkContext.clearJobGroup()
+    assert(tok.merges.size == 24)
+    assert(tok.merges == Bpe.train(docs, "text", nMerges = 24).merges,
+      "batched distributed merges must equal the driver fold")
+    // the status store fills from an async bus — poll until stable
+    var jobs = -1
+    var prev = -2
+    var spins = 0
+    while (jobs != prev && spins < 50) {
+      prev = jobs
+      Thread.sleep(100)
+      jobs = s2.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      spins += 1
+    }
+    assert(jobs > 0, "expected the job group to record at least one action")
+    assert(jobs * 3 <= 24,
+      s"24 distributed merge rounds must cost well under 24 scheduler actions, got $jobs")
+  }
+
   test("encode: pieces concatenate back to each word (lossless), both join paths") {
     val sample = docs.filter(col("doc_id") < 50)
     for (bcast <- Seq(true, false)) {

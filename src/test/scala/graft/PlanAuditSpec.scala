@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_perplexity" -> "single-row cross join (total-token count N broadcast onto the vocab)",
     "text_ccnet_buckets" -> "single-row cross join (the shared lmSurprisal N-broadcast shape)",
     "dedup_semantic" -> "SemDeDup assignment: corpus × broadcast centroid-mean frame (cells ≪ corpus) by design",
+    "ann_ivf_index" -> "VectorIndex probe scoring: queries × broadcast persisted-centroid frame (≤nCells rows) by design",
     "text_nb_lang" -> "NB scoring: doc-term frequencies × broadcast per-language prior frame (#langs rows) by design",
     "sample_dsir" -> "single-row cross join (the two model-total logs broadcast onto per-doc scores)",
   )
