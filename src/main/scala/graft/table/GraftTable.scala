@@ -3333,6 +3333,21 @@ object GraftTable {
     }
   }
 
+  /** Broadcast gate for the V1 masked-read anti-join: the EXACT
+    * masked-position count (metadata-known — Σ `dv.rows` over the
+    * files being read) above which the EXPANDED DV frame must not
+    * broadcast. A table carrying near-threshold mask debt on many
+    * files (the pre-`maintain` steady state after a wide RLE
+    * retraction) would otherwise ship the whole expanded position set
+    * to every task; past the gate the anti-join SHUFFLES with the DV
+    * side as the hash build (positions ≪ data rows) — the
+    * Hnsw/VectorIndex over-limit discipline applied to the mask join.
+    * The SPJ/columnar path is unaffected (its readers walk spans
+    * per file, never a join). Test seam: the DV spec lowers it to
+    * force the shuffle path and pins byte-identity.
+    */
+  private[graft] var DvBroadcastMaxPositions: Long = 1L << 20
+
   /** DV-applied read of DV-carrying files, KEEPING the row identity
     * columns `__file` (root-relative path) and `__pos` (row index in
     * the physical file) — the frame [[deleteWhereDv]] computes new
@@ -3343,9 +3358,14 @@ object GraftTable {
     val tagged = taggedRead(spark, root, schema, files.map(_.path))
     dvFrame(spark, root, files) match {
       case None => tagged
-      case Some(dv) => tagged.join(broadcast(dv),
-        tagged("__file") === dv("file") && tagged("__pos") === dv("pos"),
-        "left_anti")
+      case Some(dv) =>
+        val masked = files.flatMap(_.dv).map(_.rows).sum
+        val side =
+          if (masked <= DvBroadcastMaxPositions) broadcast(dv)
+          else dv.hint("shuffle_hash")
+        tagged.join(side,
+          tagged("__file") === side("file") && tagged("__pos") === side("pos"),
+          "left_anti")
     }
   }
 

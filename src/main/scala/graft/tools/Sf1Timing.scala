@@ -19,12 +19,41 @@ import graft.{Engine, SparkEntry}
   * breach means super-linear drift against the cost model). Output:
   * one JSON object, committed per round as `SF1_TIMING_r{N}.json`.
   *
-  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Sf1Timing SF1_TIMING_r14.json"`
+  * TREND gate (round 15): each ratio also diffs against the newest
+  * previously-committed `SF1_TIMING_r*.json` — a family whose ratio
+  * GREW more than 1.5× round-over-round lands in `trend_flagged`,
+  * catching regressions the 25× absolute flag can't see (an operator
+  * drifting 3× → 6× → 12× is three green absolute rounds).
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Sf1Timing SF1_TIMING_r15.json"`
   */
 object Sf1Timing {
 
+  /** ratios of the newest committed SF1_TIMING_r{N}.json below `out`'s
+    * round (so re-running a round diffs against the PREVIOUS one, not
+    * itself)
+    */
+  private[tools] def previousRatios(outPath: String): Map[String, Double] = {
+    val outRound = "_r(\\d+)".r.findFirstMatchIn(outPath)
+      .map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter { f =>
+        "^SF1_TIMING_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .exists(_.group(1).toInt < outRound)
+      }
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      .lastOption
+    prev.map { f =>
+      val txt = Files.readString(f.toPath)
+      """"([A-Za-z0-9_]+)":\{"sf01_sec":[^}]*"ratio":([0-9.]+)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("SF1_TIMING.json")
+    val prevRatios = previousRatios(outPath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,15 +93,22 @@ object Sf1Timing {
       val a = time(n, sf01)
       val b = time(n, sf1Dir)
       val ratio = b / math.max(0.001, a)
-      System.err.println(f"[sf1timing] $n%-24s sf0.1=$a%7.2fs sf1=$b%8.2fs ratio=$ratio%6.2fx")
-      (n, a, b, ratio)
+      val trend = prevRatios.get(n).map(p => ratio / math.max(0.001, p))
+      val ts = trend.map(t => f" trend=$t%5.2fx").getOrElse("")
+      System.err.println(
+        f"[sf1timing] $n%-24s sf0.1=$a%7.2fs sf1=$b%8.2fs ratio=$ratio%6.2fx$ts")
+      (n, a, b, ratio, trend)
     }
     val flagged = rows.filter(_._4 > 25.0).map(_._1)
-    val json = rows.map { case (n, a, b, r) =>
-      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f}"""
+    val trendFlagged = rows.filter(_._5.exists(_ > 1.5)).map(_._1)
+    val json = rows.map { case (n, a, b, r, t) =>
+      val tj = t.map(v => f""","trend":$v%.2f""").getOrElse("")
+      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f$tj}"""
     }.mkString(
       s"""{"family":"superlinear-risk","data_ratio":10,"flag_over":25.0,""" +
         s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""trend_flag_over":1.5,""" +
+        s""""trend_flagged":[${trendFlagged.map("\"" + _ + "\"").mkString(",")}],""" +
         """"queries":{""",
       ",", "}}")
     println(json)

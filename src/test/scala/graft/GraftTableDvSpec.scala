@@ -48,6 +48,33 @@ class GraftTableDvSpec extends SparkSpec {
     assert(snap.files.map(_.rows).sum == 100)
   }
 
+  test("masked read is byte-identical on both sides of the DV broadcast gate") {
+    val root = freshRoot()
+    GraftTable.append(spark, root, rows(0, 200))
+    GraftTable.deleteWhereDv(spark, root, "id % 3 = 0", None)
+    def readAll() = GraftTable.read(spark, root)
+      .orderBy("id").collect().toSeq
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin") ||
+        df.queryExecution.executedPlan.toString.contains("BroadcastExchange")
+    val saved = GraftTable.DvBroadcastMaxPositions
+    try {
+      // under the gate: the expanded DV frame broadcasts
+      GraftTable.DvBroadcastMaxPositions = 1L << 20
+      val under = readAll()
+      assert(hasBroadcast(GraftTable.read(spark, root)),
+        "a model-sized mask must broadcast")
+      // over the gate (seam forces it): the anti-join must SHUFFLE —
+      // no broadcast of a position set declared too wide
+      GraftTable.DvBroadcastMaxPositions = 0L
+      val over = readAll()
+      assert(!hasBroadcast(GraftTable.read(spark, root)),
+        "an over-gate mask must not broadcast the expanded position set")
+      assert(under == over, "both join strategies must read identical rows")
+      assert(under.size == 133 && under.forall(r => r.getLong(0) % 3 != 0))
+    } finally GraftTable.DvBroadcastMaxPositions = saved
+  }
+
   test("wide retraction writes O(runs) DV spans, reads stay exact, CDC exact") {
     // one 20k-row file; mask a contiguous 90% band plus a separate
     // point — the DV parquet must hold a handful of SPANS, not 18k+1
