@@ -131,14 +131,15 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, nMerges: Int,
       driverFoldMaxWords: Long = 4L * 1024 * 1024,
       minWordFreq: Long = 1L,
-      batchRounds: Int = 16): Tokenizer = {
+      batchRounds: Int = 8): Tokenizer = {
     require(batchRounds >= 1, s"batchRounds must be >= 1, got $batchRounds")
     val wf0 = wordFreqs(docs, textCol).filter(col("freq") >= minWordFreq)
     wf0.persist()
     try {
-      if (wf0.count() <= driverFoldMaxWords)
+      val nWords = wf0.count()
+      if (nWords <= driverFoldMaxWords)
         trainDriver(docs.sparkSession, wf0, nMerges)
-      else trainDistributed(wf0, nMerges, batchRounds)
+      else trainDistributed(wf0, nWords, nMerges, batchRounds)
     } finally wf0.unpersist(blocking = false)
   }
 
@@ -149,7 +150,38 @@ object Bpe {
     * intermediate blocks release via the context cleaner once the
     * batch drops its references.
     */
-  private def trainDistributed(wf0: DataFrame, nMerges: Int,
+  private def trainDistributed(wf0: DataFrame, nWords: Long, nMerges: Int,
+      batchRounds: Int): Tokenizer = {
+    // Loop-scoped session conf (saved/restored):
+    //  - AQE off: a batch is hundreds of tiny PRE-SIZED shuffles over
+    //    the vocab frame, and AQE would materialize every one as its
+    //    own re-planned job — measured ~2× the whole-DAG scheduler's
+    //    cost at 48 merges, with nothing for runtime re-planning to
+    //    improve (the frames are vocab-sized by construction).
+    //  - shuffle partitions sized to the KNOWN vocab row count
+    //    (~64k rows/partition, capped at the session setting): every
+    //    per-round aggregation runs over the same vocab-bounded frame,
+    //    and scheduling 32 near-empty tasks per stage × ~5 stages ×
+    //    round count was the dominant loop cost (measured 18 s → 6 s
+    //    for 48 merges at a 31-word vocab).
+    // Planning happens at each lazy localCheckpoint, so the conf
+    // window must span composition, not just the collect.
+    val spark = wf0.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val savedAqe = spark.conf.get(aqeKey)
+    val savedSp = spark.conf.get(spKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(spKey,
+      math.max(1L, math.min(savedSp.toLong, (nWords >> 16) + 1L)).toString)
+    try trainDistributedLoop(wf0, nMerges, batchRounds)
+    finally {
+      spark.conf.set(aqeKey, savedAqe)
+      spark.conf.set(spKey, savedSp)
+    }
+  }
+
+  private def trainDistributedLoop(wf0: DataFrame, nMerges: Int,
       batchRounds: Int): Tokenizer = {
     var wf = wf0.withColumn("syms", initSyms(col("word")))
       .select("word", "freq", "syms")
@@ -180,14 +212,17 @@ object Bpe {
           .localCheckpoint(false)
         // incremental maintenance: ONLY words the merge touched
         // (their syms shrank) contribute deltas — new pairs +freq,
-        // destroyed pairs −freq
+        // destroyed pairs −freq. The raw signed occurrences union
+        // straight into the running counts and aggregate ONCE (a
+        // separate delta pre-aggregation would be a second shuffle
+        // per round for nothing — the union's map side combines)
         val delta = staged
           .filter(size(col("nsyms")) < size(col("syms")))
           .select(col("freq"),
             explode(concat(signedPairs("nsyms", 1), signedPairs("syms", -1)))
               .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq") * col("p.s")).as("n"))
+          .select(col("p.a").as("a"), col("p.b").as("b"),
+            (col("freq") * col("p.s")).as("n"))
         counts = counts.unionByName(delta)
           .groupBy("a", "b").agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)
