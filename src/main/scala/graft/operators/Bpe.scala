@@ -152,33 +152,34 @@ object Bpe {
     */
   private def trainDistributed(wf0: DataFrame, nWords: Long, nMerges: Int,
       batchRounds: Int): Tokenizer = {
-    // Loop-scoped session conf (saved/restored):
+    // The merge loop runs in a SESSION CLONE (shared context, isolated
+    // SQL conf — never a mutation of the caller's session, which a
+    // concurrent query or a second train() would race):
     //  - AQE off: a batch is hundreds of tiny PRE-SIZED shuffles over
     //    the vocab frame, and AQE would materialize every one as its
     //    own re-planned job — measured ~2× the whole-DAG scheduler's
     //    cost at 48 merges, with nothing for runtime re-planning to
     //    improve (the frames are vocab-sized by construction).
     //  - shuffle partitions sized to the KNOWN vocab row count
-    //    (~64k rows/partition, capped at the session setting): every
+    //    (~64k rows/partition, capped at the caller's setting): every
     //    per-round aggregation runs over the same vocab-bounded frame,
     //    and scheduling 32 near-empty tasks per stage × ~5 stages ×
     //    round count was the dominant loop cost (measured 18 s → 6 s
     //    for 48 merges at a 31-word vocab).
-    // Planning happens at each lazy localCheckpoint, so the conf
-    // window must span composition, not just the collect.
-    val spark = wf0.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val savedAqe = spark.conf.get(aqeKey)
-    val savedSp = spark.conf.get(spKey)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(spKey,
-      math.max(1L, math.min(savedSp.toLong, (nWords >> 16) + 1L)).toString)
-    try trainDistributedLoop(wf0, nMerges, batchRounds)
-    finally {
-      spark.conf.set(aqeKey, savedAqe)
-      spark.conf.set(spKey, savedSp)
-    }
+    // Frames cross sessions by RDD (the persisted wf0 in, the
+    // checkpointed pieces out), so the clone's conf governs every
+    // plan the loop compiles and nothing leaks back.
+    val caller = wf0.sparkSession
+    val loop = caller.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(
+        caller.conf.get("spark.sql.shuffle.partitions").toLong,
+        (nWords >> 16) + 1L)).toString)
+    val tok = trainDistributedLoop(
+      loop.createDataFrame(wf0.toDF().rdd, wf0.schema), nMerges, batchRounds)
+    Tokenizer(tok.merges,
+      caller.createDataFrame(tok.pieces.toDF().rdd, tok.pieces.schema))
   }
 
   private def trainDistributedLoop(wf0: DataFrame, nMerges: Int,

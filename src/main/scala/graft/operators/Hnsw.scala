@@ -259,7 +259,10 @@ object Hnsw {
     // dropped); an over-limit set keeps the cache so the count and the
     // chunked fan-out finish + reuse the SAME evaluation — an
     // expensive upstream query plan runs exactly once either way
-    q.persist()
+    // tracked: the chunked path keeps this cache alive past return
+    // (the returned frame owns it), so CacheTracker.unpersistAll must
+    // be able to reclaim it like every other internally-persisted frame
+    graft.CacheTracker.track(q.persist())
     val limitI = math.min(broadcastQueryLimit, (Int.MaxValue - 2).toLong).toInt
     val probe: Array[(Long, Array[Long], Long)] =
       q.as[(Long, Array[Long], Long)].head(limitI + 1)

@@ -432,14 +432,17 @@ object Similarity {
     * Lloyd reassignment spreads the label's vectors near-uniformly
     * across its sub-cells (each vector's preferred noise direction is
     * its own); exact copies still land together — reassignment is a
-    * pure function of the embedding. `subCells = 1` (default) is the
+    * pure function of the embedding. `subCells = 0` (default) is the
     * original fixed-seed behavior, cell keeping the seed column's
-    * type.
+    * type; ANY `subCells >= 1` takes the scaled BIGINT formula — a
+    * derived S that collapses to 1 must still type `cell` exactly
+    * like S = 2 would, or the judged row's schema would flip under
+    * the oracle at corpora where ⌈√n⌉ ≤ #labels.
     */
   def semanticPairsExact(corpus: DataFrame, seedCol: String,
-      subCells: Int = 1): DataFrame = {
+      subCells: Int = 0): DataFrame = {
     val seed =
-      if (subCells <= 1) col(seedCol).as("cell")
+      if (subCells < 1) col(seedCol).as("cell")
       else (col(seedCol).cast("long") * subCells +
         pmod(col("vec_id"), lit(subCells.toLong))).as("cell")
     val c = corpus.select(col("vec_id"), seed,

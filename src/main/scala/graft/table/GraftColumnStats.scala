@@ -139,17 +139,19 @@ private[table] object GraftColumnStats {
       // (each file holding few of the table's values) dividing a
       // file's live rows by the union under-prices its match by up to
       // #files× — and this estimate drives static broadcast sizing
-      // and the delete.mode=auto DV-vs-CoW crossover. The union is
-      // only the fallback for files that lack a sketch.
-      val ndvFor: Map[String, NdvSource] = zoneCols.collect {
+      // and the delete.mode=auto DV-vs-CoW crossover. No union
+      // fallback: a live file without its own sketch would make the
+      // union refuse too (sketchNdv requires every live file), and a
+      // zero-live file's selectivity can't move its 1-row floor.
+      val ndvFor: Map[String, Map[String, Long]] = zoneCols.collect {
         case (c, rs) if isMergedPoint(files, c, rs) ||
             files.exists(_.stats.get(c).exists(_.tpe == "str")) =>
-          c -> NdvSource(fileNdvs(files, c), sketchNdv(files, c, c))
+          c -> fileNdvs(files, c)
       }.toMap
       val zoneRows = files.map { f =>
         val live = f.rows - f.dv.map(_.rows).getOrElse(0L)
         val sel = zoneCols.map { case (c, rs) =>
-          overlapFrac(f, c, rs, ndvFor.get(c).flatMap(_.forFile(f)))
+          overlapFrac(f, c, rs, ndvFor.get(c).flatMap(_.get(f.path)))
         }.product
         math.max(1L, math.round(live * sel))
       }.sum
@@ -418,16 +420,6 @@ private[table] object GraftColumnStats {
       }
     }
     out
-  }
-
-  /** NDV claims for one column: each file's own decoded sketch (keyed
-    * by file path) with the table-level union as the fallback for
-    * files carrying none.
-    */
-  private final case class NdvSource(perFile: Map[String, Long],
-      union: Option[Long]) {
-    def forFile(f: AddFile): Option[Long] =
-      perFile.get(f.path).orElse(union)
   }
 
   /** Each file's OWN per-column HLL estimate — the right denominator

@@ -36,13 +36,12 @@ object Sf1Timing {
   private[tools] def previousRatios(outPath: String): Map[String, Double] = {
     val outRound = "_r(\\d+)".r.findFirstMatchIn(outPath)
       .map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    val rec = "^SF1_TIMING_r(\\d+)\\.json$".r
     val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-      .filter { f =>
-        "^SF1_TIMING_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
-          .exists(_.group(1).toInt < outRound)
-      }
-      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-      .lastOption
+      .flatMap(f => rec.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt).filter(_ < outRound).map(r => (r, f)))
+      .sortBy(_._1)
+      .lastOption.map(_._2)
     prev.map { f =>
       val txt = Files.readString(f.toPath)
       """"([A-Za-z0-9_]+)":\{"sf01_sec":[^}]*"ratio":([0-9.]+)""".r
