@@ -3309,7 +3309,9 @@ object GraftTable {
     * case); DV'd files read with `_metadata.{file_path,row_index}` and
     * anti-join their positions out. The DV frame is bounded by
     * deleted-row count (and [[purgeDeletes]] is the maintenance move
-    * when it grows), so the anti-join broadcasts.
+    * when it grows); the anti-join broadcasts only under
+    * [[DvBroadcastMaxPositions]] and shuffles past it — see
+    * [[readMasked]].
     */
   private[table] def readFiles(spark: SparkSession, root: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame = {

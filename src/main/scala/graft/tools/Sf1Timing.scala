@@ -37,7 +37,10 @@ object Sf1Timing {
     val outRound = "_r(\\d+)".r.findFirstMatchIn(outPath)
       .map(_.group(1).toInt).getOrElse(Int.MaxValue)
     val rec = "^SF1_TIMING_r(\\d+)\\.json$".r
-    val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+    // records live next to the OUTPUT record, not necessarily the cwd
+    val dir = Option(new java.io.File(outPath).getParentFile)
+      .getOrElse(new java.io.File("."))
+    val prev = Option(dir.listFiles()).getOrElse(Array())
       .flatMap(f => rec.findFirstMatchIn(f.getName)
         .map(_.group(1).toInt).filter(_ < outRound).map(r => (r, f)))
       .sortBy(_._1)
@@ -51,6 +54,11 @@ object Sf1Timing {
   }
 
   def main(args: Array[String]): Unit = {
+    // the record is machine-read (next round's trend diff parses it
+    // with a dot-decimal regex): pin the f-interpolators, which format
+    // in the DEFAULT locale, to ROOT so a comma-decimal locale can't
+    // emit invalid JSON / silently wrong trend ratios
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outPath = args.headOption.getOrElse("SF1_TIMING.json")
     val prevRatios = previousRatios(outPath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
