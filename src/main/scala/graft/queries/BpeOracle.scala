@@ -41,7 +41,14 @@ object BpeOracle {
     * `text` column (whitespace words, `</w>` end marker), textbook
     * full-recount loop.
     */
-  def mergesRows(dir: String, nMerges: Int): Seq[(Long, String, String)] = {
+  def mergesRows(dir: String, nMerges: Int): Seq[(Long, String, String)] =
+    trained(dir, nMerges)._1
+
+  /** Run the textbook loop once: (ranked merges, finished
+    * word → pieces map).
+    */
+  private def trained(dir: String, nMerges: Int)
+      : (Seq[(Long, String, String)], Map[String, Vector[String]]) = {
     val spark = org.apache.spark.sql.SparkSession.active
     val wf = mutable.HashMap.empty[String, Long]
     spark.read.parquet(s"$dir/documents.parquet")
@@ -96,10 +103,56 @@ object BpeOracle {
         }
       }
     }
-    merges.zipWithIndex.map { case ((a, b), i) => ((i + 1).toLong, a, b) }.toSeq
+    (merges.zipWithIndex.map { case ((a, b), i) =>
+      ((i + 1).toLong, a, b)
+    }.toSeq,
+      words.indices.map(i => words(i)._1 -> syms(i)).toMap)
+  }
+
+  /** `text_bpe_encode`'s expected rows: tokenize every doc with
+    * `doc_id < maxDocId` using the word → pieces map the textbook loop
+    * finished with — (doc_id, wpos, spos, piece), whitespace words
+    * (empties skipped but POSITIONS counted, the posexplode contract).
+    */
+  def encodeRows(dir: String, nMerges: Int, maxDocId: Long)
+      : Seq[(Long, Int, Int, String)] = {
+    val pieces = trained(dir, nMerges)._2
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < maxDocId)
+      .collect()
+      .sortBy(_.getLong(0))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        r.getString(1).split(" ", -1).zipWithIndex.flatMap {
+          case (w, wpos) =>
+            if (w.isEmpty) Seq.empty
+            else pieces(w).zipWithIndex.map { case (p, spos) =>
+              (id, wpos, spos, p)
+            }
+        }
+      }.toSeq
   }
 
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The derived tokenization as the judged DuckDB relation
+    * `(doc_id BIGINT, wpos INT, spos INT, piece VARCHAR)`.
+    */
+  def encodeSql(dir: String, nMerges: Int, maxDocId: Long): String = {
+    val rows = encodeRows(dir, nMerges, maxDocId)
+    require(rows.nonEmpty, "BPE encode oracle derived zero rows")
+    val vs = rows.map { case (id, w, s, p) => s"($id, $w, $s, ${lit(p)})" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(wpos AS INT) AS wpos,
+       |       CAST(spos AS INT) AS spos,
+       |       CAST(piece AS VARCHAR) AS piece
+       |FROM (VALUES
+       |  $vs) AS t(doc_id, wpos, spos, piece)
+       |ORDER BY doc_id, wpos, spos""".stripMargin
+  }
 
   /** The derived merges as the judged DuckDB relation
     * `(rank BIGINT, a VARCHAR, b VARCHAR)` ordered by rank.

@@ -21,6 +21,13 @@ import graft.queries.Contract.Q
   */
 object LlmOps {
 
+  /** Trained tokenizer per source generation (fingerprint → tok) —
+    * model-sized driver state, the HNSW build-once discipline applied
+    * to training so bench reps pay encode, not re-training.
+    */
+  private val tokCache =
+    scala.collection.mutable.HashMap.empty[Long, graft.operators.Bpe.Tokenizer]
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -1337,6 +1344,28 @@ object LlmOps {
       },
       None),
 
+    // BPE tokenizer APPLICATION (round 15 — encode judged, closing the
+    // last spec-only BPE surface): train once per source generation
+    // (cached under the HNSW fingerprint discipline — the tokenizer is
+    // model-sized driver state), then `Bpe.encode` tokenizes a bounded
+    // doc slice distributed (split → broadcast vocab join → ordered
+    // flatten). Oracle: [[BpeOracle.encodeSql]] applies the pieces map
+    // its OWN textbook loop finished with (see annOracles).
+    ("text_bpe_encode",
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val fp = src.length ^ (src.lastModified * 31) ^ 48L
+        val tok = LlmOps.synchronized {
+          tokCache.getOrElseUpdate(fp,
+            graft.operators.Bpe.train(d, "text", nMerges = 48))
+        }
+        graft.operators.Bpe
+          .encode(d.filter(col("doc_id") < 50), "doc_id", "text", tok)
+          .orderBy("doc_id", "wpos", "spos")
+      },
+      None),
+
     // Multinomial Naive Bayes language classifier, trained and applied
     // in-engine (the fastText-shaped curation move: cheap supervised
     // scoring at corpus scale) — [[graft.operators.NaiveBayes]] over
@@ -1424,6 +1453,8 @@ object LlmOps {
         "ann_ivfpq_topk" -> AnnOracle.ivfPqTopKSql(dir),
         "ann_hnsw_topk" -> AnnOracle.hnswTopKSql(dir),
         "text_bpe_merges" -> BpeOracle.mergesSql(dir, nMerges = 48),
+        "text_bpe_encode" -> BpeOracle.encodeSql(dir, nMerges = 48,
+          maxDocId = 50L),
         "text_pack_greedy" -> PackOracle.manifestSql(dir,
           cap = PackOracle.JudgedCap, maxDocId = PackOracle.JudgedMaxDocId),
         "ann_ivf_index" -> AnnOracle.ivfIndexTopKSql(dir))
