@@ -23,10 +23,20 @@ object LlmOps {
 
   /** Trained tokenizer per source generation (fingerprint → tok) —
     * model-sized driver state, the HNSW build-once discipline applied
-    * to training so bench reps pay encode, not re-training.
+    * to training so bench reps pay encode, not re-training. Bounded:
+    * a vocab-sized pieces frame per entry would otherwise accumulate
+    * across source generations in a long-lived session, so the oldest
+    * entries evict past a handful (access-ordered LinkedHashMap).
     */
-  private val tokCache =
-    scala.collection.mutable.HashMap.empty[Long, graft.operators.Bpe.Tokenizer]
+  private val tokCache = {
+    val m = new java.util.LinkedHashMap[Long, graft.operators.Bpe.Tokenizer](
+      8, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, graft.operators.Bpe.Tokenizer]): Boolean =
+        size() > 4
+    }
+    scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")

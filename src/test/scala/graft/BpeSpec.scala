@@ -142,6 +142,47 @@ class BpeSpec extends SparkSpec {
       s"24 distributed merge rounds must cost well under 24 scheduler actions, got $jobs")
   }
 
+  test("property: incremental loops ≡ textbook recount on adversarial random corpora") {
+    // the incremental maintenance (driver inverted-index/heap AND
+    // distributed delta frames) is exactly where overlap chains break
+    // subtly: repeated symbols ("aaaa" merging (a,a) non-overlapping),
+    // pairs whose counts collapse to zero and re-rank the heap,
+    // merged symbols recombining ((a,ab) after (a,b)). A 3-letter
+    // alphabet maximizes such collisions. Both engine paths must
+    // equal the textbook full-recount loop on every seeded sample.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpus = for {
+      nw <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(nw, word)
+      fs <- Gen.listOfN(nw, Gen.choose(1, 9))
+    } yield ws.zip(fs)
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1 to 8).foreach { i =>
+      // weighted corpus as repeated-doc rows + a guaranteed overlap chain
+      val rows = sample(corpus, 4200L + i)
+        .flatMap { case (w, f) => Seq.fill(f)(w) } :+ "aaaa"
+      val df = rows.toDF("text")
+      val wfMap = rows.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val (refMerges, refSyms) = refBpe(wfMap, nMerges = 12)
+      val drv = Bpe.train(df, "text", nMerges = 12)
+      val dist = Bpe.train(df, "text", nMerges = 12,
+        driverFoldMaxWords = 0, batchRounds = 3)
+      def pieceMap(t: Bpe.Tokenizer) = t.pieces.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+      assert(drv.merges == refMerges,
+        s"seed $i: driver merges ${drv.merges} != ref $refMerges (corpus $wfMap)")
+      assert(dist.merges == refMerges,
+        s"seed $i: distributed merges ${dist.merges} != ref $refMerges (corpus $wfMap)")
+      assert(pieceMap(drv) == refSyms, s"seed $i: driver pieces diverge")
+      assert(pieceMap(dist) == refSyms, s"seed $i: distributed pieces diverge")
+    }
+  }
+
   test("encode: pieces concatenate back to each word (lossless), both join paths") {
     val sample = docs.filter(col("doc_id") < 50)
     for (bcast <- Seq(true, false)) {
