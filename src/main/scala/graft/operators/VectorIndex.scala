@@ -30,8 +30,24 @@ import graft.operators.Similarity.{idot, quant, sumsq}
   * drop out. All shuffles are bounded: assignment is a broadcast
   * cross-join against ≤`nCells` centroids, means are one hash
   * aggregation per round.
+  *
+  * Lloyd rounds train on a SAMPLE, not the corpus: past `nSample`
+  * vectors the rounds run over the `nSample` lowest
+  * `(xxhash64(vec_id), vec_id)` vectors — the same deterministic
+  * ordering that picks the seeds, so the seeds are the sample's own
+  * prefix — and only the single final assignment touches the full
+  * corpus. That drops training from O(n·k·iters) to
+  * O(min(n, nSample)·k·iters) + O(n·k), the standard coarse-quantizer
+  * discipline (IVF codebooks are trained on a bounded sample of the
+  * corpus; Jégou, Douze & Schmid 2011 §V train on learning sets far
+  * smaller than the indexed base). Bit-determinism is unchanged: the
+  * sample is an exact hash-ranked set, so same data ⇒ same sample ⇒
+  * byte-identical centroids under any partitioning. Corpora at or
+  * under `nSample` train on everything — sampling only ever engages
+  * where it pays.
   */
-final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
+final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5,
+    nSample: Int = 4096) {
 
   private def centroidsPath = s"$stateDir/centroids"
   private def vectorsPath = s"$stateDir/vectors"
@@ -73,18 +89,30 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
   def build(spark: SparkSession, emb: DataFrame): Unit = {
     val v = graft.CacheTracker.track(quantized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    v.count()
-    // deterministic data-dependent seeds: lowest-hash vectors. The
-    // partitionless window below numbers the ≤nCells seed rows AFTER
-    // the limit — bounded by the centroid count (small by definition),
-    // never by data volume, so the single-task sort is fine at any SF
-    var cents = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+    val n = v.count()
+    // Lloyd training set: the full corpus while it fits nSample, else
+    // the nSample lowest-hash vectors (a top-k over the hash order —
+    // per-partition heaps + one bounded driver merge, never a global
+    // sort). Persisted: every Lloyd round re-reads it.
+    val train =
+      if (n <= nSample) v
+      else graft.CacheTracker.track(
+        v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nSample)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (train ne v) train.count()
+    // deterministic data-dependent seeds: lowest-hash vectors — the
+    // head of the SAME ordering that draws the training sample, so
+    // seeds ⊆ sample by construction. The partitionless window below
+    // numbers the ≤nCells seed rows AFTER the limit — bounded by the
+    // centroid count (small by definition), never by data volume, so
+    // the single-task sort is fine at any SF
+    var cents = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
       .withColumn("cell", row_number().over(
         Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))).cast("int"))
       .select(col("cell"), col("qa").as("cm"), col("qn").as("cn"))
     var i = 0
     while (i < iters) {
-      cents = means(assign(v, cents))
+      cents = means(assign(train, cents))
       i += 1
     }
     val finalCents = graft.CacheTracker.track(cents
@@ -97,7 +125,7 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5) {
     assigned.write.mode("overwrite").parquet(vectorsPath)
     // release LOCALLY: a global unpersistAll could race another
     // operator's pin-before-append window in the same JVM
-    Seq(v, finalCents, assigned).foreach(_.unpersist(blocking = false))
+    Seq(v, train, finalCents, assigned).foreach(_.unpersist(blocking = false))
   }
 
   def centroids(spark: SparkSession): DataFrame =

@@ -311,11 +311,20 @@ object AnnOracle {
     * (empty cells drop), one final assignment into state, then an
     * `nprobe`-cell search with SELF-MATCHES KEPT (the index contract:
     * an indexed vector queried by itself is rank 1, cos 1).
+    *
+    * Lloyd rounds train on the `nSample` lowest-(xxhash64, id) vectors
+    * once the corpus exceeds `nSample` (the engine's coarse-quantizer
+    * sampling, round 16); the final assignment always covers the full
+    * corpus.
     */
   def ivfIndexRows(dir: String, nCells: Int = 16, iters: Int = 5,
       k: Int = 5, nprobe: Int = 3,
-      maxQueryId: Long = 10L): Seq[(Long, Long, Long, Double)] = {
+      maxQueryId: Long = 10L, nSample: Int = 4096)
+      : Seq[(Long, Long, Long, Double)] = {
     val corpus = load(dir)
+    val train =
+      if (corpus.length <= nSample) corpus
+      else corpus.sortBy(v => (xxh64(v.id), v.id)).take(nSample)
     def cnOf(cm: Array[Long]): Long = cm.map(x => x * x).sum
     def assignOf(v: Vec, cs: mutable.SortedMap[Int, Array[Long]]): Int = {
       // ascending cells + strict improvement = (ccos desc, cell asc)
@@ -329,12 +338,12 @@ object AnnOracle {
     }
     val byId = corpus.map(v => v.id -> v).toMap
     var cents = mutable.SortedMap.empty[Int, Array[Long]]
-    corpus.map(_.id).sortBy(id => (xxh64(id), id)).take(nCells)
+    train.map(_.id).sortBy(id => (xxh64(id), id)).take(nCells)
       .zipWithIndex.foreach { case (id, i) => cents(i + 1) = byId(id).qa }
     var it = 0
     while (it < iters) {
       val next = mutable.SortedMap.empty[Int, Array[Long]]
-      corpus.groupBy(v => assignOf(v, cents)).foreach { case (cell, vs) =>
+      train.groupBy(v => assignOf(v, cents)).foreach { case (cell, vs) =>
         val dim = vs.head.qa.length
         val n = BigInt(vs.length)
         next(cell) = Array.tabulate(dim) { d =>

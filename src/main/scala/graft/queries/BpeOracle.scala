@@ -37,6 +37,13 @@ object BpeOracle {
     a.length - b.length
   }
 
+  /** Code-point split (Spark `substring` semantics — supplementary
+    * characters stay whole), derived independently via the codePoints
+    * stream rather than the engine's charCount walk.
+    */
+  private def cps(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(Character.toString)
+
   /** The expected ranked merge list over `dir/documents.parquet`'s
     * `text` column (whitespace words, `</w>` end marker), textbook
     * full-recount loop.
@@ -45,21 +52,24 @@ object BpeOracle {
     trained(dir, nMerges)._1
 
   /** Run the textbook loop once: (ranked merges, finished
-    * word → pieces map).
+    * word → pieces map). `docFilter` restricts the TRAINING docs (the
+    * OOV row trains on even doc_ids only).
     */
-  private def trained(dir: String, nMerges: Int)
+  private def trained(dir: String, nMerges: Int,
+      docFilter: Long => Boolean = _ => true)
       : (Seq[(Long, String, String)], Map[String, Vector[String]]) = {
     val spark = org.apache.spark.sql.SparkSession.active
     val wf = mutable.HashMap.empty[String, Long]
     spark.read.parquet(s"$dir/documents.parquet")
-      .select("text").collect().foreach { r =>
-        r.getString(0).split(" ").foreach { w =>
-          if (w.nonEmpty) wf.update(w, wf.getOrElse(w, 0L) + 1L)
-        }
+      .select("doc_id", "text").collect().foreach { r =>
+        if (docFilter(r.getLong(0)))
+          r.getString(1).split(" ").foreach { w =>
+            if (w.nonEmpty) wf.update(w, wf.getOrElse(w, 0L) + 1L)
+          }
       }
     val words = wf.toArray
     val syms: Array[Vector[String]] = words.map { case (w, _) =>
-      w.map(_.toString).toVector :+ "</w>"
+      cps(w) :+ "</w>"
     }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -133,6 +143,50 @@ object BpeOracle {
             }
         }
       }.toSeq
+  }
+
+  /** `text_bpe_encode_oov`'s expected rows: train the textbook loop on
+    * EVEN doc_ids only, then tokenize each odd doc with
+    * `doc_id < maxDocId` after appending the guaranteed-unseen token
+    * `𝄞oov<doc_id>` — a word absent from the pieces map falls back to
+    * its code-point characters + `</w>` (the engine's left-join
+    * fallback contract; the supplementary-plane clef stays ONE piece).
+    */
+  def encodeOovRows(dir: String, nMerges: Int, maxDocId: Long)
+      : Seq[(Long, Int, Int, String)] = {
+    val pieces = trained(dir, nMerges, _ % 2 == 0)._2
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .filter(r => r.getLong(0) % 2 == 1 && r.getLong(0) < maxDocId)
+      .sortBy(_.getLong(0))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1) + " 𝄞oov" + id
+        text.split(" ", -1).zipWithIndex.flatMap { case (w, wpos) =>
+          if (w.isEmpty) Seq.empty
+          else pieces.getOrElse(w, cps(w) :+ "</w>")
+            .zipWithIndex.map { case (p, spos) => (id, wpos, spos, p) }
+        }
+      }.toSeq
+  }
+
+  /** The derived OOV tokenization as the judged DuckDB relation (same
+    * shape as [[encodeSql]]).
+    */
+  def encodeOovSql(dir: String, nMerges: Int, maxDocId: Long): String = {
+    val rows = encodeOovRows(dir, nMerges, maxDocId)
+    require(rows.nonEmpty, "BPE OOV encode oracle derived zero rows")
+    val vs = rows.map { case (id, w, s, p) => s"($id, $w, $s, ${lit(p)})" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(wpos AS INT) AS wpos,
+       |       CAST(spos AS INT) AS spos,
+       |       CAST(piece AS VARCHAR) AS piece
+       |FROM (VALUES
+       |  $vs) AS t(doc_id, wpos, spos, piece)
+       |ORDER BY doc_id, wpos, spos""".stripMargin
   }
 
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"

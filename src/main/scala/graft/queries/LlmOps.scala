@@ -29,13 +29,34 @@ object LlmOps {
     * entries evict past a handful (access-ordered LinkedHashMap).
     */
   private val tokCache = {
-    val m = new java.util.LinkedHashMap[Long, graft.operators.Bpe.Tokenizer](
+    val m = new java.util.LinkedHashMap[(Int, Long), graft.operators.Bpe.Tokenizer](
       8, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, graft.operators.Bpe.Tokenizer]): Boolean =
+          e: java.util.Map.Entry[(Int, Long), graft.operators.Bpe.Tokenizer]): Boolean =
         size() > 4
     }
     scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+  }
+
+  /** Cache key for session-bound driver state over a parquet source: a
+    * Tokenizer's pieces frame belongs to the SparkSession that trained
+    * it, so the session's identity is part of the key (a hit from a
+    * different — possibly stopped — session would hand out a dead
+    * frame), and the source fingerprint folds EVERY data file's name,
+    * length, and mtime (a directory's own `length()` is meaningless
+    * and a regenerated same-size corpus inside mtime granularity would
+    * collide on the old length^mtime scheme). `salt` separates
+    * consumers training different configurations off the same source.
+    */
+  private def tokKey(s: SparkSession, path: String,
+      salt: Long): (Int, Long) = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(17L)((a, c) => a * 1099511628211L ^ walk(c))
+      else f.getName.hashCode.toLong * 2654435761L ^
+        f.length * 31L ^ f.lastModified
+    (System.identityHashCode(s), walk(new java.io.File(path)) ^ salt)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -1344,6 +1365,14 @@ object LlmOps {
     // distributed program under test.
     ("text_bpe_merges",
       (s: SparkSession, dir: String) => {
+        // batchRounds stays at the default 8 — round 16 measured the
+        // alternatives on this row (sf0.1, 3-rep medians): 24 → 10.6 s,
+        // 4 → 7.5 s, inline-argmax variants → 8.5-12.1 s, vs 7.3 s
+        // here; the loop sits at its construction+execution balance
+        // point and the remaining cost is the deliberate price of
+        // forcing the distributed trainer (driverFoldMaxWords = 0)
+        // through all 48 rounds. The default driver-fold path trains
+        // this list in ~0.5 s.
         val tok = graft.operators.Bpe.train(docs(s, dir), "text",
           nMerges = 48, driverFoldMaxWords = 0)
         import s.implicits._
@@ -1364,14 +1393,41 @@ object LlmOps {
     ("text_bpe_encode",
       (s: SparkSession, dir: String) => {
         val d = docs(s, dir)
-        val src = new java.io.File(s"$dir/documents.parquet")
-        val fp = src.length ^ (src.lastModified * 31) ^ 48L
         val tok = LlmOps.synchronized {
-          tokCache.getOrElseUpdate(fp,
+          tokCache.getOrElseUpdate(tokKey(s, s"$dir/documents.parquet", 48L),
             graft.operators.Bpe.train(d, "text", nMerges = 48))
         }
         graft.operators.Bpe
           .encode(d.filter(col("doc_id") < 50), "doc_id", "text", tok)
+          .orderBy("doc_id", "wpos", "spos")
+      },
+      None),
+
+    // BPE encode with OUT-OF-VOCABULARY words (round 16 — the real
+    // deployment shape: train on a SAMPLE, encode the corpus): the
+    // tokenizer trains on even-doc_id docs only, the encoded slice is
+    // odd docs with a guaranteed-unseen token appended per doc —
+    // "𝄞oov<doc_id>", whose leading U+1D11E MUSICAL SYMBOL G CLEF is
+    // a supplementary-plane code point, so the row also hash-judges
+    // the code-point symbol contract (a UTF-16 code-unit split would
+    // emit two lone-surrogate pieces and diverge from the oracle).
+    // Engine: Bpe.encode's LEFT vocab join + initial-symbol fallback
+    // (character pieces + </w>). Oracle: [[BpeOracle.encodeOovSql]]'s
+    // textbook loop over the same slices with its own code-point
+    // fallback.
+    ("text_bpe_encode_oov",
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val tok = LlmOps.synchronized {
+          tokCache.getOrElseUpdate(
+            tokKey(s, s"$dir/documents.parquet", 0xB0E00DL),
+            graft.operators.Bpe.train(
+              d.filter(col("doc_id") % 2 === 0), "text", nMerges = 48))
+        }
+        val enc = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 50)
+          .withColumn("text", concat(col("text"), lit(" 𝄞oov"),
+            col("doc_id").cast("string")))
+        graft.operators.Bpe.encode(enc, "doc_id", "text", tok)
           .orderBy("doc_id", "wpos", "spos")
       },
       None),
@@ -1464,6 +1520,8 @@ object LlmOps {
         "ann_hnsw_topk" -> AnnOracle.hnswTopKSql(dir),
         "text_bpe_merges" -> BpeOracle.mergesSql(dir, nMerges = 48),
         "text_bpe_encode" -> BpeOracle.encodeSql(dir, nMerges = 48,
+          maxDocId = 50L),
+        "text_bpe_encode_oov" -> BpeOracle.encodeOovSql(dir, nMerges = 48,
           maxDocId = 50L),
         "text_pack_greedy" -> PackOracle.manifestSql(dir,
           cap = PackOracle.JudgedCap, maxDocId = PackOracle.JudgedMaxDocId),

@@ -53,12 +53,19 @@ object Sf1Timing {
     }.getOrElse(Map.empty)
   }
 
+  /** Dot-decimal formatting regardless of the ambient locale: the
+    * record is machine-read (next round's trend diff parses it with a
+    * dot-decimal regex), and a bare f-interpolator formats in the
+    * DEFAULT locale. Formatting per-field instead of mutating the
+    * process-wide default keeps the object safe to invoke from a
+    * shared JVM (sbt interactive, tests), where Locale.setDefault
+    * would leak into unrelated code.
+    */
+  private def rootf(fmt: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, fmt,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   def main(args: Array[String]): Unit = {
-    // the record is machine-read (next round's trend diff parses it
-    // with a dot-decimal regex): pin the f-interpolators, which format
-    // in the DEFAULT locale, to ROOT so a comma-decimal locale can't
-    // emit invalid JSON / silently wrong trend ratios
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outPath = args.headOption.getOrElse("SF1_TIMING.json")
     val prevRatios = previousRatios(outPath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,16 +108,18 @@ object Sf1Timing {
       val b = time(n, sf1Dir)
       val ratio = b / math.max(0.001, a)
       val trend = prevRatios.get(n).map(p => ratio / math.max(0.001, p))
-      val ts = trend.map(t => f" trend=$t%5.2fx").getOrElse("")
-      System.err.println(
-        f"[sf1timing] $n%-24s sf0.1=$a%7.2fs sf1=$b%8.2fs ratio=$ratio%6.2fx$ts")
+      val ts = trend.map(t => rootf(" trend=%5.2fx", t)).getOrElse("")
+      System.err.println(rootf(
+        "[sf1timing] %-24s sf0.1=%7.2fs sf1=%8.2fs ratio=%6.2fx%s",
+        n, a, b, ratio, ts))
       (n, a, b, ratio, trend)
     }
     val flagged = rows.filter(_._4 > 25.0).map(_._1)
     val trendFlagged = rows.filter(_._5.exists(_ > 1.5)).map(_._1)
     val json = rows.map { case (n, a, b, r, t) =>
-      val tj = t.map(v => f""","trend":$v%.2f""").getOrElse("")
-      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f$tj}"""
+      val tj = t.map(v => rootf(""","trend":%.2f""", v)).getOrElse("")
+      rootf(""""%s":{"sf01_sec":%.3f,"sf1_sec":%.3f,"ratio":%.2f%s}""",
+        n, a, b, r, tj)
     }.mkString(
       s"""{"family":"superlinear-risk","data_ratio":10,"flag_over":25.0,""" +
         s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +

@@ -183,6 +183,71 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane text: code-point symbols, driver ≡ distributed") {
+    // U+1D11E (𝄞) is one code point, two UTF-16 code units: a
+    // code-UNIT split would hand the driver fold two lone surrogates
+    // (degrading to '?' bytes under UTF-8 comparison) while Spark's
+    // substring keeps the character whole — the byte-identical-paths
+    // contract must hold OUTSIDE the BMP too.
+    import spark.implicits._
+    val clef = "𝄞"
+    val df = Seq(s"${clef}a ${clef}a ${clef}b xy", s"${clef}a xy xy")
+      .toDF("text")
+    val drv = Bpe.train(df, "text", nMerges = 6)
+    val dist = Bpe.train(df, "text", nMerges = 6, driverFoldMaxWords = 0,
+      batchRounds = 3)
+    assert(drv.merges == dist.merges,
+      s"non-BMP merges diverge:\ndriver ${drv.merges}\ndist   ${dist.merges}")
+    def pieceMap(t: Bpe.Tokenizer) = t.pieces.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(pieceMap(drv) == pieceMap(dist))
+    // the clef is a single symbol everywhere: no piece may hold a
+    // lone surrogate
+    pieceMap(drv).values.flatten.foreach { p =>
+      p.foreach(c => assert(!Character.isSurrogate(c) ||
+        p.codePointCount(0, p.length) < p.length,
+        s"lone surrogate leaked into piece ${p.map(_.toInt)}"))
+    }
+    // (𝄞a, </w>) dominates (freq 2): the learned merges must treat 𝄞
+    // as one unit — the top merge pair's left side starts with the
+    // full clef, never half of it
+    assert(drv.merges.exists { case (a, b) => (a + b).contains(clef) },
+      s"expected a merge containing the full clef, got ${drv.merges}")
+  }
+
+  test("encode: OOV words are never dropped — code-point char fallback") {
+    import spark.implicits._
+    // tok30 trained on the documents corpus; encode text containing
+    // words it has never seen, including a supplementary-plane one
+    val clef = "𝄞"
+    val oov = Seq((1L, s"zzunseen ${clef}oov7"), (2L, "zzunseen"))
+      .toDF("doc_id", "text")
+    for (bcast <- Seq(true, false)) {
+      val enc = Bpe.encode(oov, "doc_id", "text", tok30,
+        broadcastVocab = bcast)
+        .orderBy("doc_id", "wpos", "spos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      // every OOV word present, as code-point characters + </w>
+      val w1 = enc.filter(r => r._1 == 1L && r._2 == 0).map(_._4).toVector
+      assert(w1 == "zzunseen".map(_.toString).toVector :+ Bpe.EndOfWord,
+        s"broadcast=$bcast: $w1")
+      val w2 = enc.filter(r => r._1 == 1L && r._2 == 1).map(_._4).toVector
+      assert(w2 == Vector(clef, "o", "o", "v", "7", Bpe.EndOfWord),
+        s"broadcast=$bcast: the clef must stay ONE piece, got $w2")
+      assert(enc.count(_._1 == 2L) == 9, s"broadcast=$bcast: doc 2 dropped")
+    }
+    // mixed known/unknown: known words still take their trained pieces
+    val vocabWord = tok30.pieces.select("word", "syms")
+      .orderBy(col("word")).limit(1).collect().head
+    val mixed = Seq((3L, s"${vocabWord.getString(0)} zzunseen"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(mixed, "doc_id", "text", tok30)
+      .filter(col("wpos") === 0).orderBy("spos")
+      .collect().map(_.getString(3)).toVector
+    assert(got == vocabWord.getSeq[String](1).toVector,
+      "in-vocab word must keep its trained pieces under the left join")
+  }
+
   test("encode: pieces concatenate back to each word (lossless), both join paths") {
     val sample = docs.filter(col("doc_id") < 50)
     for (bcast <- Seq(true, false)) {

@@ -24,6 +24,37 @@ class VectorIndexSpec extends SparkSpec {
       "exact-integer centroids must be identical across builds")
   }
 
+  test("sampled k-means: Lloyd sees exactly the lowest-hash sample") {
+    // Past nSample the Lloyd rounds must train on the nSample
+    // lowest-(xxhash64(vec_id), vec_id) vectors and nothing else — so
+    // a sampled build over the full corpus and an unsampled build over
+    // just that sample must learn BYTE-IDENTICAL centroids (only the
+    // final full-corpus assignment differs). Also pins determinism of
+    // the sampled path: two sampled builds agree.
+    val (dFull, dFull2, dSub) = (tmp(), tmp(), tmp())
+    new VectorIndex(dFull, nCells = 8, iters = 3, nSample = 64)
+      .build(spark, emb)
+    new VectorIndex(dFull2, nCells = 8, iters = 3, nSample = 64)
+      .build(spark, emb)
+    val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+    new VectorIndex(dSub, nCells = 8, iters = 3).build(spark, sample)
+    val cFull = spark.read.parquet(s"$dFull/centroids").orderBy("cell").collect()
+    val cFull2 = spark.read.parquet(s"$dFull2/centroids").orderBy("cell").collect()
+    val cSub = spark.read.parquet(s"$dSub/centroids").orderBy("cell").collect()
+    assert(cFull.sameElements(cFull2), "sampled build must be deterministic")
+    assert(cFull.sameElements(cSub),
+      "sampled Lloyd must equal an unsampled build on the sample itself")
+    // the final assignment still covers the FULL corpus
+    assert(spark.read.parquet(s"$dFull/vectors").count() == emb.count())
+    // and the sampled index still honors the self-match contract
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val idx = new VectorIndex(dFull, nCells = 8, iters = 3, nSample = 64)
+    idx.search(spark, qs, k = 1, nprobe = 8).collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    }
+  }
+
   test("added vectors are searchable; self-query hits itself at cos 1") {
     val dir = tmp()
     val half1 = emb.filter(col("vec_id") % 2 === 0)
