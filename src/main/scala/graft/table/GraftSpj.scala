@@ -438,16 +438,29 @@ class GraftBatchScan(spark: SparkSession, root: String,
       }.toArray,
       groups.size)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // QUALIFY the table root once, driver-side, before paths ship to
+    // executors: a relative root (e.g. a cwd-relative warehouse)
+    // resolves against each process's OWN working directory, so it
+    // works in local[n] (executor threads share the driver's cwd) but
+    // every task of a REAL executor process fails with
+    // FileNotFoundException — caught by the local-cluster[2,8,4096]
+    // gate (round 16). makeQualified is the same resolution Spark's
+    // own FileIndex applies to V1 reads.
+    val qRoot = {
+      val p = new Path(root)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
+    }
     groups.map { case (tuple, fs) =>
       val key = tuple.zip(snap.spec).map { case (enc, t) =>
         GraftSpj.decodeKey(enc, t, srcType(t))
       }.toArray
       GraftSpjPartition(key,
-        fs.map(f => GraftSpjFile(new Path(root, f.path).toString, f.rows,
-          f.dv.map(d => (new Path(root, d.path).toString,
+        fs.map(f => GraftSpjFile(new Path(qRoot, f.path).toString, f.rows,
+          f.dv.map(d => (new Path(qRoot, d.path).toString,
             GraftTable.fileKeyOf(f.path), d.rows)))))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // (logical field, physical parquet name) in output order
