@@ -70,10 +70,15 @@ object Bpe {
     out.result()
   }
 
-  /** Initial symbol sequence of a word: its characters + [[EndOfWord]]. */
+  /** Initial symbol sequence of a word: its characters (code points —
+    * `Substring` counts code points, see [[codePointSyms]]) +
+    * [[EndOfWord]]. Built from the PASSED column — an expr() with a
+    * hardcoded name would bind whatever "word" resolves to at the call
+    * site, not the argument.
+    */
   private def initSyms(word: Column): Column =
     concat(
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
       array(lit(EndOfWord)))
 
   /** One left-to-right non-overlapping merge of the pair (a, b) inside

@@ -48,6 +48,10 @@ import graft.operators.Similarity.{idot, quant, sumsq}
   */
 final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5,
     nSample: Int = 4096) {
+  // fail fast: seeds are the sample's prefix, so a sample smaller than
+  // the cell count would silently train fewer cells than asked for
+  require(nSample >= nCells,
+    s"nSample ($nSample) must be >= nCells ($nCells)")
 
   private def centroidsPath = s"$stateDir/centroids"
   private def vectorsPath = s"$stateDir/vectors"

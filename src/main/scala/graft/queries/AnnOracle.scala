@@ -321,6 +321,7 @@ object AnnOracle {
       k: Int = 5, nprobe: Int = 3,
       maxQueryId: Long = 10L, nSample: Int = 4096)
       : Seq[(Long, Long, Long, Double)] = {
+    require(nSample >= nCells, "sample must cover the seed prefix")
     val corpus = load(dir)
     val train =
       if (corpus.length <= nSample) corpus

@@ -156,10 +156,11 @@ object BpeOracle {
       : Seq[(Long, Int, Int, String)] = {
     val pieces = trained(dir, nMerges, _ % 2 == 0)._2
     val spark = org.apache.spark.sql.SparkSession.active
+    val c = org.apache.spark.sql.functions.col _
     spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
+      .filter(c("doc_id") % 2 === 1 && c("doc_id") < maxDocId)
       .collect()
-      .filter(r => r.getLong(0) % 2 == 1 && r.getLong(0) < maxDocId)
       .sortBy(_.getLong(0))
       .flatMap { r =>
         val id = r.getLong(0)

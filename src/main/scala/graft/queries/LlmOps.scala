@@ -29,10 +29,12 @@ object LlmOps {
     * entries evict past a handful (access-ordered LinkedHashMap).
     */
   private val tokCache = {
-    val m = new java.util.LinkedHashMap[(Int, Long), graft.operators.Bpe.Tokenizer](
+    val m = new java.util.LinkedHashMap[(SparkSession, Long),
+        graft.operators.Bpe.Tokenizer](
       8, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Long), graft.operators.Bpe.Tokenizer]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, Long),
+            graft.operators.Bpe.Tokenizer]): Boolean =
         size() > 4
     }
     scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
@@ -49,14 +51,21 @@ object LlmOps {
     * consumers training different configurations off the same source.
     */
   private def tokKey(s: SparkSession, path: String,
-      salt: Long): (Int, Long) = {
+      salt: Long): (SparkSession, Long) = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
+        // listFiles() returns NULL (not empty) on I/O error or a
+        // directory vanishing mid-walk — degrade to a retrain, never
+        // an NPE inside a judged query
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .foldLeft(17L)((a, c) => a * 1099511628211L ^ walk(c))
       else f.getName.hashCode.toLong * 2654435761L ^
         f.length * 31L ^ f.lastModified
-    (System.identityHashCode(s), walk(new java.io.File(path)) ^ salt)
+    // the session OBJECT is the key component (reference equality —
+    // SparkSession doesn't override equals): identityHashCode alone
+    // can collide across two live sessions, handing one a frame owned
+    // by the other; the bounded cache pinning ≤4 sessions is fine
+    (s, walk(new java.io.File(path)) ^ salt)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -570,8 +579,12 @@ object LlmOps {
         val qs = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val src = new java.io.File(s"$dir/embeddings.parquet")
+        // _v2: the build algorithm changed in round 16 (sampled Lloyd
+        // rounds) — the tag bump invalidates any _v1 state built with
+        // unsampled centroids, which would otherwise silently judge
+        // against the new sampled oracle
         val fp = java.lang.Long.toHexString(
-          src.length ^ (src.lastModified * 31) ^ "ivfidx_v1".hashCode.toLong)
+          src.length ^ (src.lastModified * 31) ^ "ivfidx_v2".hashCode.toLong)
         val root = s"target/graft_ivfidx/$fp"
         val idx = new graft.operators.VectorIndex(root)
         LlmOps.synchronized {

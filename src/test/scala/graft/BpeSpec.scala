@@ -202,11 +202,13 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     assert(pieceMap(drv) == pieceMap(dist))
     // the clef is a single symbol everywhere: no piece may hold a
-    // lone surrogate
+    // lone surrogate — per-code-point check (a decoded UNPAIRED
+    // surrogate surfaces as its own code point in D800–DFFF; a valid
+    // pair decodes above FFFF)
     pieceMap(drv).values.flatten.foreach { p =>
-      p.foreach(c => assert(!Character.isSurrogate(c) ||
-        p.codePointCount(0, p.length) < p.length,
-        s"lone surrogate leaked into piece ${p.map(_.toInt)}"))
+      p.codePoints().toArray.foreach(cp =>
+        assert(cp < 0xD800 || cp > 0xDFFF,
+          s"lone surrogate leaked into piece ${p.map(_.toInt)}"))
     }
     // (𝄞a, </w>) dominates (freq 2): the learned merges must treat 𝄞
     // as one unit — the top merge pair's left side starts with the
