@@ -151,6 +151,27 @@ object Dedup {
       .select(col(docCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** One (id, bk) row per (doc, band): the band key is a struct of the
+    * band index plus the band's r RAW signature components — exact
+    * equality, no second-level hashing, so the oracle's equality joins
+    * see identical candidates. Shared by [[minhashPairs]] (corpus
+    * self-join) and [[MinHashIndex.dedupAgainst]] (history × batch).
+    */
+  private[operators] def bandRows(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandKeys = (0 until bands).map { j =>
+      struct((lit(j).as("band") +:
+        (0 until r).map(i => col("sig")(j * r + i).as(s"v$i"))): _*)
+    }
+    sigs.select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  /** Number of agreeing components between signature arrays `sa`/`sb`. */
+  private[operators] def sigAgree: org.apache.spark.sql.Column = aggregate(
+    zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+    lit(0L), (acc, v) => acc + v)
+
   /** Banded-LSH candidate pairs + signature agreement. bands·rows =
     * numHashes; a pair collides iff some band's r rows all agree (band
     * keys are the raw component tuples — exact equality, no second-level
@@ -162,15 +183,8 @@ object Dedup {
   def minhashPairs(shingled: DataFrame, docCol: String, shCol: String,
       numHashes: Int = 32, bands: Int = 8, minEst: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sigs = minhashSignatures(shingled, docCol, shCol, numHashes)
-
-    val bandKeys = (0 until bands).map { j =>
-      struct((lit(j).as("band") +:
-        (0 until r).map(i => col("sig")(j * r + i).as(s"v$i"))): _*)
-    }
-    val exploded = sigs.select(col(docCol).as("id"),
-      explode(array(bandKeys: _*)).as("bk"))
+    val exploded = bandRows(sigs, docCol, numHashes, bands)
 
     val a = exploded.toDF("a_id", "bk")
     val b = exploded.toDF("b_id", "bk")
@@ -180,9 +194,7 @@ object Dedup {
     val cand = a.join(b.hint("merge"), "bk").filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    val nAgree = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    val nAgree = sigAgree
 
     cand
       .join(sigs.select(col(docCol).as("a_id"), col("sig").as("sa"))
@@ -226,6 +238,44 @@ object Dedup {
                    JOIN sig b ON b.doc_id = c.b_id
        WHERE ($agree) >= $thr
        ORDER BY a_id, b_id"""
+  }
+
+  /** DuckDB oracle for [[MinHashIndex.dedupAgainst]]' integer
+    * projection (hist_id, new_id, n_agree), with history and batch as
+    * predicate-defined slices of `documents`: the same permutation
+    * constants and band equalities as [[minhashOracleSql]], but the
+    * band joins are ORIENTED history × batch (no a < b — the
+    * orientation IS the slice split, and a doc present in both slices
+    * legitimately self-matches at n_agree = numHashes, the index's
+    * "already ingested" contract).
+    */
+  def minhashIncrementalOracleSql(shingleSrcSql: String, numHashes: Int,
+      bands: Int, minEst: Double, histPred: String,
+      batchPred: String): String = {
+    val r = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"MIN((${coeffA(i)} * h0 + ${coeffB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val bandJoins = (0 until bands).map { j =>
+      val conds = (0 until r).map(i => s"a.m${j * r + i} = b.m${j * r + i}")
+        .mkString(" AND ")
+      s"SELECT a.doc_id AS hist_id, b.doc_id AS new_id FROM hist a JOIN nw b ON $conds"
+    }.mkString(" UNION ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val thr = math.ceil(minEst * numHashes).toLong
+    s"""WITH shd AS (SELECT DISTINCT doc_id, sh FROM
+           (SELECT doc_id, unnest(shl) AS sh FROM ($shingleSrcSql) s0) s1),
+         h AS (SELECT doc_id, ${Canonical.xhashSql("sh")} % $P AS h0 FROM shd),
+         sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+         hist AS (SELECT * FROM sig WHERE $histPred),
+         nw AS (SELECT * FROM sig WHERE $batchPred),
+         cand AS ($bandJoins)
+       SELECT c.hist_id, c.new_id, CAST($agree AS BIGINT) AS n_agree
+       FROM cand c JOIN sig a ON a.doc_id = c.hist_id
+                   JOIN sig b ON b.doc_id = c.new_id
+       WHERE ($agree) >= $thr
+       ORDER BY hist_id, new_id"""
   }
 
   // ---------------------------------------------------------------- simhash

@@ -51,7 +51,20 @@ object LlmOps {
     * consumers training different configurations off the same source.
     */
   private def tokKey(s: SparkSession, path: String,
-      salt: Long): (SparkSession, Long) = {
+      salt: Long): (SparkSession, Long) =
+    // the session OBJECT is the key component (reference equality —
+    // SparkSession doesn't override equals): identityHashCode alone
+    // can collide across two live sessions, handing one a frame owned
+    // by the other; the bounded cache pinning ≤4 sessions is fine
+    (s, srcFp(path) ^ salt)
+
+  /** Content fingerprint of a parquet source path: every data file's
+    * name, length, and mtime folded in name order. Shared by the
+    * tokenizer cache and the persisted-index build-once guards
+    * (`ann_ivf_index`, `dedup_incremental`) — a regenerated same-size
+    * source invalidates, unlike a root-level length^mtime probe.
+    */
+  private def srcFp(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory)
         // listFiles() returns NULL (not empty) on I/O error or a
@@ -61,11 +74,7 @@ object LlmOps {
           .foldLeft(17L)((a, c) => a * 1099511628211L ^ walk(c))
       else f.getName.hashCode.toLong * 2654435761L ^
         f.length * 31L ^ f.lastModified
-    // the session OBJECT is the key component (reference equality —
-    // SparkSession doesn't override equals): identityHashCode alone
-    // can collide across two live sessions, handing one a frame owned
-    // by the other; the bounded cache pinning ≤4 sessions is fine
-    (s, walk(new java.io.File(path)) ^ salt)
+    walk(new java.io.File(path))
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -350,6 +359,38 @@ object LlmOps {
           .orderBy("a_id", "b_id"),
       Some(graft.operators.Dedup.minhashOracleSql(shinglesSql,
         numHashes = 32, bands = 8, minEst = 0.2))),
+
+    // Incremental near-dup against a PERSISTED MinHash index — the
+    // daily-ingest shape every corpus-wide dedup row lacks: history
+    // (even doc_ids) is signatured ONCE into index state, then the new
+    // batch (odd doc_ids) probes it by banded LSH without recomputing
+    // or even reading the historical text. Build-once into
+    // fingerprinted state (the ann_ivf_index discipline, content
+    // fingerprint); the oracle re-derives both slices' signatures and
+    // the ORIENTED history × batch band joins in DuckDB SQL from the
+    // same constants.
+    ("dedup_incremental",
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val fp = java.lang.Long.toHexString(
+          srcFp(s"$dir/documents.parquet") ^ "mhidx_v1".hashCode.toLong)
+        val root = s"target/graft_mhidx/$fp"
+        val idx = new graft.operators.MinHashIndex(root,
+          numHashes = 32, bands = 8)
+        LlmOps.synchronized {
+          if (!new java.io.File(s"$root/_DONE").exists()) {
+            idx.build(s, shingles(d.filter(col("doc_id") % 2 === 0)))
+            new java.io.File(s"$root/_DONE").createNewFile()
+          }
+        }
+        idx.dedupAgainst(s, shingles(d.filter(col("doc_id") % 2 === 1)),
+            minEst = 0.2)
+          .select("hist_id", "new_id", "n_agree")
+          .orderBy("hist_id", "new_id")
+      },
+      Some(graft.operators.Dedup.minhashIncrementalOracleSql(shinglesSql,
+        numHashes = 32, bands = 8, minEst = 0.2,
+        histPred = "doc_id % 2 = 0", batchPred = "doc_id % 2 = 1"))),
 
     // SimHash signatures per doc — one relational bit-vote aggregation
     // (codegen'd, map-side combinable), judged against the DuckDB

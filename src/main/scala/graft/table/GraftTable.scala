@@ -2081,7 +2081,15 @@ object GraftTable {
     // never an error for the sweeper
     def listSafe(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       try fs.listStatus(p).toSeq
-      catch { case _: java.io.FileNotFoundException => Nil }
+      catch {
+        case _: java.io.FileNotFoundException => Nil
+        // RawLocalFileSystem surfaces a dir deleted mid-list as a
+        // GENERIC IOException (File.list() returns null → "Invalid
+        // directory or I/O error"), not FNF — re-check: vanished is
+        // the benign writer race, a path still present is a real
+        // I/O error and must propagate
+        case e: java.io.IOException => if (fs.exists(p)) throw e else Nil
+      }
     // recursive walk: partitioned commits nest `gp_…=v` tuple dirs
     def sweep(p: Path, rel: String): Unit = {
       listSafe(p).foreach { f =>
