@@ -157,7 +157,7 @@ object Dedup {
     * see identical candidates. Shared by [[minhashPairs]] (corpus
     * self-join) and [[MinHashIndex.dedupAgainst]] (history × batch).
     */
-  private[operators] def bandRows(sigs: DataFrame, idCol: String,
+  private[graft] def bandRows(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     val bandKeys = (0 until bands).map { j =>
@@ -168,7 +168,7 @@ object Dedup {
   }
 
   /** Number of agreeing components between signature arrays `sa`/`sb`. */
-  private[operators] def sigAgree: org.apache.spark.sql.Column = aggregate(
+  private[graft] def sigAgree: org.apache.spark.sql.Column = aggregate(
     zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
     lit(0L), (acc, v) => acc + v)
 

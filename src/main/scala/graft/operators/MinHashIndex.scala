@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   * broadcast attempt). Signature agreement then prices per CANDIDATE
   * pair, never per history row.
   *
+  * Relationship to [[graft.pipeline.IncrementalCorpus]]: that class
+  * is the full accept/reject INGEST pipeline (exact dedup funnel,
+  * within-batch components, accepted-text state) with this same
+  * banded signature probe embedded; MinHashIndex is the bare
+  * index-plus-pairs OPERATOR tier — judged end-to-end against the
+  * DuckDB oracle (`dedup_incremental`), composable under any policy
+  * (flag, drop, route to review) rather than hard-wired to
+  * first-seen-wins.
+  *
   * Crash discipline is [[VectorIndex]]'s verbatim: `add` stages a
   * durable parquet write, marks `_COMMIT`, publishes by rename;
   * [[recover]] finishes committed batches and discards uncommitted

@@ -8,7 +8,9 @@ import graft.operators.Dedup
 import graft.queries.LlmOps
 
 /** INCREMENTAL corpus ingestion — the streaming-shaped complement of
-  * the one-shot [[CorpusPipeline]]: new document batches are accepted
+  * the one-shot [[CorpusPipeline]] (the bare index-probe tier it
+  * embeds is also available standalone, judged, as
+  * [[graft.operators.MinHashIndex]]): new document batches are accepted
   * into a persistent corpus WITHOUT ever recomputing pairs over the
   * accumulated history. This is the shape a 100 TB training corpus
   * actually grows in: the accepted set is petabytes, the daily batch
@@ -52,7 +54,11 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     bands: Int = 8, tau: Double = 0.7) {
 
   require(numHashes % bands == 0, "bands must divide numHashes")
-  private val r = numHashes / bands
+  /** Band-row count below which the BATCH side of the state band join
+    * broadcasts (the state side never does) — same gate shape as
+    * [[graft.operators.MinHashIndex.dedupAgainst]].
+    */
+  private val BroadcastBandLimit = 100000L
   private def acceptedPath = s"$stateDir/accepted"
   private def sigsPath = s"$stateDir/sigs"
   private def stagingRoot = s"$stateDir/staging"
@@ -81,17 +87,10 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     * as [[Dedup.minhashPairs]] (band index + raw r-tuple, exact
     * equality, no second-level hashing).
     */
-  private def bandKeyRows(sigs: DataFrame): DataFrame = {
-    val keys = (0 until bands).map { j =>
-      struct((lit(j).as("band") +:
-        (0 until r).map(i => col("sig")(j * r + i).as(s"v$i"))): _*)
-    }
-    sigs.select(col("doc_id").as("id"), explode(array(keys: _*)).as("bk"))
-  }
+  private def bandKeyRows(sigs: DataFrame): DataFrame =
+    Dedup.bandRows(sigs, "doc_id", numHashes, bands)
 
-  private val nAgree = aggregate(
-    zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
-    lit(0L), (acc, v) => acc + v)
+  private def nAgree = Dedup.sigAgree
 
   /** Ingest one batch; returns the funnel counts. Batch schema must
     * include (doc_id, text); all other columns ride along into state.
@@ -126,12 +125,26 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     val newKeys = bandKeyRows(sigs)
     val rejectedVsState: DataFrame = sigsState(spark) match {
       case Some(oldSigs) =>
+        // STRATEGY-PINNED state × batch band join: both sides are
+        // explode-derived, so the planner's size estimates are
+        // meaningless (the measured 8 GiB-broadcast-of-the-corpus
+        // failure class — see Dedup.ngramJaccardPairs). The batch
+        // side broadcasts below the gate (n1 already counted — no
+        // extra action; the STATE side never broadcasts at any size);
+        // past it, merge is the only strategy safe at any scale. The
+        // per-doc signature joins are shuffle_hash: bounded
+        // docs/partitions hash maps regardless of corpus size.
         val oldKeys = bandKeyRows(oldSigs).toDF("old_id", "bk")
-        val cand = newKeys.toDF("new_id", "bk")
-          .join(oldKeys, "bk").select("new_id", "old_id").distinct()
+        val nk = newKeys.toDF("new_id", "bk")
+        val cand = (if (n1 * bands <= BroadcastBandLimit)
+            oldKeys.join(broadcast(nk), "bk")
+          else oldKeys.join(nk.hint("merge"), "bk"))
+          .select("new_id", "old_id").distinct()
         cand
-          .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sa")), "new_id")
-          .join(oldSigs.select(col("doc_id").as("old_id"), col("sig").as("sb")), "old_id")
+          .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sa"))
+            .hint("shuffle_hash"), "new_id")
+          .join(oldSigs.select(col("doc_id").as("old_id"), col("sig").as("sb"))
+            .hint("shuffle_hash"), "old_id")
           .filter(nAgree.cast("double") / numHashes >= tau)
           .select(col("new_id").as("doc_id")).distinct()
       case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
@@ -150,10 +163,14 @@ final class IncrementalCorpus(stateDir: String, numHashes: Int = 32,
     // sequential order)
     val a = bandKeyRows(sigs).toDF("a_id", "bk")
     val b = bandKeyRows(sigs).toDF("b_id", "bk")
-    val pairs = a.join(b, "bk").filter(col("a_id") < col("b_id"))
+    // merge-pinned explode-derived self-join — same discipline as
+    // Dedup.minhashPairs (estimates meaningless, SMJ safe at any size)
+    val pairs = a.join(b.hint("merge"), "bk").filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+        .hint("shuffle_hash"), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
+        .hint("shuffle_hash"), "b_id")
       .filter(nAgree.cast("double") / numHashes >= tau)
       .select("a_id", "b_id")
     val comps = graft.operators.Components
