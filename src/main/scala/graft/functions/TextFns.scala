@@ -49,7 +49,10 @@ object TextFns {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lex_lang").as("guess"))
-    d.select("doc_id").join(best, Seq("doc_id"), "left")
+    // shuffle_hash: best is per-doc (corpus-scale) but descends from an
+    // explode, whose size estimate shrinks with projected width while
+    // rows multiply — never let it become a broadcast build side
+    d.select("doc_id").join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("guess"), lit("und")).as("guess"))
   }
 

@@ -237,7 +237,11 @@ object Similarity {
     // floats per row instead of two longs)
     val qb = queries.select(col("q_id"), explode(buckets(col("q_emb"))).as("tb"))
     val cb = corpus.select(col("vec_id"), explode(buckets(col("embedding"))).as("tb"))
-    val candIds = qb.join(cb, "tb")
+    // broadcast the QUERY band rows explicitly (this tier's contract is
+    // an interactive query batch; corpus-scale query sets take the
+    // sharded paths) — cb is explode-derived, so left to the estimate
+    // the planner can pick the CORPUS side as the broadcast build
+    val candIds = broadcast(qb).join(cb, "tb")
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
       .distinct() // a pair may collide in several tables
@@ -275,7 +279,8 @@ object Similarity {
     val c = corpus.select(col("vec_id"), quant(col("embedding")).as("ca"))
     val qb = q.select(col("q_id"), explode(buckets(col("qa"))).as("tb"))
     val cb = c.select(col("vec_id"), explode(buckets(col("ca"))).as("tb"))
-    val candIds = qb.join(cb, "tb")
+    // same query-side broadcast pin as lshTopK — never the corpus side
+    val candIds = broadcast(qb).join(cb, "tb")
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
       .distinct()

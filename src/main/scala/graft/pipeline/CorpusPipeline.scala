@@ -72,8 +72,12 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
       .groupBy("doc_id")
       .agg(sum(when(col("tok").isin(TextFns.stopwords: _*), 1).otherwise(0))
         .cast("long").as("nstop"))
+    // shuffle_hash pins: stopHits and langId are per-doc corpus-scale
+    // frames descended from explodes — estimate-driven broadcasts of
+    // either would collect the corpus (the Dedup.ngramJaccardPairs
+    // 8 GiB-broadcast class, invisible at spec scales)
     val quality = note("quality_filter",
-      toks.join(stopHits, "doc_id")
+      toks.join(stopHits.hint("shuffle_hash"), "doc_id")
         .filter(col("nt") >= minTokens &&
           col("nstop").cast("double") / col("nt") <= maxStopRatio)
         .drop("toks", "nstop"))
@@ -81,7 +85,8 @@ final class CorpusPipeline(sfDir: String, exportDir: String,
     // language id (lexicon heuristic) attached as a column
     val withLang = quality
       .join(TextFns.langId(quality.sparkSession, quality)
-        .withColumnRenamed("guess", "lang_guess"), "doc_id")
+        .withColumnRenamed("guess", "lang_guess")
+        .hint("shuffle_hash"), "doc_id")
 
     // exact dedup: keep min doc_id per identical text
     val exactKept = note("exact_dedup",

@@ -166,7 +166,10 @@ object LlmOps {
       .select(col("tok"),
         ((length(bin(col("n"))) - 1) - (length(bin(col("c"))) - 1))
           .cast("long").as("s"))
-    tf.join(surprisal, "tok")
+    // STRATEGY-PINNED: surprisal is vocab-scale and explode-descended
+    // (estimates meaningless — the Dedup.ngramJaccardPairs broadcast
+    // class); shuffle_hash builds bounded per-partition token maps
+    tf.join(surprisal.hint("shuffle_hash"), "tok")
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("nt"), sum(col("tf") * col("s")).as("bits"))
       .withColumn("bpt", round(col("bits").cast("double") / col("nt"), 4))
@@ -334,8 +337,10 @@ object LlmOps {
       (s: SparkSession, dir: String) => {
         val d = docs(s, dir)
         val wfp = shingles(d).groupBy("doc_id").agg(min(md5(col("sh"))).as("wfp"))
+        // shuffle_hash: wfp is per-doc (corpus-scale) but explode-
+        // descended — never let the estimate pick it as broadcast build
         d.select(col("doc_id"), md5(col("text")).as("fp"))
-          .join(wfp, Seq("doc_id"), "left")
+          .join(wfp.hint("shuffle_hash"), Seq("doc_id"), "left")
           .orderBy("doc_id")
       },
       Some(s"""WITH sh AS (
@@ -1008,8 +1013,10 @@ object LlmOps {
         val sh = shingles(docs(s, dir))
         val trainSh = sh.filter(col("doc_id") % 2 === 0)
           .select(col("sh")).distinct()
+        // merge-pinned: both sides are corpus-scale shingle frames off
+        // explodes (estimates meaningless) — SMJ is safe at any size
         sh.filter(col("doc_id") % 2 === 1)
-          .join(trainSh, "sh")
+          .join(trainSh.hint("merge"), "sh")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_id")
@@ -1054,7 +1061,8 @@ object LlmOps {
           .groupBy("tok").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df"), col("tok"))
-        tf.join(df_, "tok")
+        // shuffle_hash: df_ is vocab-scale and explode-descended
+        tf.join(df_.hint("shuffle_hash"), "tok")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("tok").as("top_tok"), col("tf"), col("df"))
