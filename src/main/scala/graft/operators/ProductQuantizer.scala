@@ -97,7 +97,9 @@ object ProductQuantizer {
     subs.count()
     val seedIds = q.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(ksub).select(col("vec_id"))
-    var books = subs.join(seedIds, "vec_id")
+    // explicit broadcast: seedIds is ksub rows by construction; left to
+    // the estimate the explode-derived subs side could be picked instead
+    var books = subs.join(broadcast(seedIds), "vec_id")
       .withColumn("code", row_number().over(
         Window.partitionBy("m")
           .orderBy(xxhash64(col("vec_id")), col("vec_id"))).cast("int"))
@@ -134,7 +136,10 @@ object ProductQuantizer {
         sum(col("cn")).as("rn"))
       .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"),
         col("rn"))
-      .join(q.select(col("vec_id"), col("qn")), "vec_id")
+      // shuffle_hash: the left per-vec frame descends from an explode
+      // (estimate meaningless) — never let it become a broadcast build
+      .join(q.select(col("vec_id"), col("qn")).hint("shuffle_hash"),
+        "vec_id")
   }
 
   /** Asymmetric-distance top-k: each query precomputes an m×ksub
@@ -279,7 +284,9 @@ object ProductQuantizer {
     assigned
       .join(broadcast(books.select(col("m"), col("code"), col("cm"),
         col("cn"))), Seq("m", "code"))
-      .join(res.select(col("vec_id"), col("cell"), col("ccm")), "vec_id")
+      // shuffle_hash: left side is explode-descended (see encode)
+      .join(res.select(col("vec_id"), col("cell"), col("ccm"))
+        .hint("shuffle_hash"), "vec_id")
       .withColumn("csub",
         slice(col("ccm"), col("m") * lit(dsub) + lit(1), lit(dsub)))
       .withColumn("cross", idot(col("csub"), col("cm")))
@@ -290,7 +297,8 @@ object ProductQuantizer {
       .select(col("vec_id"), col("cell"),
         expr("transform(mc, x -> x.code)").as("codes"),
         (col("ccn") + col("resPart")).as("rn"))
-      .join(quantized(emb).select(col("vec_id"), col("qn")), "vec_id")
+      .join(quantized(emb).select(col("vec_id"), col("qn"))
+        .hint("shuffle_hash"), "vec_id")
   }
 
   /** IVF+PQ asymmetric search: probe the `nprobe` best cells by exact
