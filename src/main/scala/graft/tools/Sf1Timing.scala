@@ -87,6 +87,22 @@ object Sf1Timing {
     if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
       SoakDataGen.generate(spark, "/root/testdata/sf0.001", sf1Dir, 1000)
 
+    // COLD-STATE discipline: the build-once index tiers (ann_ivf_index,
+    // dedup_incremental) cache fingerprinted state under target/ — a
+    // record taken against surviving state from an earlier run on the
+    // same data measures the warm probe, and the NEXT round's fresh
+    // soak data would then build cold against a warm baseline and
+    // spuriously trip the trend gate. Delete the caches so every
+    // record prices the same thing: one build + one probe.
+    Seq("target/graft_ivfidx", "target/graft_mhidx").foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+
     val family = SparkEntry.queries.keys
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_") ||
         n == "graph_triangles")
