@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` / `oracleSql` carry the declared inventory (SURVEY §2.4 —
-  * Q01–Q62 plus the named operator queries; 157 total as of round 16,
+  * Q01–Q62 plus the named operator queries; 158 total as of round 16,
   * ALL DuckDB-oracle hash-judged: the ANN tiers judge via exact
   * driver-derived VALUES oracles since round 11) across the L2/L3
   * operator surface; names must match between the two maps, and every

@@ -54,20 +54,52 @@ final class MinHashIndex(stateDir: String, numHashes: Int = 32,
   require(numHashes % bands == 0, "bands must divide numHashes")
 
   private def signaturesPath = s"$stateDir/signatures"
+  private def tombstonesPath = s"$stateDir/tombstones"
 
   private def sigsOf(shingled: DataFrame, docCol: String,
       shCol: String): DataFrame =
     Dedup.minhashSignatures(shingled, docCol, shCol, numHashes)
       .select(col(docCol).as("doc_id"), col("sig"))
 
-  /** Signature the shingled corpus and overwrite state. */
+  /** Signature the shingled corpus and overwrite state (clearing any
+    * tombstones — a rebuild IS the compaction path: one corpus
+    * signature pass folds every retraction in).
+    */
   def build(spark: SparkSession, shingled: DataFrame,
-      docCol: String = "doc_id", shCol: String = "sh"): Unit =
+      docCol: String = "doc_id", shCol: String = "sh"): Unit = {
     sigsOf(shingled, docCol, shCol)
       .write.mode("overwrite").parquet(signaturesPath)
+    fsFor(spark).delete(
+      new org.apache.hadoop.fs.Path(tombstonesPath), true)
+    ()
+  }
 
-  def signatures(spark: SparkSession): DataFrame =
-    spark.read.parquet(signaturesPath)
+  /** Live signatures: the persisted store minus any tombstoned ids. */
+  def signatures(spark: SparkSession): DataFrame = {
+    val s = spark.read.parquet(signaturesPath)
+    if (fsFor(spark).exists(new org.apache.hadoop.fs.Path(tombstonesPath)))
+      s.join(spark.read.parquet(tombstonesPath), Seq("doc_id"), "left_anti")
+    else s
+  }
+
+  /** Retract doc ids from the index — the DELETION flow: a doc removed
+    * from the corpus must stop suppressing its lookalikes (and stop
+    * appearing as a `dedupAgainst` hit). O(batch) tombstone append;
+    * every read applies the anti-join, [[build]] folds tombstones away
+    * on the next rebuild. IDEMPOTENT: re-issuing a retraction (e.g.
+    * after a crashed write) changes nothing, so failure handling is
+    * simply retry. RETRACTION WINS within a generation: re-[[add]]ing
+    * a tombstoned id stays invisible until the next [[build]] — the
+    * safe bias for deletion-driven retractions (a crash can only
+    * under-delete a retraction batch, never resurrect one). Returns
+    * the retracted-id count.
+    */
+  def remove(spark: SparkSession, docIds: DataFrame,
+      docCol: String = "doc_id"): Long = {
+    val ids = docIds.select(col(docCol).as("doc_id")).distinct()
+    ids.write.mode("append").parquet(tombstonesPath)
+    ids.count()
+  }
 
   /** Signature a new batch under the FROZEN permutation family and
     * append — history is never recomputed. Durable staged write +

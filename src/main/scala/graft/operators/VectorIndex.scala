@@ -127,16 +127,41 @@ final class VectorIndex(stateDir: String, nCells: Int = 16, iters: Int = 5,
     assigned.count()
     finalCents.write.mode("overwrite").parquet(centroidsPath)
     assigned.write.mode("overwrite").parquet(vectorsPath)
+    // rebuild IS the compaction path: tombstoned retractions fold away
+    fsFor(spark).delete(
+      new org.apache.hadoop.fs.Path(tombstonesPath), true)
     // release LOCALLY: a global unpersistAll could race another
     // operator's pin-before-append window in the same JVM
     Seq(v, train, finalCents, assigned).foreach(_.unpersist(blocking = false))
   }
 
+  private def tombstonesPath = s"$stateDir/tombstones"
+
   def centroids(spark: SparkSession): DataFrame =
     spark.read.parquet(centroidsPath)
 
-  def vectors(spark: SparkSession): DataFrame =
-    spark.read.parquet(vectorsPath)
+  /** Live vectors: the persisted store minus any tombstoned ids. */
+  def vectors(spark: SparkSession): DataFrame = {
+    val v = spark.read.parquet(vectorsPath)
+    if (fsFor(spark).exists(new org.apache.hadoop.fs.Path(tombstonesPath)))
+      v.join(spark.read.parquet(tombstonesPath), Seq("vec_id"), "left_anti")
+    else v
+  }
+
+  /** Retract vector ids — the deletion flow ([[graft.operators
+    * .MinHashIndex.remove]]'s contract verbatim): O(batch) idempotent
+    * tombstone append, reads anti-join it, searches stop returning the
+    * ids, retraction wins over a re-[[add]] until the next [[build]]
+    * (which clears tombstones — centroids are unaffected either way:
+    * the coarse quantizer never unlearns a deleted vector's influence
+    * short of a rebuild, the standard IVF posture).
+    */
+  def remove(spark: SparkSession, vecIds: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    val ids = vecIds.select(col(idCol).as("vec_id")).distinct()
+    ids.write.mode("append").parquet(tombstonesPath)
+    ids.count()
+  }
 
   /** Assign new vectors to the FROZEN centroids and append — history
     * is never touched, the index never re-trains (re-train = `build`).

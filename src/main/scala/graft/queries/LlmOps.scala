@@ -397,6 +397,38 @@ object LlmOps {
         numHashes = 32, bands = 8, minEst = 0.2,
         histPred = "doc_id % 2 = 0", batchPred = "doc_id % 2 = 1"))),
 
+    // The DELETION flow judged end-to-end: build the even-doc index,
+    // RETRACT the multiples of 4 (tombstone anti-join — a removed doc
+    // must stop suppressing lookalikes), probe the odd batch. The
+    // oracle needs NO new machinery: retraction is exactly a stricter
+    // history predicate on the same oriented-band-join program. Own
+    // fingerprinted state root — remove() mutates state, so sharing
+    // dedup_incremental's index would poison it.
+    ("dedup_incremental_remove",
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val fp = java.lang.Long.toHexString(
+          srcFp(s"$dir/documents.parquet") ^ "mhidxrm_v1".hashCode.toLong)
+        val root = s"target/graft_mhidxrm/$fp"
+        val idx = new graft.operators.MinHashIndex(root,
+          numHashes = 32, bands = 8)
+        LlmOps.synchronized {
+          if (!new java.io.File(s"$root/_DONE").exists()) {
+            idx.build(s, shingles(d.filter(col("doc_id") % 2 === 0)))
+            idx.remove(s, d.filter(col("doc_id") % 4 === 0).select("doc_id"))
+            new java.io.File(s"$root/_DONE").createNewFile()
+          }
+        }
+        idx.dedupAgainst(s, shingles(d.filter(col("doc_id") % 2 === 1)),
+            minEst = 0.2)
+          .select("hist_id", "new_id", "n_agree")
+          .orderBy("hist_id", "new_id")
+      },
+      Some(graft.operators.Dedup.minhashIncrementalOracleSql(shinglesSql,
+        numHashes = 32, bands = 8, minEst = 0.2,
+        histPred = "doc_id % 2 = 0 AND doc_id % 4 <> 0",
+        batchPred = "doc_id % 2 = 1"))),
+
     // SimHash signatures per doc — one relational bit-vote aggregation
     // (codegen'd, map-side combinable), judged against the DuckDB
     // re-derivation. The typed-Aggregator formulation (UDAF surface) is

@@ -109,6 +109,54 @@ class MinHashIndexSpec extends SparkSpec {
     assert(hits.count() == nLate)
   }
 
+  test("remove: retracted ids stop matching; retraction wins over re-add; rebuild folds in") {
+    val dir = tmp()
+    val idx = new MinHashIndex(dir)
+    idx.build(spark, LlmOps.shingles(evens))
+    val n0 = idx.signatures(spark).count()
+
+    val victims = evens.filter(col("doc_id") % 4 === 0).select("doc_id")
+    val nGone = idx.remove(spark, victims)
+    assert(nGone > 0)
+    // live signatures drop by exactly the signature-BEARING victims
+    // (sub-3-token docs never had one)
+    val sigVictims = victims.join(
+      spark.read.parquet(s"$dir/signatures"), Seq("doc_id"), "left_semi").count()
+    assert(idx.signatures(spark).count() == n0 - sigVictims)
+
+    // a retracted doc no longer matches — even probed by itself
+    val probe = LlmOps.shingles(evens.filter(col("doc_id") % 4 === 0))
+    assert(idx.dedupAgainst(spark, probe, minEst = 0.2)
+      .filter(col("hist_id") === col("new_id")).count() == 0,
+      "a retracted doc must not self-match")
+
+    // retraction wins over re-add within the generation
+    idx.add(spark, probe)
+    assert(idx.dedupAgainst(spark, probe, minEst = 0.2)
+      .filter(col("hist_id") === col("new_id")).count() == 0,
+      "re-adding a tombstoned id must stay invisible until rebuild")
+
+    // incremental path ≡ corpus-wide pairs over the REDUCED history
+    val reduced = evens.filter(col("doc_id") % 4 =!= 0)
+    val inc = idx.dedupAgainst(spark, LlmOps.shingles(odds), minEst = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Dedup
+      .minhashPairs(LlmOps.shingles(reduced.unionByName(odds)), "doc_id", "sh",
+        numHashes = 32, bands = 8, minEst = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, n) => if (a % 2 == 0) (a, b, n) else (b, a, n) }
+      .toSet
+    assert(inc == expect, "post-remove dedup must see only the live history")
+
+    // rebuild folds the tombstones away: the victims match again
+    idx.build(spark, LlmOps.shingles(evens))
+    assert(idx.dedupAgainst(spark, probe, minEst = 0.2)
+      .filter(col("hist_id") === col("new_id")).count() ==
+        probe.select("doc_id").distinct().count(),
+      "build() must clear tombstones")
+  }
+
   test("incremental adds ≡ one-shot build: same state, same answers") {
     val (dInc, dOne) = (tmp(), tmp())
     val inc = new MinHashIndex(dInc)

@@ -149,4 +149,37 @@ class VectorIndexSpec extends SparkSpec {
     val top1 = idx.search(spark, qs2, k = 1, nprobe = 8).collect()
     top1.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("remove: retracted vectors leave search results; rebuild folds in") {
+    val dir = tmp()
+    val idx = new VectorIndex(dir, nCells = 8, iters = 3)
+    idx.build(spark, emb)
+    val n0 = idx.vectors(spark).count()
+
+    val victims = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val nGone = idx.remove(spark, victims)
+    assert(nGone > 0 && idx.vectors(spark).count() == n0 - nGone)
+
+    // a retracted vector is no longer returned — not even to itself
+    val qs = emb.filter(col("vec_id") % 5 === 0).limit(10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val hits = idx.search(spark, qs, k = 5, nprobe = 8)
+    assert(hits.join(victims.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_semi").count() == 0,
+      "search must never return a retracted vector")
+    // survivors still rank (the cells are not emptied wholesale)
+    assert(hits.count() > 0)
+
+    // retraction wins over re-add until rebuild
+    idx.add(spark, emb.filter(col("vec_id") % 5 === 0))
+    assert(idx.search(spark, qs, k = 1, nprobe = 8)
+      .filter(col("q_id") === col("neighbor_id")).count() == 0,
+      "re-added tombstoned ids must stay invisible until rebuild")
+
+    // rebuild clears tombstones: self-queries return themselves again
+    idx.build(spark, emb)
+    val self = idx.search(spark, qs, k = 1, nprobe = 8)
+    assert(self.count() == 10)
+    self.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
