@@ -59,6 +59,27 @@ object FixedLog2 {
     m.cast("long") * 64 + frac
   }
 
+  /** Driver-side [[qlog2]] for already-collected model-sized frames
+    * (round 16): the SAME program — same `thresholds` array, same
+    * mantissa shift — on a plain Long, so a B-row bucket model can be
+    * scored without compiling the 64-term column expression into a
+    * throwaway plan (Dsir's model step measured ~1 s of analysis +
+    * session-clone overhead per call). Equality with the column
+    * program is spec-pinned across the domain (FixedLog2Spec).
+    */
+  def qlog2Long(x: Long): Long = {
+    require(x >= 1L && x < MaxX, s"qlog2 domain [1, 2^42) violated: x = $x")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = (x << FP) >> m
+    var frac = 0L
+    var k = 0
+    while (k < thresholds.length) {
+      if (p >= thresholds(k)) frac += 1
+      k += 1
+    }
+    m.toLong * 64 + frac
+  }
+
   /** Oracle-side (DuckDB) spelling of [[qlog2]] as a 2-CTE chain
     * generated from the SAME threshold table. Returns the CTE text (no
     * trailing comma); the final CTE `<prefix>q` carries `cols` plus the

@@ -69,6 +69,16 @@ object Components {
     // of the symmetrizing union, which would otherwise execute the full
     // upstream similarity pipeline twice.
     val pairsP = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // Round 16: FORCE the persist before the union reads it. A lazy
+    // persist does not dedup work WITHIN the first action: the union's
+    // two branch scans live in one stage and race to compute each
+    // uncached partition, so the expensive upstream pipeline still ran
+    // ~twice on first materialization (measured in the dedup_canonical
+    // job probe). One cheap count() serializes: pipeline once, then
+    // two cache reads. (count() on a cached frame materializes every
+    // column — the cache stores the full plan output, not a pruned
+    // projection.)
+    pairsP.count()
     val edges0 = pairsP
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionAll(pairsP

@@ -79,6 +79,13 @@ object Dedup {
         .filter(maxDocFreq.fold(lit(true))(cap => size(col("ds")) <= cap))
         .select("ds")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Round 16: FORCE the persist before the branches read it — the
+    // sizes and pairs map stages are independent and race to compute
+    // each uncached partition within the first action, so the
+    // (expensive) index build otherwise runs up to 3× concurrently
+    // (pairs + 2 sizes sides; measured in the dedup_canonical job
+    // probe). One cheap count() = one build + cached reads.
+    byShingle.count()
     val sizes = byShingle.select(explode(col("ds")).as("__doc"))
       .groupBy("__doc").agg(count(lit(1)).as("__c"))
     // Two-level pair generation: posexplode picks the anchor, a second
@@ -183,7 +190,14 @@ object Dedup {
   def minhashPairs(shingled: DataFrame, docCol: String, shCol: String,
       numHashes: Int = 32, bands: Int = 8, minEst: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(shingled, docCol, shCol, numHashes)
+    // Round 16: the signature frame feeds FOUR reads (band self-join
+    // a/b + the two agreement joins) — unpersisted, the whole
+    // explode + k-min aggregation pipeline executed up to 4× per run.
+    // Persist + force: one build, three cached reads. docs × k longs —
+    // bounded at any corpus size, and the standard trade (guide §5).
+    val sigs = graft.CacheTracker.track(
+      minhashSignatures(shingled, docCol, shCol, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val exploded = bandRows(sigs, docCol, numHashes, bands)
 
     val a = exploded.toDF("a_id", "bk")
@@ -376,7 +390,12 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(spark, docs)
+    // Round 16: the signature frame feeds both sides of the chunk
+    // self-join — unpersisted, the tokenize + 60-vote aggregation ran
+    // ~2× per run (same class as minhashPairs). One doc → one long:
+    // bounded cache at any corpus size.
+    val sh = graft.CacheTracker.track(simhashes(spark, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunks = sh.select(col("doc_id").as("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), 16 * c)
@@ -448,7 +467,13 @@ object Dedup {
               lit(1L << j)).otherwise(lit(0L)))
             .reduce(_ + _).as("bkt"))
       }: _*)
-    val qd = emb.select(col(idCol).as("id"), quant(col(vecCol)).as("qa"))
+    // Round 16: qd feeds four reads (bucket self-join a/b + the two
+    // verification joins) — unpersisted, the per-vector quantization
+    // ran up to 4× per run (same class as minhashPairs). Persist +
+    // force: one pass, cached reads. docs × 64 bytes — bounded.
+    val qd = graft.CacheTracker.track(
+      emb.select(col(idCol).as("id"), quant(col(vecCol)).as("qa"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bucketed = qd.select(col("id"), explode(buckets(col("qa"))).as("tb"))
     val candIds = bucketed.toDF("a_id", "tb")
       // merge-pinned: exploded self-join (see ngramJaccardPairs)
@@ -545,11 +570,16 @@ object Dedup {
       .filter(size(col("toks")) >= w)
     // all w-token window fingerprints, 0-based start positions; the
     // transform/posexplode pair keeps the expansion NARROW (no
-    // intermediate w-times token blowup)
-    val sh = toks.select(col("doc_id"),
+    // intermediate w-times token blowup).
+    // Round 16: sh feeds BOTH the duplicate aggregation and the mark
+    // join's probe side — unpersisted, the md5-per-window fingerprint
+    // pass (the operator's dominant cost) ran ~2× per run. Persist +
+    // force: one fingerprint pass, two cached reads.
+    val sh = graft.CacheTracker.track(toks.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("toks")) - w),
         i => Canonical.xhash(concat_ws(" ",
           slice(col("toks"), i + 1, lit(w)))))).as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // duplicated windows with their global first occurrence — the
     // min-struct aggregates map-side, so a window duplicated a
     // billion times still reduces before the shuffle

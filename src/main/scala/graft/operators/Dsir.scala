@@ -120,36 +120,27 @@ object Dsir {
         sum(when(!col("tgt"), col("c")).otherwise(0L)).as("cr"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // dense grid: unseen buckets still carry the smoothed prior.
-    // The qlog2 COLUMN program (the cross-engine contract) runs on a
-    // THROWAWAY SESSION CLONE with codegen off: TWO qlog2 copies in
-    // one projection exceed janino's 64KB method limit (each is a
-    // 64-threshold sum) and the failed compile attempt costs real
-    // wall-clock before Spark falls back — and setting the codegen
-    // confs on the CALLER's session would leak interpreted planning
-    // into any query planned concurrently on it. The clone shares the
-    // SparkContext but owns its SQLConf, so the override is scoped by
-    // construction; the exact B-row result then rebinds into the
-    // caller's session as a plain local relation, keeping the giant
-    // expression out of every downstream stage's whole-stage method.
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.codegen.wholeStage", "false")
-    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    val modelIn = s2.createDataFrame((0L until buckets).map { b =>
+    // Round 16: the model is B collected rows, so the qlog2 step runs
+    // DRIVER-SIDE via [[FixedLog2.qlog2Long]] — the same program from
+    // the same threshold table (spec-pinned equal to the column
+    // form), without the round-13 session-clone + two throwaway plan
+    // compilations this step used to pay (~1 s of analysis per call;
+    // the clone existed only because two 64-term qlog2 columns in one
+    // projection exceed janino's 64KB method limit).
+    val grid = (0L until buckets).map { b =>
       val (ct, cr) = counted.getOrElse(b, (0L, 0L))
       (b, ct, cr)
-    }).toDF("b", "ct", "cr")
-    val modelRows = modelIn.select(col("b"),
-      FixedLog2.qlog2(col("ct") + 1).as("qt"),
-      FixedLog2.qlog2(col("cr") + 1).as("qr"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val totRow = modelIn.agg(
-      FixedLog2.qlog2(coalesce(sum("ct"), lit(0L)) + buckets).as("qt_tot"),
-      FixedLog2.qlog2(coalesce(sum("cr"), lit(0L)) + buckets).as("qr_tot"))
-      .collect().head
-    val model = spark.createDataFrame(modelRows.toSeq)
+    }
+    val modelRows = grid.map { case (b, ct, cr) =>
+      (b, FixedLog2.qlog2Long(ct + 1), FixedLog2.qlog2Long(cr + 1))
+    }
+    val totRow = (
+      FixedLog2.qlog2Long(grid.map(_._2).sum + buckets),
+      FixedLog2.qlog2Long(grid.map(_._3).sum + buckets))
+    val model = spark.createDataFrame(modelRows)
       .toDF("b", "qt", "qr")
     val totals = spark
-      .createDataFrame(Seq((totRow.getLong(0), totRow.getLong(1))))
+      .createDataFrame(Seq(totRow))
       .toDF("qt_tot", "qr_tot")
     // SCORE: `base` is already per-(doc, token) counted — filter to
     // the raw side, hash the collapsed frame, fold tokens into buckets

@@ -463,14 +463,21 @@ object Similarity {
       .withColumn("cn", sumsq(col("cm")))
     val wv = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
     // the seed cell's job ends at the centroid build — drop it so the
-    // reassignment join carries ONE `cell` (the candidate centroid's)
-    val assigned = c.drop("cell").crossJoin(broadcast(cm))
-      .withColumn("cdot", idot(col("ca"), col("cm")))
-      .withColumn("ccos", col("cdot").cast("double") /
-        sqrt(col("vn").cast("double") * col("cn").cast("double")))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("vec_id"), col("ca"), col("vn"))
+    // reassignment join carries ONE `cell` (the candidate centroid's).
+    // Round 16: `assigned` feeds BOTH sides of the cell self-join —
+    // unpersisted, the whole reassignment (centroid cross join +
+    // per-vector window) executed ~2× per run. Persist + force: one
+    // assignment pass, two cached reads. corpus × quantized-vector —
+    // bounded, the same trade the byShingle index makes.
+    val assigned = graft.CacheTracker.track(
+      c.drop("cell").crossJoin(broadcast(cm))
+        .withColumn("cdot", idot(col("ca"), col("cm")))
+        .withColumn("ccos", col("cdot").cast("double") /
+          sqrt(col("vn").cast("double") * col("cn").cast("double")))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id"), col("ca"), col("vn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("ca").as("aa"), col("vn").as("an"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),

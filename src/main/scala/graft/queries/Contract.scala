@@ -345,8 +345,12 @@ object Contract {
             count(lit(1)).as("n"),
             sum(floor(col("l_quantity"))).as("fl"),
             sum(ceil(col("l_quantity"))).as("ce"),
-            sum(dec(abs(col("l_discount") - 0.05))).cast("double").as("ab"),
-            sum(round(col("l_extendedprice")).cast("long")).as("rd"))
+            // round 16: moneySum ≡ the old SUM(DECIMAL)::DOUBLE bit-for-
+            // bit (CanonicalFixedPointSpec); wholeHalfUp ≡ per-row
+            // round()::LONG on ≤2-dp money — both drop the per-row
+            // BigDecimal paths from this one-task fact scan
+            Canonical.moneySum(abs(col("l_discount") - 0.05)).as("ab"),
+            sum(Canonical.wholeHalfUp(col("l_extendedprice"))).as("rd"))
           .orderBy(asc_nulls_first("bucket"), asc_nulls_first("nkey")),
       s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
                       WHEN l_quantity < 25 THEN 'mid'
@@ -472,10 +476,13 @@ object Contract {
     // under 2^63 — hence cents (scale 0), not dollars (scale 8).
     ("q27_advanced_aggs",
       (s: SparkSession, dir: String) => {
+        // Round 16: LONG fixed-point (see q34) — cents² ≤ 3.1·10¹⁵ per
+        // row is long-safe, and the split-long sums' double combine is
+        // bit-identical to the old decimal casts to |Σ| < 2⁷³.
         val o = t(s, dir, "orders")
-          .withColumn("cents", round(col("o_totalprice") * 100).cast("decimal(18,0)"))
-        val sumsq = sum(col("cents") * col("cents")).cast("double")
-        val sumc = sum(col("cents")).cast("double")
+          .withColumn("cents", Canonical.cents(col("o_totalprice")))
+        val sumsq = Canonical.exactLongSumAsDouble(col("cents") * col("cents"))
+        val sumc = Canonical.exactLongSumAsDouble(col("cents"))
         val n = count(col("cents"))
         val varCents = (sumsq - sumc * sumc / n) / (n - lit(1))
         o.groupBy("o_orderpriority")
@@ -634,15 +641,23 @@ object Contract {
     // rule-3 ROUND(·,4), not on sum exactness.
     ("q34_correlation",
       (s: SparkSession, dir: String) => {
+        // Round 16: LONG fixed-point instead of round(·)→DECIMAL(18,0)
+        // per row + DECIMAL-buffer sums (guide §1.2 per-task work; the
+        // whole stage is ONE task — single-row-group fact file). The
+        // split-long sums' double combine is correctly rounded to
+        // |Σ| < 2⁷³ (Canonical.exactLongSumAsDouble), i.e. BIT-
+        // IDENTICAL to the old CAST(SUM(DECIMAL) AS DOUBLE) including
+        // the past-2⁵³ regime this query documents. Measured
+        // 1.95 s → see OPTIMIZATION_r16.md; oracle SQL unchanged.
         val li = t(s, dir, "lineitem")
-          .withColumn("x", round(col("l_extendedprice") * 100).cast("decimal(18,0)"))
-          .withColumn("y", round(col("l_quantity")).cast("decimal(18,0)"))
+          .withColumn("x", Canonical.cents(col("l_extendedprice")))
+          .withColumn("y", Canonical.wholeHalfUp(col("l_quantity")))
         val n = count(lit(1))
-        val sx = sum(col("x")).cast("double")
-        val sy = sum(col("y")).cast("double")
-        val sxx = sum(col("x") * col("x")).cast("double")
-        val syy = sum(col("y") * col("y")).cast("double")
-        val sxy = sum(col("x") * col("y")).cast("double")
+        val sx = Canonical.exactLongSumAsDouble(col("x"))
+        val sy = Canonical.exactLongSumAsDouble(col("y"))
+        val sxx = Canonical.exactLongSumAsDouble(col("x") * col("x"))
+        val syy = Canonical.exactLongSumAsDouble(col("y") * col("y"))
+        val sxy = Canonical.exactLongSumAsDouble(col("x") * col("y"))
         li.groupBy("l_returnflag")
           .agg(n.as("n"),
             // §2.4 rule 3: the squared-cent sums pass 2⁵³ at sf≥0.1
@@ -971,17 +986,22 @@ object Contract {
   private val q53: (String, Q, String) = (
     "q53_regression",
     (s: SparkSession, dir: String) => {
+      // Round 16: y in LONG cents (same fixed-point move as q34/q27 —
+      // per-row round()→DECIMAL and decimal-buffer sums replaced by
+      // long arithmetic; split-long double combines are bit-identical
+      // to the old casts to |Σ| < 2⁷³, and the 2⁵³ guard below fires
+      // long before either bound).
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_quantity").cast("bigint").as("x"),
-          round(col("l_extendedprice") * 100).cast("decimal(18,0)").as("y"))
+          Canonical.cents(col("l_extendedprice")).as("y"))
       val guard = Canonical.exactSumGuard("q53_regression")
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).cast("double").as("n"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("y")).cast("double").as("sy"),
-          sum(col("x") * col("y")).cast("double").as("sxy"),
-          sum(col("x") * col("x")).cast("double").as("sxx"),
+          Canonical.exactLongSumAsDouble(col("x")).as("sx"),
+          Canonical.exactLongSumAsDouble(col("y")).as("sy"),
+          Canonical.exactLongSumAsDouble(col("x") * col("y")).as("sxy"),
+          Canonical.exactLongSumAsDouble(col("x") * col("x")).as("sxx"),
           count(lit(1)).cast("decimal(19,0)").as("ng"),
           greatest(
             max(abs(col("x") * col("y"))).cast("decimal(19,0)"),

@@ -926,12 +926,16 @@ object LlmOps {
     // events: two narrow passes, one shuffle (the group-by).
     ("q52_outliers",
       (s: SparkSession, dir: String) => {
+        // Round 16: LONG cents instead of per-row round()→DECIMAL +
+        // decimal-buffer sums (the q34/q27/q53 fixed-point move; the
+        // split-long combine is bit-identical to the old decimal casts
+        // to |Σ| < 2⁷³ and the 2⁵³ guard fires far earlier)
         val e = Tables(s, dir, "events")
           .filter(col("value").isNotNull)
-          .withColumn("c", round(col("value") * 100).cast("decimal(18,0)"))
+          .withColumn("c", graft.Canonical.cents(col("value")))
         val stats = e.groupBy("event_type").agg(
-          sum(col("c")).cast("double").as("sc"),
-          sum(col("c") * col("c")).cast("double").as("ssq"),
+          graft.Canonical.exactLongSumAsDouble(col("c")).as("sc"),
+          graft.Canonical.exactLongSumAsDouble(col("c") * col("c")).as("ssq"),
           count(lit(1)).as("n"),
           count(lit(1)).cast("decimal(19,0)").as("ng"),
           max(col("c") * col("c")).cast("decimal(19,0)").as("gmax"))
@@ -980,6 +984,10 @@ object LlmOps {
           .ngramJaccardPairs(shinglesRaw(docs(s, dir)), "doc_id", "sh", minJac = 0.2)
           .select(col("a_id"), col("b_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // round 16: force the persist — the three triangle inputs are
+        // independent map stages that otherwise race to compute the
+        // uncached pair pipeline up to 3× within the first action
+        pairs.count()
         val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
         val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
         val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
