@@ -173,7 +173,13 @@ final class MinHashIndex(stateDir: String, numHashes: Int = 32,
   def dedupAgainst(spark: SparkSession, batchShingled: DataFrame,
       docCol: String = "doc_id", shCol: String = "sh",
       minEst: Double = 0.0, broadcastBandLimit: Long = 100000L): DataFrame = {
-    val bSigs = sigsOf(batchShingled, docCol, shCol)
+    // Round 16: the batch signature pipeline feeds THREE reads (the
+    // size gate's count, the band explode, and the agreement join) —
+    // and the gate's count() is already a mandatory action, so a
+    // persist here is a free barrier: one signature build, two cached
+    // reads, no added job. batch × k longs — bounded.
+    val bSigs = graft.CacheTracker.track(sigsOf(batchShingled, docCol, shCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hSigs = signatures(spark)
     val hBand = Dedup.bandRows(hSigs, "doc_id", numHashes, bands)
       .toDF("hist_id", "bk")
